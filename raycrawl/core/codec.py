@@ -1,0 +1,139 @@
+"""Deterministic synthetic image codec + perceptual hash (numpy-only).
+
+The sandbox ships no image library (no PIL / cv2), so — per the build spec —
+the *decode* of real image formats is stubbed with a deterministic fake codec
+whose Ray-side plumbing (binary column, batch sizing, PSNR invariant) is real
+and tested:
+
+  * ``FPNG`` — lossless: zlib of raw RGB bytes (models PNG).
+  * ``FJPG`` — lossy: uniform 2-bit quantization of each channel then zlib
+    (models JPEG). Quantization step 4 gives mean-squared-error 1.5 →
+    PSNR ≈ 46.4 dB, comfortably over the ≥40 dB gate in BASELINE.json.
+
+``decode_real_image`` is the marked stub for true PNG/JPEG payloads.
+
+The perceptual hash is the classic 64-bit DCT pHash (resize→32×32 gray,
+2-D DCT-II, top-left 8×8 minus DC, median threshold) implemented with a
+precomputed numpy DCT matrix. Near-duplicate = Hamming distance ≤ radius.
+"""
+
+from __future__ import annotations
+
+import zlib
+import struct
+
+import numpy as np
+
+MAGIC_PNG = b"FPNG"
+MAGIC_JPG = b"FJPG"
+_Q = 4  # lossy quantization step → PSNR ≈ 46 dB
+
+
+def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic H×W×3 uint8 image: smooth gradient + seeded noise.
+
+    Determinism-by-key follows the reference's ``predict_age`` trick of
+    seeding an RNG from content bytes (``Postprocess_scripts/Functions.py:47-49``).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed & 0xFFFFFFFFFFFFFFFF))
+    a, b, c = rng.integers(0, 256, 3)
+    x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+    y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+    zero = np.zeros((h, w), dtype=np.float32)
+    base = np.stack(
+        [(x + a) % 256 + zero, (y + b) % 256 + zero, (x * 0.5 + y * 0.5 + c) % 256],
+        axis=-1,
+    )
+    noise = rng.integers(0, 32, (h, w, 3)).astype(np.float32)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w, _ = pixels.shape
+    hdr = struct.pack("<II", w, h)
+    if fmt == "png":
+        return MAGIC_PNG + hdr + zlib.compress(pixels.tobytes(), 6)
+    if fmt == "jpeg":
+        q = (pixels // _Q).astype(np.uint8)
+        return MAGIC_JPG + hdr + zlib.compress(q.tobytes(), 6)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode a synthetic payload → (H×W×3 uint8 pixels, fmt)."""
+    magic, (w, h) = data[:4], struct.unpack("<II", data[4:12])
+    raw = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8)
+    if magic == MAGIC_PNG:
+        return raw.reshape(h, w, 3), "png"
+    if magic == MAGIC_JPG:
+        # dequantize to interval midpoint (error ≤ 2 per channel)
+        px = np.clip(raw.reshape(h, w, 3).astype(np.int16) * _Q + _Q // 2, 0, 255)
+        return px.astype(np.uint8), "jpeg"
+    return decode_real_image(data)
+
+
+def decode_real_image(data: bytes) -> tuple[np.ndarray, str]:
+    """STUB: true PNG/JPEG decoding needs an image library absent from this
+    container. The surrounding pipeline (schema, actor signature, batch
+    sizing, PSNR verification) is identical for real payloads."""
+    raise NotImplementedError(
+        "real image decoding requires PIL/cv2; not available in this sandbox"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+# ---------------------------------------------------------------- perceptual hash
+
+_N = 32  # DCT input size
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi / n * (i + 0.5) * k) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT = _dct_matrix(_N)
+
+
+def _resize_gray(pixels: np.ndarray) -> np.ndarray:
+    """Nearest-neighbour resize of the grayscale image to 32×32."""
+    gray = pixels.astype(np.float32).mean(axis=-1)
+    h, w = gray.shape
+    yi = (np.arange(_N) * h // _N).clip(0, h - 1)
+    xi = (np.arange(_N) * w // _N).clip(0, w - 1)
+    return gray[np.ix_(yi, xi)]
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (signed int64 for Arrow friendliness)."""
+    g = _resize_gray(pixels)
+    d = _DCT @ g @ _DCT.T
+    block = d[:8, :8].flatten()
+    block = np.delete(block, 0)  # drop DC term
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    out <<= 1  # pad to 64 bits
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def hamming64_vec(arr: np.ndarray, v: int) -> np.ndarray:
+    """Vectorized Hamming distance of an int64 array against scalar ``v``."""
+    x = (arr.astype(np.uint64) ^ np.uint64(v & 0xFFFFFFFFFFFFFFFF))
+    x = x.view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(x, axis=1).sum(axis=1)

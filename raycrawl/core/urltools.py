@@ -1,0 +1,68 @@
+"""URL canonicalization + SHA-1 keying.
+
+The reference normalizes free-text locations against an abbreviation
+dictionary before matching (``Cansin_Location_Detection.py:122-193``); the
+crawl-engine analog is canonicalizing URLs before the seen-set check so the
+same page never enters the frontier twice under two spellings.
+
+Canonical form:
+  * scheme + host lowercased
+  * default ports stripped (``:80`` http, ``:443`` https)
+  * fragment dropped
+  * query parameters sorted by (key, value); empty query dropped
+  * path ``.``/``..`` segments resolved, duplicate slashes collapsed
+  * trailing slash kept only for the root path
+
+``url_hash`` is the 20-byte SHA-1 of the canonical URL — the key of the
+URL-seen set (bloom/cuckoo) and the dedup key everywhere (reference analog:
+first-occurrence exact dedup, ``GenerateUserUseridDict.py:53-56``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode, urljoin
+
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str, base: str | None = None) -> str:
+    """Return the canonical form of ``url`` (optionally joined to ``base``)."""
+    if base:
+        url = urljoin(base, url)
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower() or "http"
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORT.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    # resolve path segments
+    segs: list[str] = []
+    for seg in parts.path.split("/"):
+        if seg in ("", "."):
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+            continue
+        segs.append(seg)
+    path = "/" + "/".join(segs)
+    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_sha1(canonical_url: str) -> bytes:
+    """20-byte SHA-1 of the canonical URL — the frontier/seen key."""
+    return hashlib.sha1(canonical_url.encode("utf-8")).digest()
+
+
+def host_of(canonical_url: str) -> str:
+    return urlsplit(canonical_url).hostname or ""
+
+
+def shard_of_host(host: str, num_shards: int) -> int:
+    """Stable host→shard partitioning (pins every host to ONE frontier shard
+    so its politeness token bucket is owned by exactly one actor)."""
+    h = hashlib.sha1(host.encode("utf-8")).digest()
+    return int.from_bytes(h[:4], "big") % num_shards

@@ -1,0 +1,175 @@
+"""Deterministic synthetic web: pages, outlinks, images, captions.
+
+The reference fetches from the Twitter API (``pages/Crawler.py:76-87``); in
+this sandbox (and in the reference's own spirit — ``predict_age`` derives
+its randomness from content bytes, ``Postprocess_scripts/Functions.py:47-49``)
+the fetch is a PURE FUNCTION of the canonical URL: given the same
+``WebConfig``, every crawler (sequential oracle or Ray engine, any
+parallelism) observes the identical web. Pages carry an image + caption
+payload matching ``BASELINE.json.input_hint``:
+
+    (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+     caption:string, phash:int64)
+
+Outlinks are emitted in deliberately MESSY form (uppercase hosts, default
+ports, ``./`` segments, unsorted query params, fragments) so the
+canonicalizer is actually exercised; near-duplicate images are injected
+(page i with i % neardup_every == 1 reuses page i-1's pixels plus ±1 noise)
+so the phash gate fires on real data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codec import synth_pixels, encode_image, phash64
+from .urltools import canonicalize_url, url_sha1
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    n_hosts: int = 8
+    pages_per_host: int = 50
+    seed: int = 42
+    max_outlinks: int = 6
+    neardup_every: int = 7
+    private_frac: float = 0.15
+    min_dim: int = 32
+    max_dim: int = 64
+
+
+def host_name(k: int) -> str:
+    return f"h{k}.web.test"
+
+
+def page_url(k: int, i: int, private: bool = False) -> str:
+    p = "private/p" if private else "p"
+    return f"http://{host_name(k)}/{p}/{i}"
+
+
+def seed_urls(cfg: WebConfig, n_seeds: int | None = None) -> list[str]:
+    n = min(n_seeds or cfg.n_hosts, cfg.n_hosts)
+    return [page_url(k, 0) for k in range(n)]
+
+
+def priority_of(digest: bytes) -> int:
+    """Crawl priority is a pure function of the canonical URL (0..9)."""
+    return digest[2] % 10
+
+
+def _parse(canonical_url: str) -> tuple[int, int, bool]:
+    """canonical URL → (host_idx, page_idx, private)."""
+    rest = canonical_url.split("://", 1)[1]
+    host, path = rest.split("/", 1)
+    k = int(host.split(".")[0][1:])
+    private = path.startswith("private/")
+    i = int(path.rsplit("/", 1)[1])
+    return k, i, private
+
+
+def _page_seed(cfg: WebConfig, k: int, i: int, private: bool) -> int:
+    d = hashlib.sha1(f"{cfg.seed}:{k}:{i}:{int(private)}".encode()).digest()
+    return int.from_bytes(d[:8], "big")
+
+
+_WORDS = (
+    "amber basalt cedar delta ember flint grove harbor iris juniper "
+    "krill lumen moss nectar onyx prism quartz reef sable tundra"
+).split()
+
+
+@dataclass
+class Page:
+    url: str
+    host: str
+    image_id: str
+    w: int
+    h: int
+    fmt: str
+    data: bytes
+    caption: str
+    phash: int
+    outlinks: list[str]
+    pixels: np.ndarray
+
+
+def _messy(url: str, rng: np.random.Generator) -> str:
+    """Emit a messy spelling of ``url`` that canonicalizes back to it."""
+    style = int(rng.integers(0, 5))
+    scheme, rest = url.split("://", 1)
+    host, path = rest.split("/", 1)
+    if style == 1:
+        return f"{scheme}://{host.upper()}/{path}"
+    if style == 2:
+        return f"{scheme}://{host}:80/./{path}#frag"
+    if style == 3:
+        return f"{scheme}://{host}//{path}?"
+    if style == 4:
+        parent = path.rsplit("/", 1)[0]
+        leaf = path.rsplit("/", 1)[1]
+        return f"{scheme}://{host}/{parent}/x/../{leaf}"
+    return url
+
+
+def page_for(cfg: WebConfig, canonical_url: str) -> Page:
+    """The synthetic fetch: canonical URL → full page. Deterministic."""
+    k, i, private = _parse(canonical_url)
+    digest = url_sha1(canonical_url)
+    rng = np.random.Generator(np.random.PCG64(_page_seed(cfg, k, i, private)))
+
+    # --- image: near-dup pages clone the previous page's pixels + noise
+    is_neardup = (not private) and i % cfg.neardup_every == 1 and i > 0
+    if is_neardup:
+        base_rng = np.random.Generator(np.random.PCG64(_page_seed(cfg, k, i - 1, False)))
+        w = int(base_rng.integers(cfg.min_dim, cfg.max_dim + 1))
+        h = int(base_rng.integers(cfg.min_dim, cfg.max_dim + 1))
+        fmt = "jpeg" if base_rng.integers(0, 2) else "png"
+        px = synth_pixels(_page_seed(cfg, k, i - 1, False), w, h).astype(np.int16)
+        noise = rng.integers(-1, 2, px.shape)
+        pixels = np.clip(px + noise, 0, 255).astype(np.uint8)
+    else:
+        w = int(rng.integers(cfg.min_dim, cfg.max_dim + 1))
+        h = int(rng.integers(cfg.min_dim, cfg.max_dim + 1))
+        fmt = "jpeg" if rng.integers(0, 2) else "png"
+        pixels = synth_pixels(_page_seed(cfg, k, i, private), w, h)
+
+    data = encode_image(pixels, fmt)
+    ph = phash64(pixels)
+    image_id = f"img-{digest.hex()[:12]}"
+    words = " ".join(_WORDS[j] for j in rng.integers(0, len(_WORDS), 6))
+    caption = f"caption {image_id} {words}"
+
+    # --- outlinks
+    n_out = int(rng.integers(0, cfg.max_outlinks + 1))
+    outlinks: list[str] = []
+    for _ in range(n_out):
+        tk = k if rng.random() < 0.6 else int(rng.integers(0, cfg.n_hosts))
+        ti = int(rng.integers(0, cfg.pages_per_host))
+        tpriv = bool(rng.random() < cfg.private_frac)
+        outlinks.append(_messy(page_url(tk, ti, tpriv), rng))
+
+    return Page(
+        url=canonical_url,
+        host=host_name(k),
+        image_id=image_id,
+        w=w,
+        h=h,
+        fmt=fmt,
+        data=data,
+        caption=caption,
+        phash=ph,
+        outlinks=outlinks,
+        pixels=pixels,
+    )
+
+
+def reference_pixels(cfg: WebConfig, canonical_url: str) -> np.ndarray:
+    """Ground-truth pixels for the PSNR≥40dB decoded-pixel invariant."""
+    return page_for(cfg, canonical_url).pixels
+
+
+def canonical_of(raw_url: str, base: str | None = None) -> str:
+    return canonicalize_url(raw_url, base)

@@ -1,0 +1,322 @@
+"""Frontier shard: the stateful heart of the crawl engine.
+
+One shard owns a host-partition of the URL universe (``shard_of_host`` pins
+every host to exactly one shard — the partitioning assumption that makes
+per-host politeness and the per-shard seen/phash state correct). The crawl
+driver wraps this class in a Ray actor (one per shard); everything here is
+plain Python/numpy/Arrow so it unit-tests without Ray.
+
+State held per shard (generalizing the reference's in-process dicts/lists,
+``Stance_Detection.py:13-27``, ``pages/Crawler.py:64-67``):
+
+* per-host priority queues + an outer host-heap keyed by each host's best
+  item — selection cost is O(selected·log) instead of a full-frontier scan
+  per epoch (the oracle's O(n log n) sort would not hold at 10^10 URLs);
+* ``SeenSet`` (counting Bloom + cuckoo + exact side table) keyed on
+  SHA-1(canonical URL);
+* ``HostPoliteness`` token buckets + ``RobotsCache`` (robots decided once
+  per host, at enqueue time);
+* ``PhashIndex`` near-dup gate (16-bit-chunk multi-index, Hamming ≤ radius);
+* metrics + fetch log rows → checkpointed as the per-partition lineage
+  manifest.
+
+Replay safety: ``offer`` / ``gate`` are memoized by epoch so a re-executed
+Ray Data task (failure retry) cannot double-mutate state.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..core.politeness import HostPoliteness, RobotsCache
+from ..core.sketches import SeenSet, PhashIndex
+
+POP_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.binary()),
+        ("host", pa.string()),
+        ("shard", pa.int32()),
+        ("priority", pa.int32()),
+        ("depth", pa.int32()),
+        ("discovered_at", pa.int64()),
+    ]
+)
+
+
+class FrontierShard:
+    def __init__(
+        self,
+        shard_id: int,
+        epoch_seconds: float = 2.0,
+        expected_urls: int = 1 << 14,
+        phash_radius: int = 2,
+    ):
+        self.shard_id = shard_id
+        self.epoch_seconds = epoch_seconds
+        self.expected_urls = expected_urls
+        self.seen = SeenSet(expected_urls)
+        self.politeness = HostPoliteness(epoch_seconds)
+        self.robots = RobotsCache()
+        self.phash = PhashIndex(phash_radius)
+        # host → heap of (negpri, depth, discovered_at, digest, url)
+        self.host_q: dict[str, list[tuple]] = {}
+        self.metrics = dict(
+            offered=0, accepted=0, fetched=0, robots_denied=0, phash_suppressed=0
+        )
+        self.log: list[dict] = []
+        self._offer_memo: dict[int, int] = {}
+        self._gate_memo: dict[int, set[bytes]] = {}
+        self._popped: pa.Table | None = None
+
+    # ------------------------------------------------------------- enqueue
+    def offer(
+        self,
+        epoch_key: int,
+        urls: list[str],
+        digests: list[bytes],
+        hosts: list[str],
+        priorities: list[int],
+        depths: list[int],
+        discovered_at: int,
+    ) -> int:
+        """Seen-check + robots-check + enqueue a batch of canonical URLs.
+
+        ``epoch_key`` makes the call idempotent under Ray task replay: the
+        second call with the same key is a no-op returning the memoized
+        accepted-count.
+        """
+        if epoch_key in self._offer_memo:
+            return self._offer_memo[epoch_key]
+        accepted = 0
+        for url, digest, host, pri, depth in zip(urls, digests, hosts, priorities, depths):
+            self.metrics["offered"] += 1
+            if self.seen.check_and_add(digest):
+                continue
+            path = "/" + url.split("://", 1)[1].split("/", 1)[1]
+            if not self.robots.allowed(host, path):
+                self.metrics["robots_denied"] += 1
+                self.log.append(
+                    self._logrow(discovered_at, url, digest, host, pri, depth,
+                                 discovered_at, "robots_denied")
+                )
+                continue
+            self.metrics["accepted"] += 1
+            accepted += 1
+            heapq.heappush(
+                self.host_q.setdefault(host, []),
+                (-pri, depth, discovered_at, digest, url),
+            )
+        self._offer_memo[epoch_key] = accepted
+        return accepted
+
+    # ----------------------------------------------------------------- pop
+    def pop(self, epoch: int) -> int:
+        """Select this epoch's fetchable URLs (frontier order, politeness-
+        constrained); stash them as an Arrow table; return the count."""
+        self.politeness.refill_all()
+        outer: list[tuple] = []
+        for host, q in self.host_q.items():
+            if q:
+                outer.append((*q[0][:4], host))
+        heapq.heapify(outer)
+        rows: list[tuple] = []
+        while outer:
+            negpri, depth, disc, digest, host = heapq.heappop(outer)
+            if not self.politeness.try_take(host):
+                continue  # host blocked for the rest of this epoch
+            item = heapq.heappop(self.host_q[host])
+            rows.append((item[4], digest, host, -negpri, depth, disc))
+            q = self.host_q[host]
+            if q:
+                heapq.heappush(outer, (*q[0][:4], host))
+        rows.sort(key=lambda r: (-r[3], r[4], r[5], r[1]))
+        self._popped = pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "url_hash": [r[1] for r in rows],
+                "host": [r[2] for r in rows],
+                "shard": pa.array([self.shard_id] * len(rows), pa.int32()),
+                "priority": pa.array([r[3] for r in rows], pa.int32()),
+                "depth": pa.array([r[4] for r in rows], pa.int32()),
+                "discovered_at": pa.array([r[5] for r in rows], pa.int64()),
+            },
+            schema=POP_SCHEMA,
+        )
+        return len(rows)
+
+    def take_popped(self) -> pa.Table:
+        t = self._popped if self._popped is not None else POP_SCHEMA.empty_table()
+        return t
+
+    def frontier_size(self) -> int:
+        return sum(len(q) for q in self.host_q.values())
+
+    # ---------------------------------------------------------------- gate
+    def gate(
+        self,
+        epoch: int,
+        digests: list[bytes],
+        phashes: list[int],
+        meta: list[tuple],
+    ) -> set[bytes]:
+        """phash near-dup gate. ``meta`` rows are (url, host, priority,
+        depth, discovered_at) aligned with ``digests``; rows MUST arrive
+        sorted in frontier order (the caller sorts; this shard re-asserts).
+        Returns the set of digests that survive."""
+        if epoch in self._gate_memo:
+            return self._gate_memo[epoch]
+        order = sorted(
+            range(len(digests)),
+            key=lambda i: (-meta[i][2], meta[i][3], meta[i][4], digests[i]),
+        )
+        kept: set[bytes] = set()
+        for i in order:
+            url, host, pri, depth, disc = meta[i]
+            if self.phash.query(phashes[i]) is not None:
+                self.metrics["phash_suppressed"] += 1
+                self.log.append(
+                    self._logrow(epoch, url, digests[i], host, pri, depth, disc,
+                                 "dup_suppressed")
+                )
+                continue
+            self.phash.add(phashes[i])
+            self.metrics["fetched"] += 1
+            self.log.append(
+                self._logrow(epoch, url, digests[i], host, pri, depth, disc, "fetched")
+            )
+            kept.add(digests[i])
+        self._gate_memo[epoch] = kept
+        return kept
+
+    def _logrow(self, epoch, url, digest, host, pri, depth, disc, status) -> dict:
+        return dict(
+            epoch=epoch,
+            url=url,
+            url_hash=digest.hex(),
+            host=host,
+            shard=self.shard_id,
+            priority=pri,
+            depth=depth,
+            discovered_at=disc,
+            status=status,
+        )
+
+    def get_log(self) -> list[dict]:
+        return self.log
+
+    def get_seen(self) -> list[bytes]:
+        assert self.seen.exact is not None
+        return sorted(self.seen.exact)
+
+    def get_metrics(self) -> dict:
+        m = dict(self.metrics)
+        m["seen_count"] = self.seen.count
+        m["bloom_cuckoo_false_positives"] = self.seen.fp_observed
+        m["robots_fetches"] = self.robots.fetches
+        m["frontier_size"] = self.frontier_size()
+        return m
+
+    # ---------------------------------------------------------- checkpoint
+    def checkpoint(self, ckpt_dir: str, epoch: int) -> dict:
+        """Write this shard's full state + lineage manifest under
+        ``ckpt_dir/epoch={epoch}/shard={id}/``. Returns the manifest."""
+        d = os.path.join(ckpt_dir, f"epoch={epoch}", f"shard={self.shard_id}")
+        os.makedirs(d, exist_ok=True)
+        items = [it for q in self.host_q.values() for it in q]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [i[4] for i in items],
+                    "url_hash": [i[3] for i in items],
+                    "priority": pa.array([-i[0] for i in items], pa.int32()),
+                    "depth": pa.array([i[1] for i in items], pa.int32()),
+                    "discovered_at": pa.array([i[2] for i in items], pa.int64()),
+                    "host": [self._host_of(i[4]) for i in items],
+                }
+            ),
+            os.path.join(d, "frontier.parquet"),
+        )
+        st = self.seen.state()
+        np.savez_compressed(
+            os.path.join(d, "sketches.npz"),
+            bloom=st["bloom"],
+            cuckoo=st["cuckoo"],
+            phash=self.phash.state(),
+        )
+        with open(os.path.join(d, "exact_seen.bin"), "wb") as f:
+            f.write(st["exact"])
+        if self.log:
+            pq.write_table(
+                pa.Table.from_pylist(self.log), os.path.join(d, "fetch_log.parquet")
+            )
+        manifest = dict(
+            shard=self.shard_id,
+            epoch=epoch,
+            metrics=self.get_metrics(),
+            tokens={h: b.tokens for h, b in self.politeness.buckets.items()},
+            robots={h: list(r) for h, r in self.robots.rules.items()},
+            seen_count=self.seen.count,
+            epoch_seconds=self.epoch_seconds,
+        )
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    @staticmethod
+    def _host_of(url: str) -> str:
+        return url.split("://", 1)[1].split("/", 1)[0]
+
+    @classmethod
+    def restore(
+        cls,
+        ckpt_dir: str,
+        epoch: int,
+        shard_id: int,
+        expected_urls: int = 1 << 14,
+        phash_radius: int = 2,
+    ) -> "FrontierShard":
+        d = os.path.join(ckpt_dir, f"epoch={epoch}", f"shard={shard_id}")
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifest = json.load(f)
+        self = cls(shard_id, manifest["epoch_seconds"], expected_urls, phash_radius)
+        npz = np.load(os.path.join(d, "sketches.npz"))
+        with open(os.path.join(d, "exact_seen.bin"), "rb") as f:
+            exact = f.read()
+        self.seen = SeenSet.restore(
+            dict(bloom=npz["bloom"], cuckoo=npz["cuckoo"], exact=exact,
+                 count=manifest["seen_count"]),
+            expected_urls,
+        )
+        self.phash = PhashIndex.restore(npz["phash"], phash_radius)
+        front = pq.read_table(os.path.join(d, "frontier.parquet"))
+        for url, digest, pri, depth, disc, host in zip(
+            front["url"].to_pylist(),
+            front["url_hash"].to_pylist(),
+            front["priority"].to_pylist(),
+            front["depth"].to_pylist(),
+            front["discovered_at"].to_pylist(),
+            front["host"].to_pylist(),
+        ):
+            heapq.heappush(
+                self.host_q.setdefault(host, []), (-pri, depth, disc, digest, url)
+            )
+        for h, tok in manifest["tokens"].items():
+            b = self.politeness.bucket(h)
+            b.tokens = tok
+        self.robots.rules = {h: tuple(r) for h, r in manifest["robots"].items()}
+        self.robots.fetches = manifest["metrics"]["robots_fetches"]
+        self.metrics = {
+            k: manifest["metrics"][k]
+            for k in ("offered", "accepted", "fetched", "robots_denied", "phash_suppressed")
+        }
+        lp = os.path.join(d, "fetch_log.parquet")
+        if os.path.exists(lp):
+            self.log = pq.read_table(lp).to_pylist()
+        return self

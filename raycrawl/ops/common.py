@@ -1,0 +1,39 @@
+"""Shared helpers for the analytics operators over the testdata tables."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned parquet read (only requested columns leave storage)."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def round_cols(ds: ray.data.Dataset, spec: dict[str, int]) -> ray.data.Dataset:
+    """Round float columns to fixed decimals so Ray and DuckDB value-hashes
+    agree despite summation-order float jitter."""
+
+    def _round(t: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            if col in t.column_names:
+                i = t.column_names.index(col)
+                t = t.set_column(
+                    i, col, pc.round(pc.cast(t[col], pa.float64()), ndigits=nd)
+                )
+        return t
+
+    return ds.map_batches(_round, batch_format="pyarrow")
+
+
+def cast_cols(ds: ray.data.Dataset, spec: dict[str, pa.DataType]) -> ray.data.Dataset:
+    def _cast(t: pa.Table) -> pa.Table:
+        for col, typ in spec.items():
+            if col in t.column_names:
+                i = t.column_names.index(col)
+                t = t.set_column(i, col, pc.cast(t[col], typ))
+        return t
+
+    return ds.map_batches(_cast, batch_format="pyarrow")

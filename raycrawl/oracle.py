@@ -1,0 +1,193 @@
+"""Sequential reference-semantics oracle crawler.
+
+This is the golden implementation the Ray Data engine must match EXACTLY
+(crawl ordering, URL-seen set, payload rows). It is written in the
+reference's sequential idiom on purpose — plain lists/sets/dicts, linear
+scans, first-occurrence-wins (cf. ``GenerateUserUseridDict.py:53-56``,
+round-robin polling ``pages/Crawler.py:54-70``) — and shares NO frontier /
+sketch code with the engine, so a parity test between the two is a real
+cross-check, not a tautology.
+
+Crawl semantics (the spec both implementations follow):
+
+1. State is partitioned into ``num_shards`` host-shards
+   (``shard_of_host``); every host belongs to exactly one shard.
+2. Frontier order is the data property
+   ``(-priority, depth, discovered_at, url_hash)`` — priority is a pure
+   function of the canonical URL, depth is min hops from a seed,
+   discovered_at is the epoch the URL was first accepted.
+3. URLs enter the frontier through a single enqueue path: canonicalize →
+   per-shard URL-seen check (membership recorded at ENQUEUE time,
+   first-occurrence-wins; seeds included) → robots check (cached per-host
+   decision; disallowed → status ``robots_denied`` logged at
+   ``epoch = discovered_at``, URL stays in the seen set but never enters
+   the frontier) → push ordered by the key in (2).
+4. Per epoch: refill per-host token buckets by ``rate·epoch_seconds``
+   (capped at burst; a freshly seen host starts at full burst); walk the
+   frontier in order; a URL whose host has no token is skipped (kept for
+   later epochs, host stays blocked for the rest of the epoch); otherwise
+   one token is consumed and the URL is fetched.
+5. Fetched pages pass a per-shard phash near-dup gate in frontier order;
+   the gating phash is computed from the DECODED payload bytes (pixels as
+   a consumer would see them). A page whose phash is within Hamming
+   ``phash_radius`` of one already accepted on that shard is suppressed
+   (status ``dup_suppressed`` — no payload row, outlinks NOT enqueued,
+   i.e. near-dups gate re-enqueue).
+6. Surviving pages emit one payload row (input_hint schema) and their
+   outlinks: canonicalized against the page URL, deduplicated within the
+   epoch keeping min depth, then fed to (3) with
+   ``discovered_at = epoch + 1``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
+from .core.politeness import host_rate, RobotsCache
+from .core.webgraph import WebConfig, page_for, priority_of
+from .core.codec import hamming64, phash64, decode_image
+
+BURST = 8.0
+
+
+@dataclass
+class OracleResult:
+    fetch_log: list[dict] = field(default_factory=list)
+    payload: list[dict] = field(default_factory=list)
+    seen: dict[int, set[bytes]] = field(default_factory=dict)
+    metrics: dict[int, dict] = field(default_factory=dict)
+    epochs: int = 0
+
+
+def order_key(item: dict) -> tuple:
+    return (-item["priority"], item["depth"], item["discovered_at"], item["digest"])
+
+
+def oracle_crawl(
+    cfg: WebConfig,
+    seeds: list[str],
+    max_epochs: int = 50,
+    num_shards: int = 4,
+    epoch_seconds: float = 2.0,
+    phash_radius: int = 2,
+) -> OracleResult:
+    res = OracleResult()
+    seen: dict[int, set[bytes]] = {s: set() for s in range(num_shards)}
+    phash_seen: dict[int, list[int]] = {s: [] for s in range(num_shards)}
+    frontier: list[dict] = []
+    tokens: dict[str, float] = {}
+    robots = RobotsCache()
+    metrics = {
+        s: dict(offered=0, accepted=0, fetched=0, robots_denied=0, phash_suppressed=0)
+        for s in range(num_shards)
+    }
+
+    def enqueue(url: str, depth: int, discovered_at: int) -> None:
+        digest = url_sha1(url)
+        host = host_of(url)
+        shard = shard_of_host(host, num_shards)
+        metrics[shard]["offered"] += 1
+        if digest in seen[shard]:  # first-occurrence-wins, reference D1
+            return
+        seen[shard].add(digest)
+        item = dict(
+            url=url,
+            digest=digest,
+            host=host,
+            shard=shard,
+            priority=priority_of(digest),
+            depth=depth,
+            discovered_at=discovered_at,
+        )
+        path = "/" + url.split("://", 1)[1].split("/", 1)[1]
+        if not robots.allowed(host, path):
+            metrics[shard]["robots_denied"] += 1
+            res.fetch_log.append({**_log(item, discovered_at), "status": "robots_denied"})
+            return
+        metrics[shard]["accepted"] += 1
+        frontier.append(item)
+
+    for s in seeds:
+        enqueue(canonicalize_url(s), 0, 0)
+
+    epoch = 0
+    while epoch < max_epochs and frontier:
+        for h in tokens:
+            tokens[h] = min(BURST, tokens[h] + host_rate(h) * epoch_seconds)
+        frontier.sort(key=order_key)
+        selected: list[dict] = []
+        remaining: list[dict] = []
+        blocked: set[str] = set()
+        for item in frontier:
+            if item["host"] in blocked:
+                remaining.append(item)
+                continue
+            if item["host"] not in tokens:
+                tokens[item["host"]] = BURST
+            if tokens[item["host"]] >= 1.0:
+                tokens[item["host"]] -= 1.0
+                selected.append(item)
+            else:
+                blocked.add(item["host"])
+                remaining.append(item)
+        frontier = remaining
+
+        new_links: list[tuple[str, int]] = []
+        for item in selected:
+            page = page_for(cfg, item["url"])
+            shard = item["shard"]
+            # gating phash comes from the DECODED payload (consumer view)
+            pixels, _ = decode_image(page.data)
+            ph = phash64(pixels)
+            dup = any(hamming64(ph, p) <= phash_radius for p in phash_seen[shard])
+            if dup:
+                metrics[shard]["phash_suppressed"] += 1
+                res.fetch_log.append({**_log(item, epoch), "status": "dup_suppressed"})
+                continue
+            phash_seen[shard].append(ph)
+            metrics[shard]["fetched"] += 1
+            res.fetch_log.append({**_log(item, epoch), "status": "fetched"})
+            res.payload.append(
+                dict(
+                    image_id=page.image_id,
+                    bytes=page.data,
+                    w=page.w,
+                    h=page.h,
+                    fmt=page.fmt,
+                    caption=page.caption,
+                    phash=ph,
+                    url=item["url"],
+                    epoch=epoch,
+                    shard=shard,
+                )
+            )
+            for raw in page.outlinks:
+                new_links.append((canonicalize_url(raw, base=item["url"]), item["depth"] + 1))
+
+        # within-epoch dedup: keep min depth per canonical URL
+        best: dict[str, int] = {}
+        for url, depth in new_links:
+            if url not in best or depth < best[url]:
+                best[url] = depth
+        for url in sorted(best):
+            enqueue(url, best[url], epoch + 1)
+        epoch += 1
+
+    res.seen = seen
+    res.metrics = metrics
+    res.epochs = epoch
+    return res
+
+
+def _log(item: dict, epoch: int) -> dict:
+    return dict(
+        epoch=epoch,
+        url=item["url"],
+        url_hash=item["digest"].hex(),
+        host=item["host"],
+        shard=item["shard"],
+        priority=item["priority"],
+        depth=item["depth"],
+        discovered_at=item["discovered_at"],
+    )

@@ -1,0 +1,103 @@
+"""Fetch / decode / link-extraction stages — `map_batches` callables.
+
+These are the per-record transform stages of the crawl pipeline, all
+Arrow-in/Arrow-out (``batch_format="pyarrow"``):
+
+* ``FetchWorker`` — actor-pool stage (callable class: per-actor setup in
+  ``__init__``, per-batch work in ``__call__``) that "fetches" each popped
+  URL. In this sandbox the fetch is the deterministic synthetic web
+  (``page_for``); in production it would be an async HTTP client pool —
+  which is exactly why it is an actor pool (connection reuse), the analog
+  of the reference's single `tweepy.Client` (``pages/Crawler.py:162-192``).
+* ``DecodePhash`` — actor-pool stage decoding payload bytes and computing
+  the 64-bit perceptual hash of the DECODED pixels (the gating/near-dup
+  key). Separate from fetch because fetch is IO-bound and decode is
+  CPU-bound: they want independent pool sizes.
+* ``ExplodeLinks`` — stateless task: one row per outlink, canonicalized
+  against the page URL (link-extraction analog of the reference's
+  ``RT @user:`` parsing, ``Stance_Detection.py:63-84``), keyed with
+  SHA-1/host/shard/priority, with a within-batch min-depth combiner so the
+  per-epoch frontier-merge shuffle moves fewer rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..core.webgraph import WebConfig, page_for, priority_of
+from ..core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
+from ..core.codec import decode_image, phash64
+
+
+class FetchWorker:
+    def __init__(self, web_cfg: WebConfig):
+        self.cfg = web_cfg  # in production: http session pool, TLS contexts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pages = [page_for(self.cfg, u) for u in batch["url"].to_pylist()]
+        return batch.append_column(
+            "image_id", pa.array([p.image_id for p in pages], pa.string())
+        ).append_column(
+            "bytes", pa.array([p.data for p in pages], pa.large_binary())
+        ).append_column(
+            "w", pa.array([p.w for p in pages], pa.int32())
+        ).append_column(
+            "h", pa.array([p.h for p in pages], pa.int32())
+        ).append_column(
+            "fmt", pa.array([p.fmt for p in pages], pa.string())
+        ).append_column(
+            "caption", pa.array([p.caption for p in pages], pa.string())
+        ).append_column(
+            "outlinks", pa.array([p.outlinks for p in pages], pa.list_(pa.string()))
+        )
+
+
+class DecodePhash:
+    def __init__(self) -> None:
+        # force DCT matrix construction once per actor, not per batch
+        from ..core import codec
+
+        self._phash = codec.phash64
+        self._decode = codec.decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        phashes = []
+        for buf in batch["bytes"]:
+            pixels, _ = self._decode(buf.as_py())
+            phashes.append(self._phash(pixels))
+        return batch.append_column("phash", pa.array(phashes, pa.int64()))
+
+
+class ExplodeLinks:
+    """outlinks → one canonical row per link (+ within-batch min-depth dedup)."""
+
+    def __init__(self, num_shards: int):
+        self.num_shards = num_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        best: dict[str, int] = {}
+        for base, depth, links in zip(
+            batch["url"].to_pylist(),
+            batch["depth"].to_pylist(),
+            batch["outlinks"].to_pylist(),
+        ):
+            for raw in links or ():
+                cu = canonicalize_url(raw, base=base)
+                nd = depth + 1
+                if cu not in best or nd < best[cu]:
+                    best[cu] = nd
+        urls = sorted(best)
+        digests = [url_sha1(u) for u in urls]
+        hosts = [host_of(u) for u in urls]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(digests, pa.binary()),
+                "host": pa.array(hosts, pa.string()),
+                "shard": pa.array(
+                    [shard_of_host(h, self.num_shards) for h in hosts], pa.int32()
+                ),
+                "priority": pa.array([priority_of(d) for d in digests], pa.int32()),
+                "depth": pa.array([best[u] for u in urls], pa.int32()),
+            }
+        )

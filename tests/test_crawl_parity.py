@@ -1,0 +1,95 @@
+"""North-rule correctness gate: the Ray Data crawl engine must match the
+sequential reference-semantics oracle EXACTLY — crawl ordering, URL-seen
+set, payload rows — and every payload row must satisfy the per-row
+invariants (decoded-pixel PSNR ≥ 40 dB for lossy formats, byte-exact
+captions) against the ground-truth pixels."""
+
+import numpy as np
+import pytest
+
+from raycrawl.core.codec import decode_image, psnr
+from raycrawl.core.webgraph import WebConfig, seed_urls, reference_pixels
+from raycrawl.oracle import oracle_crawl
+
+
+WEB = WebConfig(n_hosts=6, pages_per_host=20)
+SHARDS = 4
+EPOCHS = 40
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return oracle_crawl(WEB, seed_urls(WEB), max_epochs=EPOCHS, num_shards=SHARDS)
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, tmp_path_factory):
+    from raycrawl.crawler import CrawlConfig, run_crawl, read_payload
+
+    out = str(tmp_path_factory.mktemp("crawl") / "out")
+    cfg = CrawlConfig(
+        web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=EPOCHS,
+        fetch_concurrency=2, decode_concurrency=2,
+    )
+    stats = run_crawl(cfg, seed_urls(WEB))
+    payload = read_payload(out).to_pandas()
+    return stats, payload
+
+
+def _sort_log(log):
+    return sorted(
+        log,
+        key=lambda r: (r["epoch"], -r["priority"], r["depth"], r["discovered_at"],
+                       r["url_hash"]),
+    )
+
+
+def test_crawl_ordering_parity(oracle, engine):
+    stats, _ = engine
+    assert _sort_log(oracle.fetch_log) == _sort_log(stats.fetch_log)
+
+
+def test_url_seen_set_parity(oracle, engine):
+    stats, _ = engine
+    assert {s: sorted(v) for s, v in oracle.seen.items()} == {
+        s: sorted(v) for s, v in stats.seen.items()
+    }
+
+
+def test_payload_parity_and_caption_byte_exact(oracle, engine):
+    _, payload = engine
+    got = {
+        r.image_id: (r.caption, int(r.phash), int(r.w), int(r.h), r.fmt)
+        for r in payload.itertuples()
+    }
+    want = {
+        p["image_id"]: (p["caption"], p["phash"], p["w"], p["h"], p["fmt"])
+        for p in oracle.payload
+    }
+    assert got == want
+
+
+def test_metrics_parity(oracle, engine):
+    stats, _ = engine
+    for s in range(SHARDS):
+        eng = {k: stats.metrics[s][k] for k in oracle.metrics[s]}
+        assert eng == oracle.metrics[s], f"shard {s}"
+
+
+def test_payload_pixel_invariant_psnr(oracle, engine):
+    _, payload = engine
+    for r in payload.itertuples():
+        pixels, fmt = decode_image(r.bytes)
+        truth = reference_pixels(WEB, r.url)
+        assert fmt == r.fmt
+        assert pixels.shape == truth.shape == (r.h, r.w, 3)
+        if fmt == "png":
+            assert np.array_equal(pixels, truth)
+        else:
+            assert psnr(truth, pixels) >= 40.0
+
+
+def test_dup_suppression_happened(oracle):
+    # the synthetic web injects near-dups; the gate must actually fire
+    assert any(r["status"] == "dup_suppressed" for r in oracle.fetch_log)
+    assert any(r["status"] == "robots_denied" for r in oracle.fetch_log)

@@ -1,0 +1,113 @@
+"""Unit tests for FrontierShard (plain class — no Ray)."""
+
+import os
+
+from raycrawl.core.urltools import canonicalize_url, url_sha1, host_of
+from raycrawl.core.webgraph import priority_of
+from raycrawl.frontier.shard import FrontierShard
+
+
+def _offer(shard, epoch_key, urls, depths=None, discovered_at=0):
+    urls = [canonicalize_url(u) for u in urls]
+    digests = [url_sha1(u) for u in urls]
+    hosts = [host_of(u) for u in urls]
+    pris = [priority_of(d) for d in digests]
+    depths = depths or [0] * len(urls)
+    return shard.offer(epoch_key, urls, digests, hosts, pris, depths, discovered_at)
+
+
+def test_offer_dedup_and_robots():
+    s = FrontierShard(0)
+    urls = [f"http://h1.web.test/p/{i}" for i in range(5)]
+    acc = _offer(s, 0, urls + urls)  # duplicates rejected by seen-set
+    assert acc == 5
+    assert s.metrics["offered"] == 10 and s.metrics["accepted"] == 5
+    # robots: find a denied host for /private
+    from raycrawl.core.politeness import RobotsCache
+
+    denied_host = next(
+        f"h{k}.web.test" for k in range(20)
+        if not RobotsCache().allowed(f"h{k}.web.test", "/private/x")
+    )
+    acc = _offer(s, 1, [f"http://{denied_host}/private/x"])
+    assert acc == 0 and s.metrics["robots_denied"] == 1
+    assert s.log[-1]["status"] == "robots_denied"
+
+
+def test_offer_idempotent_under_replay():
+    s = FrontierShard(0)
+    urls = [f"http://h1.web.test/p/{i}" for i in range(3)]
+    assert _offer(s, 7, urls) == 3
+    assert _offer(s, 7, urls) == 3  # memoized, state unchanged
+    assert s.frontier_size() == 3
+
+
+def test_pop_ordering_and_politeness():
+    s = FrontierShard(0, epoch_seconds=2.0)
+    # one host, more URLs than burst → pop at most burst per epoch, in order
+    urls = [f"http://h1.web.test/p/{i}" for i in range(20)]
+    _offer(s, 0, urls)
+    n = s.pop(0)
+    assert n == 8  # burst
+    t = s.take_popped()
+    keys = list(
+        zip(
+            [-p for p in t["priority"].to_pylist()],
+            t["depth"].to_pylist(),
+            t["discovered_at"].to_pylist(),
+            t["url_hash"].to_pylist(),
+        )
+    )
+    assert keys == sorted(keys)  # frontier order
+    assert s.frontier_size() == 12
+
+
+def test_gate_memo_and_order():
+    s = FrontierShard(0)
+    digests = [bytes([i]) * 20 for i in range(3)]
+    phashes = [0, 1, 0x0F0F0F0F0F0F0F0F]  # 0↔1 near-dups; third is distance 32
+    meta = [(f"http://h/{i}", "h", 5, 0, 0) for i in range(3)]
+    kept = s.gate(0, digests, phashes, meta)
+    assert kept == {digests[0], digests[2]}
+    assert s.metrics["phash_suppressed"] == 1
+    assert s.gate(0, digests, phashes, meta) == kept  # replay-safe
+
+
+def test_checkpoint_restore_roundtrip(tmp_path):
+    s = FrontierShard(2, epoch_seconds=2.0)
+    _offer(s, 0, [f"http://h1.web.test/p/{i}" for i in range(10)])
+    s.pop(0)
+    s.gate(
+        0,
+        s.take_popped()["url_hash"].to_pylist(),
+        list(range(100, 100 + s.take_popped().num_rows * 7, 7)),
+        [
+            (u, h, p, d, da)
+            for u, h, p, d, da in zip(
+                s.take_popped()["url"].to_pylist(),
+                s.take_popped()["host"].to_pylist(),
+                s.take_popped()["priority"].to_pylist(),
+                s.take_popped()["depth"].to_pylist(),
+                s.take_popped()["discovered_at"].to_pylist(),
+            )
+        ],
+    )
+    ck = str(tmp_path / "ckpt")
+    manifest = s.checkpoint(ck, epoch=0)
+    assert manifest["metrics"]["fetched"] == 8
+
+    r = FrontierShard.restore(ck, 0, 2)
+    assert r.frontier_size() == s.frontier_size()
+    assert r.get_seen() == s.get_seen()
+    assert r.metrics == s.metrics
+    assert len(r.get_log()) == len(s.get_log())
+    # politeness state carried over: tokens were spent this epoch
+    assert r.politeness.buckets["h1.web.test"].tokens == s.politeness.buckets[
+        "h1.web.test"
+    ].tokens
+    # phash index carried over
+    assert r.phash.query(100) is not None
+    # lineage manifest exists on disk
+    assert os.path.exists(
+        os.path.join(ck, "epoch=0", "shard=2", "manifest.json")
+    )
