@@ -80,7 +80,7 @@ def test_checkpoint_restore_roundtrip(tmp_path):
     s.gate(
         0,
         s.take_popped()["url_hash"].to_pylist(),
-        list(range(100, 100 + s.take_popped().num_rows * 7, 7)),
+        [0xFF << (8 * i) for i in range(s.take_popped().num_rows)],
         [
             (u, h, p, d, da)
             for u, h, p, d, da in zip(
@@ -106,7 +106,7 @@ def test_checkpoint_restore_roundtrip(tmp_path):
         "h1.web.test"
     ].tokens
     # phash index carried over
-    assert r.phash.query(100) is not None
+    assert r.phash.query(0xFF) is not None
     # lineage manifest exists on disk
     assert os.path.exists(
         os.path.join(ck, "epoch=0", "shard=2", "manifest.json")
