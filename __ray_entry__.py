@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline on a small deterministic
+synthetic web (the engine's own input shape per BASELINE.json.input_hint);
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 over the driver-generated parquet tables.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: Ray Data crawl over the deterministic synthetic web —
+    frontier shards, politeness, robots, phash near-dup gate — returning
+    the payload table (input_hint schema, minus raw bytes for size)."""
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, run_crawl, read_payload
+
+    web = WebConfig(n_hosts=6, pages_per_host=16)
+    cfg = CrawlConfig(
+        web=web,
+        out_dir="/tmp/raycrawl_entry",
+        num_shards=4,
+        max_epochs=40,
+        fetch_concurrency=2,
+        decode_concurrency=2,
+    )
+    run_crawl(cfg, seed_urls(web))
+    return read_payload(cfg.out_dir).drop_columns(["bytes"]).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raycrawl.ops import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec["fn"] for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raycrawl.ops import REGISTRY
+
+    return {
+        name: spec["sql"] for name, spec in REGISTRY.items() if spec["sql"] is not None
+    }

@@ -1,0 +1,8 @@
+"""Operator registry: every queries()/oracle_sql() entry lives here.
+
+Importing this package pulls in all operator modules, each of which
+registers its queries into ``REGISTRY`` via ``queries.register``.
+"""
+
+from .queries import REGISTRY, register  # noqa: F401
+from . import queries  # noqa: F401

@@ -1,0 +1,553 @@
+"""Relational / temporal / routing operators over the testdata tables.
+
+Each entry re-expresses a reference operator (SURVEY.md §2 numbering in the
+docstrings) as an idiomatic Ray Data pipeline, paired with the ANSI-SQL
+oracle the driver runs through DuckDB. Float outputs are rounded identically
+on both sides so order-of-summation jitter cannot break the value-hash;
+integer aggregates are cast to BIGINT on the SQL side (DuckDB widens int
+sums to HUGEINT).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .common import table, round_cols, cast_cols
+
+REGISTRY: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = {"fn": fn, "sql": sql}
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# A1 — grouped counts per routing key (create_counts_df, PreprocessDump.py:21-34)
+@register(
+    "grouped_counts_lang_source",
+    sql="SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source",
+)
+def grouped_counts_lang_source(sf_dir: str):
+    return (
+        table(sf_dir, "documents", ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A1/A2 + §2.8 math — pricing summary (TPC-H Q1 shape over lineitem)
+@register(
+    "pricing_summary",
+    # money is summed as integer cents (exact, order-independent) so Ray's
+    # and DuckDB's summation orders cannot produce differing value-hashes
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / count(*), 4) AS avg_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(sf_dir: str):
+    ds = table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        def c(arr):
+            # DuckDB ROUND is half-away-from-zero; match it exactly
+            return pc.cast(
+                pc.round(
+                    pc.multiply(arr, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": c(t["l_quantity"]),
+                "base_c": c(t["l_extendedprice"]),
+                "disc_c": c(disc),
+            }
+        )
+
+    agg = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Count(alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        qty = pc.divide(pc.cast(t["qty_c"], pa.float64()), pa.scalar(100.0))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": qty,
+                "sum_base_price": pc.divide(
+                    pc.cast(t["base_c"], pa.float64()), pa.scalar(100.0)
+                ),
+                "sum_disc_price": pc.divide(
+                    pc.cast(t["disc_c"], pa.float64()), pa.scalar(100.0)
+                ),
+                "avg_qty": pc.round(
+                    pc.divide(qty, pc.cast(t["n"], pa.float64())), ndigits=4
+                ),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# J-family + A + sort/limit — top revenue orders (hash join, TPC-H Q3 shape)
+@register(
+    "top_revenue_orders",
+    sql="""
+    SELECT o_orderkey, revenue, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS DOUBLE) / 100 AS revenue
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderpriority)
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_revenue_orders(sf_dir: str):
+    li = table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def disc(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_c": pc.cast(
+                    pc.round(
+                        pc.multiply(rev, pa.scalar(100.0)),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # partial per-order pre-aggregation happens inside Ray's hash aggregate;
+    # join is the built-in hash-partitioned Dataset.join
+    rev = (
+        li.map_batches(disc, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    orders = table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = rev.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "revenue": pc.divide(
+                    pc.cast(t["rev_c"], pa.float64()), pa.scalar(100.0)
+                ),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    return (
+        joined.map_batches(proj, batch_format="pyarrow")
+        .sort([("revenue"), ("o_orderkey")], descending=[True, False])
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# J1/J5 — broadcast dimension join chain (customer⋈nation⋈region)
+@register(
+    "customers_per_region",
+    sql="""
+    SELECT r_name, count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def customers_per_region(sf_dir: str):
+    # dimension tables are tiny → broadcast once via ray.put, look up inside
+    # map_batches (no shuffle), the J1 includes-list pattern at scale
+    nation = table(sf_dir, "nation").to_pandas()
+    region = table(sf_dir, "region").to_pandas()
+    nk_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
+        )
+    )
+    ref = ray.put(nk_to_region)
+
+    class AttachRegion:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = [self.lookup[k] for k in t["c_nationkey"].to_pylist()]
+            return t.append_column("r_name", pa.array(vals, pa.string()))
+
+    return (
+        table(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(AttachRegion, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     concurrency=2)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — argmax with margin (Stance_Detection.py:164-199: keep only if
+# max - runner_up >= margin, else undetected)
+@register(
+    "top_supplier_margin",
+    sql="""
+    WITH r AS (
+      SELECT s_nationkey, s_name, s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal DESC, s_name) AS rn
+      FROM supplier)
+    SELECT a.s_nationkey AS nationkey,
+           CASE WHEN b.s_acctbal IS NULL OR a.s_acctbal - b.s_acctbal >= 100.0
+                THEN a.s_name ELSE 'undetected' END AS top_supplier
+    FROM r a LEFT JOIN r b ON a.s_nationkey = b.s_nationkey AND b.rn = 2
+    WHERE a.rn = 1
+    """,
+)
+def top_supplier_margin(sf_dir: str):
+    sup = table(sf_dir, "supplier", ["s_nationkey", "s_name", "s_acctbal"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s_acctbal", "s_name"], ascending=[False, True])
+        top = g.iloc[0]
+        name = top["s_name"]
+        if len(g) > 1 and top["s_acctbal"] - g.iloc[1]["s_acctbal"] < 100.0:
+            name = "undetected"
+        return pd.DataFrame(
+            {"nationkey": [top["s_nationkey"]], "top_supplier": [name]}
+        )
+
+    return sup.groupby("s_nationkey").map_groups(pick, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# A7 — histogram aggregate
+@register(
+    "orders_priority_histogram",
+    sql="SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def orders_priority_histogram(sf_dir: str):
+    return (
+        table(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A8/M15 — event-time tumbling window counts (minute truncation,
+# TemporalAnalysis.py:7-13 + Visualization.py:87-91)
+@register(
+    "events_per_minute",
+    sql="""
+    SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_per_minute(sf_dir: str):
+    ds = table(sf_dir, "events", ["ts", "event_type"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "minute": pc.floor_temporal(t["ts"], unit="minute"),
+                "event_type": t["event_type"],
+            }
+        )
+
+    return (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["minute", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 variant — tumbling 1h window per user (streaming-shaped workload §2.9)
+@register(
+    "hourly_user_windows",
+    sql="""
+    SELECT user_id, date_trunc('hour', ts) AS window_start,
+           count(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_user_windows(sf_dir: str):
+    ds = table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_c": pc.cast(
+                    pc.round(
+                        pc.multiply(t["value"], pa.scalar(100.0)),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["window_start"],
+                "n": t["n"],
+                "total_value": pc.divide(
+                    pc.cast(t["value_c"], pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# M13 — value binning (get_age_interval decade buckets, Functions.py:52-53)
+@register(
+    "value_decade_histogram",
+    sql="""
+    SELECT CAST(FLOOR(value / 10) * 10 AS BIGINT) AS bin, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def value_decade_histogram(sf_dir: str):
+    ds = table(sf_dir, "events", ["value"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.multiply(pc.floor(pc.divide(t["value"], 10.0)), 10.0), pa.int64()
+        )
+        return pa.table({"bin": b})
+
+    return ds.map_batches(binify, batch_format="pyarrow").groupby("bin").aggregate(
+        Count(alias_name="n")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — global counters / table-level stats
+@register(
+    "lineitem_global_stats",
+    sql="""
+    SELECT count(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def lineitem_global_stats(sf_dir: str):
+    ds = table(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_shipdate"])
+    out = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Min("l_shipdate", alias_name="min_ship"),
+        Max("l_shipdate", alias_name="max_ship"),
+    )
+    out["sum_qty"] = round(out["sum_qty"], 2)
+    out["avg_price"] = round(out["avg_price"], 4)
+    return pd.DataFrame([out])
+
+
+# --------------------------------------------------------------------------
+# D1 — exact first-occurrence dedup (GenerateUserUseridDict.py:53-56):
+# distinct by content, keeping the lowest doc_id, plus group size
+@register(
+    "exact_dedup_docs",
+    sql="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def exact_dedup_docs(sf_dir: str):
+    return (
+        table(sf_dir, "documents", ["doc_id", "text"])
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+        .select_columns(["doc_id", "n_dups"])
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — anti-semi-join (master-user guard, Stance_Detection.py:57-61):
+# customers with no URGENT orders, via broadcast key set + filter in map_batches
+@register(
+    "customers_without_urgent_orders",
+    sql="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_without_urgent_orders(sf_dir: str):
+    # the small side (distinct urgent-order custkeys) is broadcast once; at
+    # 100 TB scale swap for a bucketed hash anti-join keyed on custkey
+    import pyarrow.dataset  # noqa: F401  (expression pushdown)
+
+    urgent = table(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    custkeys = set(urgent.unique("o_custkey"))
+    ref = ray.put(custkeys)
+
+    class AntiFilter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k not in self.keys for k in t["c_custkey"].to_pylist()])
+            return t.filter(mask)
+
+    return (
+        table(sf_dir, "customer", ["c_custkey"])
+        .map_batches(AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     concurrency=2)
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 — per-user first-wins profile + aggregates
+# (User Based Dashboard.py:147-153, Visualization.py:99-102)
+@register(
+    "user_event_profile",
+    sql="""
+    SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_profile(sf_dir: str):
+    ds = table(sf_dir, "events", ["user_id", "ts", "value", "event_type"])
+
+    def prof(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "first_ts": [g["ts"].min()],
+                "total_value": [
+                    float((g["value"] * 100).round().astype("int64").sum()) / 100
+                ],
+                "n_types": [g["event_type"].nunique()],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(prof, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# A5/A6 — weighted support ratio (Page__Location_Based_Stance_Detection.py:34-93):
+# stance ≙ o_orderpriority, location ≙ customer nation, electorate ≙ nation's
+# customer count; nations with < 5 orders are skipped (state_tresh analog)
+@register(
+    "weighted_priority_support",
+    sql="""
+    WITH electorate AS (
+      SELECT c_nationkey AS nk, count(*) AS e FROM customer GROUP BY 1),
+    votes AS (
+      SELECT c_nationkey AS nk, o_orderpriority AS pri, count(*) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+    totals AS (
+      SELECT nk, SUM(v) AS tot FROM votes GROUP BY 1),
+    joined AS (
+      SELECT pri, v * e AS num, tot * e AS den
+      FROM votes JOIN totals USING (nk) JOIN electorate USING (nk)
+      WHERE tot >= 5)
+    SELECT pri AS o_orderpriority,
+           ROUND(CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE), 6) AS support
+    FROM joined GROUP BY pri
+    """,
+)
+def weighted_priority_support(sf_dir: str):
+    cust = table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    votes = (
+        joined.groupby(["c_nationkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="v"))
+        .to_pandas()
+    )  # ≤ nations × priorities rows — tiny
+    electorate = (
+        cust.groupby("c_nationkey").aggregate(Count(alias_name="e")).to_pandas()
+    )
+    totals = votes.groupby("c_nationkey")["v"].sum().rename("tot").reset_index()
+    df = votes.merge(totals, on="c_nationkey").merge(electorate, on="c_nationkey")
+    df = df[df["tot"] >= 5]
+    # Σ v·e / Σ tot·e — integer sums, one float division → bit-identical
+    df["num"] = (df["v"] * df["e"]).astype("int64")
+    df["den"] = (df["tot"] * df["e"]).astype("int64")
+    out = (
+        df.groupby("o_orderpriority")
+        .apply(lambda g: round(float(g["num"].sum()) / float(g["den"].sum()), 6),
+               include_groups=False)
+        .rename("support")
+        .reset_index()
+    )
+    return out
