@@ -6,3 +6,6 @@ registers its queries into ``REGISTRY`` via ``queries.register``.
 
 from .queries import REGISTRY, register  # noqa: F401
 from . import queries  # noqa: F401
+from . import textops  # noqa: F401
+from . import dedup  # noqa: F401
+from . import similarity  # noqa: F401

@@ -1,0 +1,265 @@
+"""Deduplication suite over the ``documents`` table — the training-data
+pipeline staples: exact (hash-partition + per-group first), MinHash+LSH
+near-dup candidate generation, SimHash, n-gram Jaccard verification, and
+embedding-cosine near-dup (over ``embeddings``).
+
+Scale shapes:
+* exact dedup = add content-hash column (vectorized) → ``groupby(hash)``
+  keep-first — one shuffle keyed on the hash;
+* MinHash/LSH = per-batch shingle→minhash (numpy) → explode to
+  (band, band_hash, doc_id) rows → ``groupby(band, band_hash)`` → candidate
+  pairs → vectorized Jaccard verify — shuffle volume is bands×docs tiny
+  rows, never the documents themselves;
+* SimHash = 64-bit vectorized projection, near-dup = identical hash here
+  (radius-0; the chunked Hamming index in ``raycrawl.core.sketches`` is the
+  scale path for radius>0);
+* embedding-cosine = normalized vectors, blocked matmul per batch against a
+  broadcast matrix (brute-force baseline; see similarity.py for the
+  LSH-bucketed variant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Count, Min
+
+from .common import table
+from .queries import register
+
+
+# --------------------------------------------------------------------------
+# D1 at scale — exact dedup via content hash (md5) + hash-partitioned
+# keep-lowest-id; SQL oracle uses DuckDB's md5 on the same normalization
+@register(
+    "exact_dedup_by_hash",
+    sql="""
+    SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keeper,
+           count(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_by_hash(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_hash": df["text"].map(
+                    lambda s: hashlib.md5(s.encode()).hexdigest()
+                ),
+                "doc_id": df["doc_id"],
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="group_size"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (no SQL equivalent → rows-only driver check; the
+# pytest suite verifies candidate recall against a brute-force Jaccard)
+N_HASHES = 64
+N_BANDS = 16  # 4 rows per band
+SHINGLE = 3
+
+
+def _shingles(text: str) -> set[int]:
+    toks = text.split()
+    out = set()
+    for i in range(max(1, len(toks) - SHINGLE + 1)):
+        sh = " ".join(toks[i : i + SHINGLE])
+        out.add(int.from_bytes(hashlib.sha1(sh.encode()).digest()[:8], "big"))
+    return out
+
+
+class MinHasher:
+    """Stateful stage: the 64 hash-permutation parameters are built once per
+    actor (ST1 pattern), applied vectorized per batch."""
+
+    P = (1 << 61) - 1
+
+    def __init__(self, seed: int = 7):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, self.P, N_HASHES, dtype=np.uint64)
+        self.b = rng.integers(0, self.P, N_HASHES, dtype=np.uint64)
+
+    def signature(self, shingles: set[int]) -> np.ndarray:
+        if not shingles:
+            return np.zeros(N_HASHES, dtype=np.uint64)
+        x = np.array(sorted(shingles), dtype=np.uint64)[:, None]  # (n,1)
+        hv = (x * self.a[None, :] + self.b[None, :]) % self.P  # (n,64)
+        return hv.min(axis=0)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "band": [], "band_hash": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = self.signature(_shingles(text))
+            bands = sig.reshape(N_BANDS, -1)
+            for b in range(N_BANDS):
+                bh = hashlib.sha1(bands[b].tobytes()).hexdigest()[:16]
+                rows["doc_id"].append(doc_id)
+                rows["band"].append(b)
+                rows["band_hash"].append(bh)
+        return pd.DataFrame(rows)
+
+
+@register("minhash_lsh_candidates", sql=None)
+def minhash_lsh_candidates(sf_dir: str):
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket, verified
+    by exact shingle-Jaccard ≥ 0.5, deduplicated across bands."""
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        out = {"a": [], "b": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out["a"].append(ids[i])
+                out["b"].append(ids[j])
+        return pd.DataFrame(out)
+
+    pairs = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    # verify candidates with exact Jaccard (docs fetched via broadcast of the
+    # candidate doc texts — candidate set is small by construction)
+    docs = {r["doc_id"]: r["text"] for r in
+            table(sf_dir, "documents", ["doc_id", "text"]).take_all()}
+    ref = ray.put(docs)
+
+    class Verify:
+        def __init__(self, ref):
+            self.docs = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep_a, keep_b, jac = [], [], []
+            for a, b in zip(df["a"], df["b"]):
+                sa, sb = _shingles(self.docs[a]), _shingles(self.docs[b])
+                j = len(sa & sb) / max(1, len(sa | sb))
+                if j >= 0.5:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    jac.append(round(j, 6))
+            return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
+
+    return pairs.map_batches(Verify, fn_constructor_args=(ref,),
+                             batch_format="pandas", concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# SimHash — 64-bit vectorized; groups sharing a simhash are near-dups
+@register("simhash_dedup_groups", sql=None)
+def simhash_dedup_groups(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    class SimHash:
+        def __init__(self):
+            self.cache: dict[str, np.ndarray] = {}
+
+        def _tok_vec(self, tok: str) -> np.ndarray:
+            v = self.cache.get(tok)
+            if v is None:
+                h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+                bits = np.unpackbits(
+                    np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
+                ).astype(np.int32)
+                v = self.cache[tok] = bits * 2 - 1
+            return v
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hashes = []
+            for text in df["text"]:
+                acc = np.zeros(64, dtype=np.int32)
+                for tok in text.split():
+                    acc += self._tok_vec(tok)
+                bits = (acc > 0).astype(np.uint8)
+                h = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            return pd.DataFrame({"doc_id": df["doc_id"], "simhash": hashes})
+
+    return (
+        ds.map_batches(SimHash, batch_format="pandas", concurrency=2)
+        .groupby("simhash")
+        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="group_size"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram (character trigram) Jaccard near-dup between doc pairs of the same
+# n_chars bucket — a cheap blocked pairwise verifier
+@register("ngram_jaccard_neardups", sql=None)
+def ngram_jaccard_neardups(sf_dir: str, threshold: float = 0.6):
+    ds = table(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        def grams(s: str) -> set:
+            return {s[i : i + 3] for i in range(len(s) - 2)} or {s}
+
+        rows = {"a": [], "b": [], "jaccard": []}
+        recs = sorted(zip(g["doc_id"], g["text"]))
+        gsets = [(d, grams(t)) for d, t in recs]
+        for i in range(len(gsets)):
+            for j in range(i + 1, len(gsets)):
+                da, sa = gsets[i]
+                db, sb = gsets[j]
+                jac = len(sa & sb) / max(1, len(sa | sb))
+                if jac >= threshold:
+                    rows["a"].append(da)
+                    rows["b"].append(db)
+                    rows["jaccard"].append(round(jac, 6))
+        return pd.DataFrame(rows)
+
+    # block on n_chars (identical length is a cheap near-dup prefilter);
+    # at scale replace with LSH blocking (minhash_lsh_candidates)
+    return ds.groupby("n_chars").map_groups(block_pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup: pairs with cosine ≥ 0.35 (threshold chosen so
+# the near-random synthetic embeddings yield a non-trivial pair set);
+# DOUBLE[] casts make DuckDB's accumulation match numpy float64 to ~1e-16
+@register(
+    "embedding_cosine_neardups",
+    sql="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+)
+def embedding_cosine_neardups(sf_dir: str):
+    ds = table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = (m @ m.T) / (norms @ norms.T)
+        ai, bi = np.where(np.triu(sims >= 0.35, k=1))
+        return pd.DataFrame(
+            {
+                "a": ids[ai].astype("int64"),
+                "b": ids[bi].astype("int64"),
+                "cosine": np.round(sims[ai, bi], 4),
+            }
+        )
+
+    # blocked by label (the coarse cluster key); at web scale: IVF buckets
+    return ds.groupby("label").map_groups(block, batch_format="pandas")

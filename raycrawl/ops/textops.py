@@ -1,0 +1,304 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline staples, re-expressed Ray-Data-first:
+language ID (stopword-profile heuristic), quality scoring (length / punct /
+stopword ratios), token counting, document fingerprinting (rolling hash),
+keyword substring counts (reference A9/M5), topic routing with fan-out
+(reference M5/M6/D2) and regex extraction (reference M8).
+
+All hot paths are vectorized (pyarrow.compute / pandas str) or run inside
+actor pools with per-actor compiled state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Min, Sum
+
+from .common import table
+from .queries import register
+
+# Topics config — the M5/M6 routing table analog (Readme.md:31-43 format)
+TOPICS: list[tuple[str, tuple[str, ...]]] = [
+    ("streaming", ("stream", "window", "watermark")),
+    ("joins", ("join", "merge", "hash")),
+    ("scans", ("scan", "filter", "index")),
+    ("vectors", ("vector", "embedding")),
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+# --------------------------------------------------------------------------
+# A9/M5 — substring-containment counts per keyword (Visualization.py:17-28;
+# NOT replicating the reference's sum_mask_numpy bug that counts all rows)
+_KEYWORDS = ("spark", "join", "window", "vector", "stream")
+
+_kw_sql = " UNION ALL ".join(
+    f"SELECT '{k}' AS keyword, count(*) AS n FROM documents"
+    f" WHERE contains(text, '{k}')"
+    for k in _KEYWORDS
+)
+
+
+@register("keyword_containment_counts", sql=_kw_sql)
+def keyword_containment_counts(sf_dir: str):
+    ds = table(sf_dir, "documents", ["text"])
+
+    def count_kws(t: pa.Table) -> pa.Table:
+        # per-batch partial counts (combiner) → tiny global aggregate
+        return pa.table(
+            {
+                "keyword": pa.array(list(_KEYWORDS), pa.string()),
+                "n": pa.array(
+                    [
+                        pc.sum(pc.match_substring(t["text"], k)).as_py() or 0
+                        for k in _KEYWORDS
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(count_kws, batch_format="pyarrow")
+        .groupby("keyword")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# M5/M6/D2 — topic routing with multi-topic fan-out; unmatched → 'other'
+_tk_values = ", ".join(
+    f"('{t}', '{k}')" for t, kws in TOPICS for k in kws
+)
+
+
+@register(
+    "topic_routing_counts",
+    sql=f"""
+    WITH tk(topic, kw) AS (VALUES {_tk_values}),
+    matched AS (
+      SELECT d.doc_id, d.lang, tk.topic
+      FROM documents d JOIN tk ON contains(d.text, tk.kw)
+      GROUP BY 1, 2, 3),
+    unmatched AS (
+      SELECT doc_id, lang, 'other' AS topic FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM matched))
+    SELECT topic, lang, count(*) AS n
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+    GROUP BY topic, lang
+    """,
+)
+def topic_routing_counts(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def route(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        topics_out, langs_out = [], []
+        matched = [False] * n
+        lang = t["lang"].to_pylist()
+        for topic, kws in TOPICS:
+            m = None
+            for k in kws:
+                mk = pc.match_substring(t["text"], k)
+                m = mk if m is None else pc.or_(m, mk)
+            for i, hit in enumerate(m.to_pylist()):
+                if hit:
+                    matched[i] = True
+                    topics_out.append(topic)
+                    langs_out.append(lang[i])
+        for i, was in enumerate(matched):
+            if not was:
+                topics_out.append("other")
+                langs_out.append(lang[i])
+        return pa.table(
+            {
+                "topic": pa.array(topics_out, pa.string()),
+                "lang": pa.array(langs_out, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby(["topic", "lang"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# M8 — regex extraction (retweet-target analog): first token of each doc,
+# grouped counts of the extracted key
+@register(
+    "first_token_counts",
+    sql="""
+    SELECT regexp_extract(text, '^(\\w+)', 1) AS first_token, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def first_token_counts(sf_dir: str):
+    ds = table(sf_dir, "documents", ["text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["text"], pattern=r"^(?P<tok>\w+)")
+        return pa.table({"first_token": pc.struct_field(ext, "tok")})
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("first_token")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace tokenizer) — per-doc token counts + histogram
+@register(
+    "token_count_stats",
+    sql="""
+    SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def token_count_stats(sf_dir: str):
+    ds = table(sf_dir, "documents", ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        splits = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        return pa.table({"n_tokens": pc.cast(pc.list_value_length(splits), pa.int64())})
+
+    return (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring — length + stopword-ratio features per doc
+@register(
+    "doc_quality_scores",
+    sql="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      w -> w IN ('the','a','of','and','to')))
+                      AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def doc_quality_scores(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    class Scorer:
+        """Stateful scorer pattern (ST1): state built once per actor."""
+
+        def __init__(self):
+            import re
+
+            self.ws = re.compile(r"\s+")
+            self.stop = stop
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.strip().str.split(self.ws)
+            n_tokens = toks.map(len)
+            n_stop = toks.map(lambda ws: sum(w in self.stop for w in ws))
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "n_chars_actual": df["text"].str.len().astype("int64"),
+                    "n_tokens": n_tokens.astype("int64"),
+                    "stopword_ratio": (n_stop / n_tokens).round(6),
+                }
+            )
+
+    return ds.map_batches(Scorer, batch_format="pandas", concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# language ID — stopword/charset heuristic vs the table's lang column.
+# The lang column of this synthetic corpus is not derivable from its text
+# (word-soup), so the verifiable contract is the confusion-matrix shape:
+# predicted language of each doc via a deterministic n-gram/stopword score.
+# Deterministic on both sides → expressible in SQL as the same rule.
+_LANG_MARKERS = {
+    "en": ("the", "value", "row"),
+    "de": ("und", "der", "das"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "des"),
+    "zh": ("zh", "hanzi", "cjk"),
+}
+
+
+@register(
+    "langid_confusion",
+    sql="""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN contains(text, 'und') OR contains(text, 'der') THEN 'de'
+                  WHEN contains(text, 'el ') OR contains(text, 'la ') THEN 'es'
+                  WHEN contains(text, 'le ') OR contains(text, 'les ') THEN 'fr'
+                  WHEN contains(text, 'the') THEN 'en'
+                  ELSE 'unknown' END AS predicted
+      FROM documents)
+    SELECT lang, predicted, count(*) AS n FROM scored GROUP BY 1, 2
+    """,
+)
+def langid_confusion(sf_dir: str):
+    ds = table(sf_dir, "documents", ["lang", "text"])
+
+    def predict(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        de = pc.or_(pc.match_substring(txt, "und"), pc.match_substring(txt, "der"))
+        es = pc.or_(pc.match_substring(txt, "el "), pc.match_substring(txt, "la "))
+        fr = pc.or_(pc.match_substring(txt, "le "), pc.match_substring(txt, "les "))
+        en = pc.match_substring(txt, "the")
+        pred = pc.if_else(
+            de,
+            pa.scalar("de"),
+            pc.if_else(
+                es,
+                pa.scalar("es"),
+                pc.if_else(fr, pa.scalar("fr"),
+                           pc.if_else(en, pa.scalar("en"), pa.scalar("unknown"))),
+            ),
+        )
+        return pa.table({"lang": t["lang"], "predicted": pred})
+
+    return (
+        ds.map_batches(predict, batch_format="pyarrow")
+        .groupby(["lang", "predicted"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting — 64-bit FNV-1a rolling hash of the normalized
+# text (whitespace-collapapsed, lowercased); dedup key analog of M3/M4+D1
+@register("doc_fingerprints", sql=None)  # non-SQL: custom 64-bit hash
+def doc_fingerprints(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        def fnv1a(s: str) -> int:
+            h = 0xCBF29CE484222325
+            for b in s.encode():
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        norm = df["text"].str.lower().str.split().str.join(" ")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": norm.map(fnv1a).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
