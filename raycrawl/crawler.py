@@ -4,31 +4,35 @@ Reference analog: the crawler round loop (``pages/Crawler.py:54-153``) —
 poll each topic, project/join, buffer, flush every ``saving_period = 10``
 rounds, politeness-sleep. Re-expressed Ray-Data-first:
 
-    per epoch:
-      pop      — each FrontierShard actor selects its politeness-budgeted,
-                 frontier-ordered URL batch (actor state: heap, buckets)
-      fetch    — ``map_batches(FetchWorker)`` actor pool (IO-shaped stage)
-      decode   — ``map_batches(DecodePhash)`` actor pool (CPU-shaped stage)
-      gate     — ``groupby("shard").map_groups`` → the shard actor's phash
-                 near-dup gate (per-shard ordered, replay-safe)
-      sink     — ``write_parquet(out/payload/epoch=K)`` partitioned per
-                 epoch → a failed run resumes by epoch directory
-      links    — ``map_batches(ExplodeLinks)`` (stateless) →
-                 ``groupby("shard").map_groups`` offer to shard actors =
-                 the frontier-merge exchange (url→host→shard means all
-                 duplicates of a URL land in one group: min-depth dedup
-                 happens inside the group with no extra shuffle)
+    per epoch (ONE consumed Ray Data pipeline):
+      pop      — each FrontierShard actor merges its pending link buffer
+                 (deterministic sorted-URL, min-depth) then selects its
+                 politeness-budgeted, frontier-ordered URL batch
+      fetch    — ``map_batches(fetch_batch)`` stateless tasks whose
+                 per-process state is cached across epochs (see
+                 stages/fetch.py — avoids per-epoch actor-pool spin-up)
+      decode   — ``map_batches(decode_batch)`` ditto (CPU-shaped stage)
+      gate+emit— ``groupby("shard").map_groups``: the group task asks its
+                 shard actor to phash-gate (ordered, replay-safe memo),
+                 extracts + canonicalizes the survivors' outlinks, pushes
+                 them to the TARGET shards' pending buffers (the
+                 frontier-merge exchange — arrival order is irrelevant
+                 because the merge at the next pop is a data property),
+                 and emits the payload rows
+      sink     — the same pipeline streams into
+                 ``write_parquet(out/payload/epoch=K)`` → a failed run
+                 resumes by epoch directory
       checkpoint every ``saving_period`` epochs — Lance-style epoch dirs
-                 (parquet fallback; see raycrawl.io.lancelike) with
-                 per-partition lineage manifests.
+                 (parquet fallback) with per-partition lineage manifests.
 
 The epoch working set is bounded by the politeness budget
-(Σ_host burst ≈ hosts × 8), so the one ``materialize()`` per epoch pins a
-small dataset only — the 100 TB payload stream goes straight to parquet.
+(Σ_host burst ≈ hosts × 8); the payload stream never materializes on the
+driver — it flows block-by-block into partitioned parquet.
 
-Scale notes: shards = hash(host) % num_shards contains skew (one hot host
+Scale notes: shard = hash(host) % num_shards contains skew (one hot host
 can at worst saturate its own shard's politeness budget, never the
-cluster); all wide exchanges are keyed by the same shard key.
+cluster); the only wide exchange per epoch is the groupby(shard) of the
+popped batch, keyed the same way as every piece of shard state.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ import ray.data
 from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
 from .core.webgraph import WebConfig, priority_of
 from .frontier.shard import FrontierShard
-from .stages.fetch import FetchWorker, DecodePhash, ExplodeLinks
+from .stages.fetch import fetch_batch, decode_batch
 
 PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
                 "url", "url_hash", "shard", "epoch"]
@@ -168,105 +172,37 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
 
     stats = CrawlStats(out_dir=cfg.out_dir)
     num_shards = cfg.num_shards
+    keep_bytes = cfg.keep_bytes_in_payload
     epoch = start_epoch
     while epoch < cfg.max_epochs:
         counts = ray.get([a.pop.remote(epoch) for a in actors])
         if sum(counts) == 0:
-            break
+            if sum(ray.get([a.frontier_size.remote() for a in actors])) == 0:
+                break
+            epoch += 1  # all hosts throttled this epoch; refill and retry
+            continue
         ds = ray.data.from_arrow_refs([a.take_popped.remote() for a in actors])
         fetched = ds.map_batches(
-            FetchWorker,
-            fn_constructor_args=(cfg.web,),
+            fetch_batch,
+            fn_kwargs={"web_cfg": cfg.web},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=cfg.fetch_concurrency,
         ).map_batches(
-            DecodePhash,
+            decode_batch,
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=cfg.decode_concurrency,
         )
 
-        def gate_group(tbl: pa.Table, _actors=actors, _epoch=epoch) -> pa.Table:
-            if tbl.num_rows == 0:
-                return tbl
-            shard = tbl["shard"][0].as_py()
-            meta = list(
-                zip(
-                    tbl["url"].to_pylist(),
-                    tbl["host"].to_pylist(),
-                    tbl["priority"].to_pylist(),
-                    tbl["depth"].to_pylist(),
-                    tbl["discovered_at"].to_pylist(),
-                )
-            )
-            digests = tbl["url_hash"].to_pylist()
-            kept = ray.get(
-                _actors[shard].gate.remote(
-                    _epoch, digests, tbl["phash"].to_pylist(), meta
-                )
-            )
-            mask = pa.array([d in kept for d in digests])
-            return tbl.filter(mask)
-
-        gated = fetched.groupby("shard").map_groups(gate_group, batch_format="pyarrow")
-        # bounded epoch working set (politeness budget) → safe to pin
-        mat = gated.materialize()
-        n_kept = mat.count()
-        if n_kept:
-            payload = mat.drop_columns(["outlinks", "host", "priority", "depth",
-                                        "discovered_at"])
-            payload = payload.map_batches(
-                lambda t, e=epoch: t.append_column(
-                    "epoch", pa.array([e] * t.num_rows, pa.int64())
-                ),
-                batch_format="pyarrow",
-            )
-            if not cfg.keep_bytes_in_payload:
-                payload = payload.drop_columns(["bytes"])
-            payload.write_parquet(os.path.join(payload_dir, f"epoch={epoch}"))
-            stats.payload_rows += n_kept
-
-            links = mat.select_columns(["url", "depth", "outlinks"]).map_batches(
-                ExplodeLinks(num_shards),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-            )
-
-            def offer_group(tbl: pa.Table, _actors=actors, _epoch=epoch) -> pa.Table:
-                if tbl.num_rows == 0:
-                    return pa.table({"shard": pa.array([], pa.int32()),
-                                     "accepted": pa.array([], pa.int64())})
-                shard = tbl["shard"][0].as_py()
-                # all duplicates of a URL land in this group → min-depth dedup here
-                best: dict[str, tuple] = {}
-                for url, dg, host, pri, depth in zip(
-                    tbl["url"].to_pylist(),
-                    tbl["url_hash"].to_pylist(),
-                    tbl["host"].to_pylist(),
-                    tbl["priority"].to_pylist(),
-                    tbl["depth"].to_pylist(),
-                ):
-                    if url not in best or depth < best[url][3]:
-                        best[url] = (dg, host, pri, depth)
-                urls = sorted(best)
-                acc = ray.get(
-                    _actors[shard].offer.remote(
-                        _epoch,
-                        urls,
-                        [best[u][0] for u in urls],
-                        [best[u][1] for u in urls],
-                        [best[u][2] for u in urls],
-                        [best[u][3] for u in urls],
-                        _epoch + 1,
-                    )
-                )
-                return pa.table({"shard": pa.array([shard], pa.int32()),
-                                 "accepted": pa.array([acc], pa.int64())})
-
-            links.groupby("shard").map_groups(
-                offer_group, batch_format="pyarrow"
-            ).count()  # consume → offers execute
+        # ONE consumed pipeline per epoch: the per-shard group task asks its
+        # shard actor to phash-gate (ordered), extracts+canonicalizes the
+        # surviving rows' outlinks, pushes them to the target shards'
+        # pending buffers (merged deterministically at the next pop), and
+        # emits the payload rows — which stream straight to parquet.
+        gated = fetched.groupby("shard").map_groups(
+            _make_gate_and_offer(actors, epoch, num_shards, keep_bytes),
+            batch_format="pyarrow",
+        )
+        gated.write_parquet(os.path.join(payload_dir, f"epoch={epoch}"))
         stats.fetched += sum(counts)
 
         if (epoch + 1) % cfg.saving_period == 0:
@@ -276,6 +212,7 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
     _checkpoint_all(actors, ckpt_dir, epoch - 1 if epoch > start_epoch else start_epoch)
     stats.epochs = epoch
     stats.metrics = ray.get([a.get_metrics.remote() for a in actors])
+    stats.payload_rows = sum(m["fetched"] for m in stats.metrics)
     stats.fetch_log = collect_fetch_log(actors)
     stats.seen = {
         s: set(ray.get(a.get_seen.remote())) for s, a in enumerate(actors)
@@ -283,6 +220,103 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
     for a in actors:
         ray.kill(a)
     return stats
+
+
+def _make_gate_and_offer(actors, epoch: int, num_shards: int, keep_bytes: bool):
+    payload_schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.large_binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+            ("url", pa.string()),
+            ("url_hash", pa.binary()),
+            ("shard", pa.int32()),
+            ("epoch", pa.int64()),
+        ]
+    )
+
+    def gate_and_offer(tbl: pa.Table) -> pa.Table:
+        empty = payload_schema.empty_table()
+        if not keep_bytes:
+            empty = empty.drop_columns(["bytes"])
+        if tbl.num_rows == 0:
+            return empty
+        shard = tbl["shard"][0].as_py()
+        digests = tbl["url_hash"].to_pylist()
+        meta = list(
+            zip(
+                tbl["url"].to_pylist(),
+                tbl["host"].to_pylist(),
+                tbl["priority"].to_pylist(),
+                tbl["depth"].to_pylist(),
+                tbl["discovered_at"].to_pylist(),
+            )
+        )
+        kept = ray.get(
+            actors[shard].gate.remote(epoch, digests, tbl["phash"].to_pylist(), meta)
+        )
+        mask = pa.array([d in kept for d in digests])
+        kept_tbl = tbl.filter(mask)
+
+        # link extraction + canonicalization + local min-depth combine
+        best: dict[str, int] = {}
+        for base, depth, links in zip(
+            kept_tbl["url"].to_pylist(),
+            kept_tbl["depth"].to_pylist(),
+            kept_tbl["outlinks"].to_pylist(),
+        ):
+            for raw in links or ():
+                cu = canonicalize_url(raw, base=base)
+                nd = depth + 1
+                if cu not in best or nd < best[cu]:
+                    best[cu] = nd
+        buckets: dict[int, list[tuple]] = {}
+        for u in sorted(best):
+            d = url_sha1(u)
+            h = host_of(u)
+            buckets.setdefault(shard_of_host(h, num_shards), []).append(
+                (u, d, h, priority_of(d), best[u])
+            )
+        offer_refs = [
+            actors[dst].offer.remote(
+                (epoch, shard),
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+                [r[2] for r in rows],
+                [r[3] for r in rows],
+                [r[4] for r in rows],
+                epoch + 1,
+            )
+            for dst, rows in buckets.items()
+        ]
+        if offer_refs:
+            ray.get(offer_refs)
+
+        out = pa.table(
+            {
+                "image_id": kept_tbl["image_id"],
+                "bytes": kept_tbl["bytes"],
+                "w": kept_tbl["w"],
+                "h": kept_tbl["h"],
+                "fmt": kept_tbl["fmt"],
+                "caption": kept_tbl["caption"],
+                "phash": kept_tbl["phash"],
+                "url": kept_tbl["url"],
+                "url_hash": kept_tbl["url_hash"],
+                "shard": kept_tbl["shard"],
+                "epoch": pa.array([epoch] * kept_tbl.num_rows, pa.int64()),
+            },
+            schema=payload_schema,
+        )
+        if not keep_bytes:
+            out = out.drop_columns(["bytes"])
+        return out
+
+    return gate_and_offer
 
 
 def _checkpoint_all(actors, ckpt_dir: str, epoch: int) -> None:

@@ -71,14 +71,16 @@ class FrontierShard:
             offered=0, accepted=0, fetched=0, robots_denied=0, phash_suppressed=0
         )
         self.log: list[dict] = []
-        self._offer_memo: dict[int, int] = {}
+        # url → (digest, host, priority, min_depth, discovered_at)
+        self.pending: dict[str, tuple] = {}
+        self._offer_memo: dict = {}
         self._gate_memo: dict[int, set[bytes]] = {}
         self._popped: pa.Table | None = None
 
     # ------------------------------------------------------------- enqueue
     def offer(
         self,
-        epoch_key: int,
+        offer_key,
         urls: list[str],
         digests: list[bytes],
         hosts: list[str],
@@ -86,16 +88,29 @@ class FrontierShard:
         depths: list[int],
         discovered_at: int,
     ) -> int:
-        """Seen-check + robots-check + enqueue a batch of canonical URLs.
+        """Buffer a batch of canonical URLs discovered for epoch
+        ``discovered_at``. Offers from different source shards accumulate in
+        a pending buffer (keeping min depth per URL) and are merged —
+        deterministically, in sorted-URL order — by the next ``pop`` for
+        that epoch. This makes cross-shard link arrival order irrelevant:
+        the frontier-merge is a data property, not a scheduling property.
 
-        ``epoch_key`` makes the call idempotent under Ray task replay: the
-        second call with the same key is a no-op returning the memoized
-        accepted-count.
-        """
-        if epoch_key in self._offer_memo:
-            return self._offer_memo[epoch_key]
-        accepted = 0
+        ``offer_key`` (e.g. ``(epoch, src_shard)``) makes the call
+        idempotent under Ray task replay."""
+        if offer_key in self._offer_memo:
+            return self._offer_memo[offer_key]
         for url, digest, host, pri, depth in zip(urls, digests, hosts, priorities, depths):
+            cur = self.pending.get(url)
+            if cur is None or depth < cur[3]:
+                self.pending[url] = (digest, host, pri, depth, discovered_at)
+        self._offer_memo[offer_key] = len(urls)
+        return len(urls)
+
+    def _merge_pending(self) -> None:
+        """Seen-check + robots-check + enqueue the pending buffer
+        (sorted-URL order — matches the oracle's ``for url in sorted(best)``)."""
+        for url in sorted(self.pending):
+            digest, host, pri, depth, discovered_at = self.pending[url]
             self.metrics["offered"] += 1
             if self.seen.check_and_add(digest):
                 continue
@@ -108,18 +123,18 @@ class FrontierShard:
                 )
                 continue
             self.metrics["accepted"] += 1
-            accepted += 1
             heapq.heappush(
                 self.host_q.setdefault(host, []),
                 (-pri, depth, discovered_at, digest, url),
             )
-        self._offer_memo[epoch_key] = accepted
-        return accepted
+        self.pending.clear()
 
     # ----------------------------------------------------------------- pop
     def pop(self, epoch: int) -> int:
-        """Select this epoch's fetchable URLs (frontier order, politeness-
-        constrained); stash them as an Arrow table; return the count."""
+        """Merge pending offers, then select this epoch's fetchable URLs
+        (frontier order, politeness-constrained); stash them as an Arrow
+        table; return the count."""
+        self._merge_pending()
         self.politeness.refill_all()
         outer: list[tuple] = []
         for host, q in self.host_q.items():
@@ -243,6 +258,25 @@ class FrontierShard:
             ),
             os.path.join(d, "frontier.parquet"),
         )
+        # pending offers (links discovered this epoch, not yet merged)
+        purls = sorted(self.pending)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": purls,
+                    "url_hash": [self.pending[u][0] for u in purls],
+                    "host": [self.pending[u][1] for u in purls],
+                    "priority": pa.array(
+                        [self.pending[u][2] for u in purls], pa.int32()
+                    ),
+                    "depth": pa.array([self.pending[u][3] for u in purls], pa.int32()),
+                    "discovered_at": pa.array(
+                        [self.pending[u][4] for u in purls], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(d, "pending.parquet"),
+        )
         st = self.seen.state()
         np.savez_compressed(
             os.path.join(d, "sketches.npz"),
@@ -307,6 +341,16 @@ class FrontierShard:
             heapq.heappush(
                 self.host_q.setdefault(host, []), (-pri, depth, disc, digest, url)
             )
+        pend = pq.read_table(os.path.join(d, "pending.parquet"))
+        for url, digest, host, pri, depth, disc in zip(
+            pend["url"].to_pylist(),
+            pend["url_hash"].to_pylist(),
+            pend["host"].to_pylist(),
+            pend["priority"].to_pylist(),
+            pend["depth"].to_pylist(),
+            pend["discovered_at"].to_pylist(),
+        ):
+            self.pending[url] = (digest, host, pri, depth, disc)
         for h, tok in manifest["tokens"].items():
             b = self.politeness.bucket(h)
             b.tokens = tok

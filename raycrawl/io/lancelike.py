@@ -1,0 +1,63 @@
+"""Lance-style table IO with a parquet fallback.
+
+The north rule targets Lance tables for payload/checkpoint storage. This
+container does not ship the ``lance``/``pylance`` package, so every write
+goes through this wrapper: if ``lance`` is importable it is used; otherwise
+the same logical layout (one directory per table version/epoch, columnar
+files inside, manifest sidecar) is realized with parquet. All engine code
+calls these functions rather than a storage library directly, so swapping
+in real Lance is a one-module change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - lance not present in this sandbox
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    lance = None
+    HAVE_LANCE = False
+
+
+def write_table(table: pa.Table, uri: str, *, mode: str = "create") -> None:
+    """Write an Arrow table as a Lance dataset (or parquet fallback)."""
+    if HAVE_LANCE:  # pragma: no cover
+        lance.write_dataset(table, uri, mode=mode)
+        return
+    os.makedirs(uri, exist_ok=True)
+    pq.write_table(table, os.path.join(uri, "data-0.parquet"))
+    with open(os.path.join(uri, "_manifest.json"), "w") as f:
+        json.dump({"format": "parquet-fallback", "rows": table.num_rows,
+                   "schema": table.schema.to_string()}, f)
+
+
+def read_table(uri: str) -> pa.Table:
+    if HAVE_LANCE:  # pragma: no cover
+        return lance.dataset(uri).to_table()
+    files = sorted(
+        os.path.join(uri, f) for f in os.listdir(uri) if f.endswith(".parquet")
+    )
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def read_ray_dataset(uri: str):
+    """The same table as a ray.data.Dataset (streaming read)."""
+    import ray.data
+
+    if HAVE_LANCE:  # pragma: no cover
+        return ray.data.read_lance(uri)
+    return ray.data.read_parquet(uri)
+
+
+def write_ray_dataset(ds, uri: str) -> None:
+    if HAVE_LANCE:  # pragma: no cover
+        ds.write_lance(uri)
+        return
+    ds.write_parquet(uri)

@@ -9,3 +9,6 @@ from . import queries  # noqa: F401
 from . import textops  # noqa: F401
 from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
+from . import crawlq  # noqa: F401
+from . import scoring  # noqa: F401
+from ..pipelines import reference_analogs  # noqa: F401

@@ -1,0 +1,195 @@
+"""Crawl-engine and multimodal queries for the driver gate (rows-only:
+the crawl and the fake codecs are not expressible in SQL; their exactness
+is pinned by the oracle-parity pytest suite instead).
+
+The synthetic web universe is sized from the sf's ``documents`` rowcount so
+the workload scales with sf like every other query.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import ray.data
+
+from ..core.webgraph import WebConfig, seed_urls
+from .common import table
+from .queries import register
+
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _crawl_out_dir(sf_dir: str) -> str:
+    """Run (once per sf_dir per process) a crawl whose universe scales with
+    the sf, returning the payload/checkpoint directory."""
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 8
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(4, n_docs // n_hosts))
+    out = f"/tmp/raycrawl_q/{abs(hash(sf_dir)) % (1 << 32):x}"
+    cfg = CrawlConfig(
+        web=web,
+        out_dir=out,
+        num_shards=4,
+        max_epochs=60,
+        epoch_seconds=8.0,  # larger virtual epochs → fewer, denser epochs
+        fetch_concurrency=4,
+        decode_concurrency=4,
+    )
+    run_crawl(cfg, seed_urls(web))
+    _CRAWL_CACHE[sf_dir] = out
+    return out
+
+
+@register("crawl_payload", sql=None)
+def crawl_payload(sf_dir: str):
+    """The flagship output: fetched image+caption payload rows
+    (input_hint schema minus raw bytes, plus lineage columns)."""
+    out = _crawl_out_dir(sf_dir)
+    return (
+        ray.data.read_parquet(os.path.join(out, "payload"))
+        .drop_columns(["bytes", "url_hash"])
+    )
+
+
+@register("crawl_frontier_metrics", sql=None)
+def crawl_frontier_metrics(sf_dir: str):
+    """Per-shard lineage metrics from the final checkpoint manifests."""
+    import json
+
+    import pandas as pd
+
+    from ..crawler import latest_checkpoint_epoch
+
+    out = _crawl_out_dir(sf_dir)
+    epoch = latest_checkpoint_epoch(out)
+    rows = []
+    ckpt = os.path.join(out, "checkpoints", f"epoch={epoch}")
+    for d in sorted(os.listdir(ckpt)):
+        if not d.startswith("shard="):
+            continue
+        with open(os.path.join(ckpt, d, "manifest.json")) as f:
+            m = json.load(f)
+        rows.append(
+            dict(
+                shard=m["shard"],
+                epoch=m["epoch"],
+                **{k: m["metrics"][k] for k in
+                   ("offered", "accepted", "fetched", "robots_denied",
+                    "phash_suppressed", "seen_count", "robots_fetches")},
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def _payload_images(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic image payload table derived from documents (one image
+    per doc, seeded by doc_id) — input_hint shape without running a crawl."""
+    import pyarrow as pa
+
+    from ..core.codec import encode_image, phash64, synth_pixels
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids, blobs, ws, hs, fmts, phs = [], [], [], [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            w = 32 + (doc_id * 7) % 33
+            h = 32 + (doc_id * 11) % 33
+            fmt = "png" if doc_id % 2 == 0 else "jpeg"
+            px = synth_pixels(doc_id, w, h)
+            ids.append(f"img-{doc_id:08d}")
+            blobs.append(encode_image(px, fmt))
+            ws.append(w)
+            hs.append(h)
+            fmts.append(fmt)
+            phs.append(phash64(px))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "phash": pa.array(phs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=128)
+
+
+@register("image_feature_extract", sql=None)
+def image_feature_extract(sf_dir: str):
+    from ..stages.multimodal import ImageFeatures
+
+    return _payload_images(sf_dir).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    )
+
+
+@register("image_resize_32", sql=None)
+def image_resize_32(sf_dir: str):
+    from ..stages.multimodal import ImageResize
+
+    return (
+        _payload_images(sf_dir)
+        .map_batches(ImageResize, fn_constructor_args=(32, 32),
+                     batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+        .drop_columns(["bytes"])
+    )
+
+
+@register("video_frame_sample_phash", sql=None)
+def video_frame_sample_phash(sf_dir: str):
+    import pyarrow as pa
+
+    from ..stages.multimodal import FrameSampler, synth_video
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "video_id": pa.array([f"vid-{i:08d}" for i in ids], pa.string()),
+                "bytes": pa.array(
+                    [synth_video(i, n_frames=4) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=64).map_batches(
+        FrameSampler, fn_constructor_args=(2,), batch_format="pyarrow",
+        batch_size=32, concurrency=(1, 2),
+    )
+
+
+@register("audio_feature_extract", sql=None)
+def audio_feature_extract(sf_dir: str):
+    import pyarrow as pa
+
+    from ..stages.multimodal import AudioFeatures, synth_audio
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "audio_id": pa.array([f"aud-{i:08d}" for i in ids], pa.string()),
+                "bytes": pa.array(
+                    [synth_audio(i, seconds=0.25) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=128).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    )

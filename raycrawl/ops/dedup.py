@@ -116,7 +116,7 @@ def minhash_lsh_candidates(sf_dir: str):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket, verified
     by exact shingle-Jaccard ≥ 0.5, deduplicated across bands."""
     ds = table(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+    bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 2))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())
@@ -155,7 +155,7 @@ def minhash_lsh_candidates(sf_dir: str):
             return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
 
     return pairs.map_batches(Verify, fn_constructor_args=(ref,),
-                             batch_format="pandas", concurrency=2)
+                             batch_format="pandas", concurrency=(1, 2))
 
 
 # --------------------------------------------------------------------------
@@ -190,7 +190,7 @@ def simhash_dedup_groups(sf_dir: str):
             return pd.DataFrame({"doc_id": df["doc_id"], "simhash": hashes})
 
     return (
-        ds.map_batches(SimHash, batch_format="pandas", concurrency=2)
+        ds.map_batches(SimHash, batch_format="pandas", concurrency=(1, 2))
         .groupby("simhash")
         .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="group_size"))
     )

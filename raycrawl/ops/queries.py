@@ -229,7 +229,7 @@ def customers_per_region(sf_dir: str):
     return (
         table(sf_dir, "customer", ["c_nationkey"])
         .map_batches(AttachRegion, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     concurrency=2)
+                     concurrency=(1, 2))
         .groupby("r_name")
         .aggregate(Count(alias_name="n"))
     )
@@ -463,7 +463,7 @@ def customers_without_urgent_orders(sf_dir: str):
     return (
         table(sf_dir, "customer", ["c_custkey"])
         .map_batches(AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     concurrency=2)
+                     concurrency=(1, 2))
     )
 
 

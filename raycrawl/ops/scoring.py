@@ -1,0 +1,231 @@
+"""Scoring / featurization operators: text normalization (M3/M4),
+deterministic stub classifiers (M11/M12/M13 — the reference's random
+stance/age stubs made deterministic-by-content, per its own
+``predict_age`` trick), TF-IDF featurization (M16, fit ONCE — not the
+reference's per-batch refit bug), and a pluggable-model actor-pool scorer
+(ST1: model loaded once per actor in ``__init__``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Sum
+
+from .common import table
+from .queries import register
+
+
+# --------------------------------------------------------------------------
+# M3/M4 — whitespace normalization + universal to-string
+@register(
+    "normalized_text_lengths",
+    sql="""
+    SELECT doc_id,
+           CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS BIGINT)
+             AS norm_len
+    FROM documents
+    """,
+)
+def normalized_text_lengths(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        cleaned = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(t["text"], pattern=r"\s+", replacement=" ")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_len": pc.cast(pc.utf8_length(cleaned), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# M11 — stance stub, deterministic by content hash (md5 hex digit % 3);
+# never returns None (the reference's roll-3 None bug is NOT replicated)
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "stance_stub_histogram",
+    sql="""
+    SELECT 'party' || CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+                           % 3 AS VARCHAR) AS stance,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def stance_stub_histogram(sf_dir: str):
+    import hashlib
+
+    ds = table(sf_dir, "documents", ["text"])
+
+    def stub(df: pd.DataFrame) -> pd.DataFrame:
+        stances = [
+            f"party{_HEX.index(hashlib.md5(t.encode()).hexdigest()[0]) % 3}"
+            for t in df["text"]
+        ]
+        return pd.DataFrame({"stance": stances})
+
+    return (
+        ds.map_batches(stub, batch_format="pandas")
+        .groupby("stance")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# M12/M13 — age stub (deterministic 12..84 from content) + decade binning
+@register(
+    "age_stub_decades",
+    sql="""
+    SELECT CAST(FLOOR((12 + (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+                           * 16 + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                       ) % 73 / 10) * 10 AS BIGINT) AS decade,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def age_stub_decades(sf_dir: str):
+    import hashlib
+
+    ds = table(sf_dir, "documents", ["text"])
+
+    def stub(df: pd.DataFrame) -> pd.DataFrame:
+        ages = []
+        for t in df["text"]:
+            h = hashlib.md5(t.encode()).hexdigest()
+            age = (12 + _HEX.index(h[0]) * 16 + _HEX.index(h[1])) % 73
+            ages.append(age // 10 * 10)
+        return pd.DataFrame({"decade": pd.Series(ages, dtype="int64")})
+
+    return (
+        ds.map_batches(stub, batch_format="pandas")
+        .groupby("decade")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# M16 — TF-IDF featurizer. Vocabulary + document frequencies are fit ONCE
+# (two-pass: a distributed df aggregation, then broadcast) — explicitly not
+# replicating the reference's per-batch refit (Random_Forest_Classifier.py:47-51).
+# rows-only (log-weighted floats are not robustly SQL-hashable); pytest
+# checks against a sequential python oracle.
+@register("tfidf_top_terms", sql=None)
+def tfidf_top_terms(sf_dir: str, max_features: int = 26):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    # pass 1: document frequencies (per-batch partial dfs → tiny groupby)
+    def partial_df(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(set(t.split()))
+        return pd.DataFrame({"term": list(c), "df": list(c.values())})
+
+    dfs = (
+        ds.map_batches(partial_df, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocabulary-sized — small
+    )
+    n_docs = ds.count()
+    dfs = dfs.sort_values(["df", "term"], ascending=[False, True]).head(max_features)
+    vocab = {
+        t: float(np.log((1 + n_docs) / (1 + d)) + 1.0)
+        for t, d in zip(dfs["term"], dfs["df"])
+    }
+    ref = ray.put(vocab)
+
+    class TfIdf:
+        def __init__(self, ref):
+            self.idf = ray.get(ref)  # fit once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+
+            top_terms, scores = [], []
+            for t in df["text"]:
+                tf = Counter(w for w in t.split() if w in self.idf)
+                if not tf:
+                    top_terms.append("")
+                    scores.append(0.0)
+                    continue
+                ranked = sorted(
+                    ((cnt * self.idf[w], w) for w, cnt in tf.items()),
+                    key=lambda x: (-x[0], x[1]),
+                )
+                top_terms.append(ranked[0][1])
+                scores.append(round(ranked[0][0], 6))
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"], "top_term": top_terms, "tfidf": scores}
+            )
+
+    return ds.map_batches(TfIdf, fn_constructor_args=(ref,), batch_format="pandas",
+                          concurrency=(1, 2))
+
+
+# --------------------------------------------------------------------------
+# ST1 — pluggable-model actor-pool scorer: a serialized linear model is
+# loaded ONCE per actor in __init__ and served per batch (the reference's
+# RFClassifier process + queue micro-batching, Random_Forest_Classifier.py:61-74,
+# re-expressed as map_batches over an actor pool). SQL oracle replays the
+# same dot product with DuckDB list_inner_product on DOUBLE[].
+def _model_weights(dim: int = 64, seed: int = 21) -> tuple[np.ndarray, float]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal(dim) * 0.1, 0.05
+
+
+_W, _B = _model_weights()
+_W_SQL = "[" + ", ".join(f"{x!r}" for x in _W.tolist()) + "]"
+
+
+@register(
+    "model_score_embeddings",
+    sql=f"""
+    SELECT vec_id,
+           ROUND(1.0 / (1.0 + exp(-(list_inner_product(
+                 CAST(embedding AS DOUBLE[]), CAST({_W_SQL} AS DOUBLE[])) + 0.05))), 6)
+             AS score
+    FROM embeddings
+    """,
+)
+def model_score_embeddings(sf_dir: str):
+    import os
+    import tempfile
+
+    # "pluggable model" contract: weights live in a file the actor loads
+    model_path = os.path.join(tempfile.gettempdir(), "raycrawl_linear_model.npz")
+    if not os.path.exists(model_path):
+        w, b = _model_weights()
+        np.savez(model_path, w=w, b=np.array([b]))
+
+    class ModelScorer:
+        def __init__(self, path: str):
+            m = np.load(path)  # loaded once per actor (ST1)
+            self.w = m["w"].astype(np.float64)
+            self.b = float(m["b"][0])
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            z = x @ self.w + self.b
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"],
+                    "score": np.round(1.0 / (1.0 + np.exp(-z)), 6),
+                }
+            )
+
+    return table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        ModelScorer, fn_constructor_args=(model_path,), batch_format="pandas",
+        batch_size=100, concurrency=(1, 2),
+    )

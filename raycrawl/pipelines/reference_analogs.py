@@ -1,0 +1,347 @@
+"""Reference-analog pipelines over the testdata tables.
+
+These re-express the reference's *composite* pipelines (SURVEY.md §3) —
+dump flatten/route, dictionary-based classification, location
+normalization, iterative label propagation — with the same semantics
+(4-way ref_type fallback, bidirectional substring first-match-wins,
+majority vote with ties→unknown, argmax with margin) as Ray Data
+pipelines over the driver's tables.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Count
+
+from ..ops.common import table
+from ..ops.queries import register
+
+
+# --------------------------------------------------------------------------
+# M1/M2/M7 — dump record flatten with the 4-way ref_type fallback chain
+# (PreprocessDump.py:283-332) + parse-error dead-lettering (:203-211).
+# The nested JSON "dump" is synthesized deterministically from documents
+# rows (variant = doc_id % 4; corrupt line when doc_id % 37 == 0), then the
+# REAL parser runs the fallback chain; the SQL oracle states the expected
+# semantics directly over the source columns.
+@register(
+    "dump_flatten_route_counts",
+    sql="""
+    SELECT CASE WHEN doc_id % 37 = 0 THEN '_parse_error'
+                WHEN doc_id % 4 IN (0, 1) THEN 'retweet'
+                WHEN doc_id % 4 = 2 THEN 'quote'
+                ELSE 'none' END AS ref_type,
+           CASE WHEN doc_id % 37 = 0 THEN '' ELSE lang END AS lang,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def dump_flatten_route_counts(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def build_dump(t: pa.Table) -> pa.Table:
+        lines = []
+        for doc_id, lang, text in zip(
+            t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["text"].to_pylist()
+        ):
+            if doc_id % 37 == 0:
+                lines.append("{corrupt json line")
+                continue
+            base = {
+                "created_at": "2024-01-01T00:00:00Z",
+                "text": text[:40],
+                "id": str(doc_id),
+                "lang": lang,
+                "user": {"id": str(doc_id * 7), "screen_name": f"u{doc_id}"},
+            }
+            v = doc_id % 4
+            if v == 0:  # API-v2 shape
+                base["referenced_tweets"] = [{"type": "retweeted", "id": "1"}]
+            elif v == 1:  # v1 retweeted_status
+                base["retweeted_status"] = {"id": "2"}
+            elif v == 2:  # v1 quoted_status
+                base["quoted_status"] = {"id": "3"}
+            lines.append(json.dumps(base))
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    def flatten(t: pa.Table) -> pa.Table:
+        ref_types, langs = [], []
+        for line in t["line"].to_pylist():
+            try:
+                rec = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                ref_types.append("_parse_error")  # dead-letter row, M7
+                langs.append("")
+                continue
+            # 4-way fallback chain (v2 → v1 retweet → v1 quote → none)
+            if "referenced_tweets" in rec:
+                rt = rec["referenced_tweets"][0]["type"]
+                ref_types.append("retweet" if rt == "retweeted" else "quote")
+            elif "retweeted_status" in rec:
+                ref_types.append("retweet")
+            elif "quoted_status" in rec:
+                ref_types.append("quote")
+            else:
+                ref_types.append("none")
+            langs.append(rec.get("lang"))
+        return pa.table(
+            {
+                "ref_type": pa.array(ref_types, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    out = (
+        ds.map_batches(build_dump, batch_format="pyarrow")
+        .map_batches(flatten, batch_format="pyarrow")
+        .groupby(["ref_type", "lang"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    # dead-letter rows carry lang=NULL; fold them to match the oracle's
+    # (ref_type, lang) grouping where lang comes from the source row
+    def fix_error_lang(t: pa.Table) -> pa.Table:
+        return t
+
+    _ = fix_error_lang
+    return out
+
+
+# --------------------------------------------------------------------------
+# M10/J2 — dictionary-based gender prediction with majority vote, over part
+# names (names.csv analog). Bidirectional substring match
+# (Postprocess_scripts/Functions.py:7-31), ties → 'unknown'.
+NAME_DICT: list[tuple[str, str]] = [
+    ("red", "M"),
+    ("blue", "F"),
+    ("small", "M"),
+    ("hot", "F"),
+    ("green", "M"),
+    ("widget", "F"),
+]
+
+
+def _gender_sql() -> str:
+    m_terms = " + ".join(
+        f"(CASE WHEN contains(p_name, '{n}') OR contains('{n}', p_name) THEN 1 ELSE 0 END)"
+        for n, g in NAME_DICT
+        if g == "M"
+    )
+    f_terms = " + ".join(
+        f"(CASE WHEN contains(p_name, '{n}') OR contains('{n}', p_name) THEN 1 ELSE 0 END)"
+        for n, g in NAME_DICT
+        if g == "F"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT p_partkey, ({m_terms}) AS m, ({f_terms}) AS f FROM part)
+    SELECT CASE WHEN m > f THEN 'M' WHEN f > m THEN 'F' ELSE 'unknown' END
+             AS gender,
+           count(*) AS n
+    FROM scored GROUP BY 1
+    """
+
+
+@register("gender_dict_vote_counts", sql=_gender_sql())
+def gender_dict_vote_counts(sf_dir: str):
+    ds = table(sf_dir, "part", ["p_partkey", "p_name"])
+    ref = ray.put(NAME_DICT)
+
+    class Vote:
+        def __init__(self, ref):
+            self.names = ray.get(ref)  # loaded once per actor (ST5)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            genders = []
+            for name in df["p_name"]:
+                m = sum(
+                    1 for n, g in self.names if g == "M" and (n in name or name in n)
+                )
+                f = sum(
+                    1 for n, g in self.names if g == "F" and (n in name or name in n)
+                )
+                genders.append("M" if m > f else "F" if f > m else "unknown")
+            return pd.DataFrame({"gender": genders})
+
+    return (
+        ds.map_batches(Vote, fn_constructor_args=(ref,), batch_format="pandas",
+                       concurrency=(1, 2))
+        .groupby("gender")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# M14/J3 — location normalization: bidirectional substring match against an
+# ordered {base: [abbrs]} dictionary, FIRST match in dict order wins
+# (Cansin_Location_Detection.py:122-193 — order-sensitive by design).
+# Messy location strings are derived deterministically from each customer's
+# nation; the SQL oracle replays the same ordered CASE chain.
+def _loc_messy_sql() -> str:
+    return (
+        "CASE WHEN c_custkey % 3 = 0 THEN lower(n_name) "
+        "WHEN c_custkey % 3 = 1 THEN 'xx' || lower(n_name) || 'yy' "
+        "ELSE 'n_' || CAST(c_nationkey AS VARCHAR) END"
+    )
+
+
+def _loc_norm_sql() -> str:
+    # ordered first-match-wins CASE chain over NATION_0..NATION_24
+    branches = []
+    for k in range(25):
+        base = f"NATION_{k}"
+        lb = base.lower()
+        cond = (
+            f"contains(loc, '{lb}') OR contains('{lb}', loc)"
+            f" OR contains(loc, 'n_{k}') OR contains('n_{k}', loc)"
+        )
+        branches.append(f"WHEN {cond} THEN '{base}'")
+    chain = " ".join(branches)
+    return f"""
+    WITH locs AS (
+      SELECT {_loc_messy_sql()} AS loc
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT CASE {chain} ELSE 'undetected' END AS normalized, count(*) AS n
+    FROM locs GROUP BY 1
+    """
+
+
+@register("location_normalize_counts", sql=_loc_norm_sql())
+def location_normalize_counts(sf_dir: str):
+    nation = table(sf_dir, "nation").to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    # ordered dict: base → abbr list (order IS the semantics)
+    abbr_dict = [(f"NATION_{k}", [f"n_{k}"]) for k in range(25)]
+    ref = ray.put((nmap, abbr_dict))
+
+    class Normalize:
+        def __init__(self, ref):
+            self.nmap, self.abbr = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for ck, nk in zip(df["c_custkey"], df["c_nationkey"]):
+                name = self.nmap[nk].lower()
+                v = ck % 3
+                loc = name if v == 0 else f"xx{name}yy" if v == 1 else f"n_{nk}"
+                normalized = "undetected"
+                for base, abbrs in self.abbr:  # first-match-wins, dict order
+                    lb = base.lower()
+                    if (
+                        lb in loc
+                        or loc in lb
+                        or any(a in loc or loc in a for a in abbrs)
+                    ):
+                        normalized = base
+                        break
+                out.append(normalized)
+            return pd.DataFrame({"normalized": out})
+
+    return (
+        table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(Normalize, fn_constructor_args=(ref,), batch_format="pandas",
+                     concurrency=(1, 2))
+        .groupby("normalized")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# ST3/A3/A4/J4/J7/D3 — iterative graph label propagation with margin rule
+# (Stance_Detection.py:116-233; the reference's while-loop at :302 is
+# unsatisfiable — a bug NOT replicated here). Edges are derived from events
+# (src = user_id, dst = props.k % 150 — the M7 JSON parse), seeds are users
+# 0..8 labeled by id % 3. Each round every non-seed user takes the argmax
+# label of its out-neighbors, applied only when max - runner_up >= margin.
+def propagate_labels(
+    edges: "ray.data.Dataset",
+    seed_labels: dict[int, str],
+    iterations: int = 5,
+    margin: int = 2,
+) -> pd.DataFrame:
+    """Label-propagation rounds, Ray-scalable shape: the edge set stays a
+    distributed Dataset for the whole loop; each round broadcasts the
+    (bounded-by-#users) label map, counts votes with a grouped aggregate,
+    and only the tiny (src, label, votes) table reaches the driver where
+    the argmax-with-margin rule (A4) is applied."""
+    labels: dict[int, str] = dict(seed_labels)
+    edges = edges.materialize()  # reused every round — pin once
+    for _ in range(iterations):
+        ref = ray.put(dict(labels))
+        seed_ref = ray.put(set(seed_labels))
+
+        class AttachVote:
+            def __init__(self, lref, sref):
+                self.labels = ray.get(lref)
+                self.seeds = ray.get(sref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                srcs, labs = [], []
+                for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+                    if s in self.seeds:  # J7 anti-join guard: seeds never move
+                        continue
+                    lab = self.labels.get(d)
+                    if lab is not None:
+                        srcs.append(s)
+                        labs.append(lab)
+                return pa.table(
+                    {
+                        "src": pa.array(srcs, pa.int64()),
+                        "dst_label": pa.array(labs, pa.string()),
+                    }
+                )
+
+        counts = (
+            edges.map_batches(
+                AttachVote, fn_constructor_args=(ref, seed_ref),
+                batch_format="pyarrow", concurrency=(1, 2),
+            )
+            .groupby(["src", "dst_label"])
+            .aggregate(Count(alias_name="v"))
+            .to_pandas()  # bounded: #users × #labels rows
+        )
+        changed = 0
+        for src, g in counts.groupby("src"):
+            g = g.sort_values(["v", "dst_label"], ascending=[False, True])
+            if len(g) == 1 or g.iloc[0]["v"] - g.iloc[1]["v"] >= margin:
+                new = g.iloc[0]["dst_label"]
+                if labels.get(src) != new:
+                    labels[src] = new
+                    changed += 1
+        if changed == 0:
+            break
+    return pd.DataFrame(
+        {"user_id": list(labels), "label": list(labels.values())}
+    ).sort_values("user_id").reset_index(drop=True)
+
+
+@register("label_propagation", sql=None)
+def label_propagation(sf_dir: str):
+    ds = table(sf_dir, "events", ["user_id", "props"])
+
+    def parse_edges(t: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for uid, props in zip(t["user_id"].to_pylist(), t["props"].to_pylist()):
+            try:
+                k = json.loads(props)["k"]
+            except (json.JSONDecodeError, KeyError, TypeError):
+                continue  # M7 error-skip
+            srcs.append(uid)
+            dsts.append(k % 150)
+        return pa.table(
+            {"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())}
+        )
+
+    edges = (
+        ds.map_batches(parse_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="w"))
+        .select_columns(["src", "dst"])
+    )
+    seeds = {u: f"label{u % 3}" for u in range(9)}
+    return propagate_labels(edges, seeds)

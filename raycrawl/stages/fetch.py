@@ -29,6 +29,33 @@ from ..core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
 from ..core.codec import decode_image, phash64
 
 
+# Per-worker-process stage caches. The crawl driver runs ONE short Dataset
+# pipeline per epoch; spinning up a fresh actor pool per epoch would cost
+# seconds of actor startup each time. Instead fetch/decode run as stateless
+# TASKS whose per-process state (http session analog, DCT matrices) is
+# built once per Ray worker process and reused across epochs — same
+# amortization as an actor pool, without per-pipeline spin-up. (Stages
+# with real mutable state — the frontier shards — stay actors.)
+_FETCHERS: dict[tuple, "FetchWorker"] = {}
+_DECODER: "DecodePhash | None" = None
+
+
+def fetch_batch(batch: pa.Table, web_cfg: WebConfig) -> pa.Table:
+    key = (web_cfg.seed, web_cfg.n_hosts, web_cfg.pages_per_host,
+           web_cfg.neardup_every)
+    f = _FETCHERS.get(key)
+    if f is None:
+        f = _FETCHERS[key] = FetchWorker(web_cfg)
+    return f(batch)
+
+
+def decode_batch(batch: pa.Table) -> pa.Table:
+    global _DECODER
+    if _DECODER is None:
+        _DECODER = DecodePhash()
+    return _DECODER(batch)
+
+
 class FetchWorker:
     def __init__(self, web_cfg: WebConfig):
         self.cfg = web_cfg  # in production: http session pool, TLS contexts

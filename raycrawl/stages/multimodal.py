@@ -1,0 +1,198 @@
+"""Multimodal payload stages: image / video / audio as opaque binary
+columns with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The container ships no real media libraries, so — per the build spec — the
+*codec* layer is a deterministic fake (raycrawl.core.codec for images; raw
+PCM synth for audio; concatenated image frames for video) while the Ray
+plumbing (schemas, batch sizing, actor signatures, output layout) is real
+and tested. ``decode_real_*`` functions are the clearly-marked stubs where
+PIL/ffmpeg would slot in.
+
+Batch sizing note: rows are bytes-heavy, so these stages run with small
+``batch_size`` (64-256) and Arrow batch format end-to-end — the pattern
+for 100 TB image/audio corpora where a batch × concurrency must fit the
+worker heap.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.codec import (
+    decode_image,
+    encode_image,
+    phash64,
+    synth_pixels,
+)
+
+# ------------------------------------------------------------------ images
+
+
+class ImageFeatures:
+    """Decode each image payload and emit brightness/channel statistics."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mean_b, std_b, mr, mg, mb = [], [], [], [], []
+        for buf in batch["bytes"]:
+            px, _ = decode_image(buf.as_py())
+            f = px.astype(np.float64)
+            mean_b.append(round(float(f.mean()), 4))
+            std_b.append(round(float(f.std()), 4))
+            mr.append(round(float(f[..., 0].mean()), 4))
+            mg.append(round(float(f[..., 1].mean()), 4))
+            mb.append(round(float(f[..., 2].mean()), 4))
+        cols = {n: batch[n] for n in batch.column_names if n != "bytes"}
+        cols.update(
+            brightness=pa.array(mean_b, pa.float64()),
+            contrast=pa.array(std_b, pa.float64()),
+            mean_r=pa.array(mr, pa.float64()),
+            mean_g=pa.array(mg, pa.float64()),
+            mean_b=pa.array(mb, pa.float64()),
+        )
+        return pa.table(cols)
+
+
+class ImageResize:
+    """Nearest-neighbour resize to a fixed target, re-encoded as lossless.
+
+    Stateful stage: the target-index grids are cached per actor."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.tw, self.th = target_w, target_h
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        yi = (np.arange(self.th) * h // self.th).clip(0, h - 1)
+        xi = (np.arange(self.tw) * w // self.tw).clip(0, w - 1)
+        return px[np.ix_(yi, xi)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out, ws, hs = [], [], []
+        for buf in batch["bytes"]:
+            px, _ = decode_image(buf.as_py())
+            small = self._resize(px)
+            out.append(encode_image(small, "png"))
+            ws.append(self.tw)
+            hs.append(self.th)
+        cols = {n: batch[n] for n in batch.column_names
+                if n not in ("bytes", "w", "h", "fmt")}
+        cols.update(
+            bytes=pa.array(out, pa.large_binary()),
+            w=pa.array(ws, pa.int32()),
+            h=pa.array(hs, pa.int32()),
+            fmt=pa.array(["png"] * len(out), pa.string()),
+        )
+        return pa.table(cols)
+
+
+# ------------------------------------------------------------------- video
+
+VIDEO_MAGIC = b"FVID"
+
+
+def synth_video(seed: int, n_frames: int = 8, w: int = 32, h: int = 24) -> bytes:
+    """Deterministic fake video: concatenated frame payloads with a header."""
+    frames = [
+        encode_image(synth_pixels(seed + i, w, h), "png") for i in range(n_frames)
+    ]
+    head = VIDEO_MAGIC + struct.pack("<I", n_frames)
+    body = b"".join(struct.pack("<I", len(f)) + f for f in frames)
+    return head + body
+
+
+def decode_video_frames(data: bytes) -> list[np.ndarray]:
+    if data[:4] != VIDEO_MAGIC:
+        return decode_real_video(data)
+    (n,) = struct.unpack("<I", data[4:8])
+    off = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[off : off + 4])
+        off += 4
+        frames.append(decode_image(data[off : off + ln])[0])
+        off += ln
+    return frames
+
+
+def decode_real_video(data: bytes) -> list[np.ndarray]:
+    """STUB: real container/codec demuxing needs ffmpeg/pyav — absent here."""
+    raise NotImplementedError("real video decoding requires ffmpeg/pyav")
+
+
+class FrameSampler:
+    """Sample every k-th frame of each video payload, emit one row per
+    sampled frame with its phash (frame-level near-dup key)."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, phashes = [], [], []
+        for vid_id, buf in zip(batch["video_id"].to_pylist(), batch["bytes"]):
+            frames = decode_video_frames(buf.as_py())
+            for i in range(0, len(frames), self.every):
+                vids.append(vid_id)
+                idxs.append(i)
+                phashes.append(phash64(frames[i]))
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_index": pa.array(idxs, pa.int32()),
+                "frame_phash": pa.array(phashes, pa.int64()),
+            }
+        )
+
+
+# ------------------------------------------------------------------- audio
+
+AUDIO_MAGIC = b"FAUD"
+SAMPLE_RATE = 8000
+
+
+def synth_audio(seed: int, seconds: float = 0.5) -> bytes:
+    """Deterministic fake audio: summed sines + noise as int16 PCM."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = int(SAMPLE_RATE * seconds)
+    t = np.arange(n) / SAMPLE_RATE
+    f1, f2 = rng.integers(100, 1000, 2)
+    sig = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    sig += rng.normal(0, 0.05, n)
+    pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+    return AUDIO_MAGIC + struct.pack("<I", SAMPLE_RATE) + zlib.compress(pcm.tobytes())
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] != AUDIO_MAGIC:
+        return decode_real_audio(data)
+    (sr,) = struct.unpack("<I", data[4:8])
+    pcm = np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16)
+    return pcm, sr
+
+
+def decode_real_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """STUB: real audio decoding requires soundfile/librosa — absent here."""
+    raise NotImplementedError("real audio decoding requires soundfile/librosa")
+
+
+class AudioFeatures:
+    """RMS energy + zero-crossing rate per payload (numpy, vectorized)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rms, zcr, dur = [], [], []
+        for buf in batch["bytes"]:
+            pcm, sr = decode_audio(buf.as_py())
+            x = pcm.astype(np.float64) / 32768.0
+            rms.append(round(float(np.sqrt(np.mean(x**2))), 6))
+            zcr.append(round(float(np.mean(np.abs(np.diff(np.sign(x))) > 0)), 6))
+            dur.append(round(len(x) / sr, 4))
+        cols = {n: batch[n] for n in batch.column_names if n != "bytes"}
+        cols.update(
+            rms=pa.array(rms, pa.float64()),
+            zero_crossing_rate=pa.array(zcr, pa.float64()),
+            duration_s=pa.array(dur, pa.float64()),
+        )
+        return pa.table(cols)

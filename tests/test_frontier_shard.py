@@ -19,8 +19,13 @@ def _offer(shard, epoch_key, urls, depths=None, discovered_at=0):
 def test_offer_dedup_and_robots():
     s = FrontierShard(0)
     urls = [f"http://h1.web.test/p/{i}" for i in range(5)]
-    acc = _offer(s, 0, urls + urls)  # duplicates rejected by seen-set
-    assert acc == 5
+    _offer(s, 0, urls + urls)  # duplicates collapse in the pending buffer
+    s._merge_pending()
+    assert s.metrics["offered"] == 5 and s.metrics["accepted"] == 5
+    assert s.frontier_size() == 5
+    # second merge of the same URLs: seen-set rejects all
+    _offer(s, 1, urls)
+    s._merge_pending()
     assert s.metrics["offered"] == 10 and s.metrics["accepted"] == 5
     # robots: find a denied host for /private
     from raycrawl.core.politeness import RobotsCache
@@ -29,17 +34,25 @@ def test_offer_dedup_and_robots():
         f"h{k}.web.test" for k in range(20)
         if not RobotsCache().allowed(f"h{k}.web.test", "/private/x")
     )
-    acc = _offer(s, 1, [f"http://{denied_host}/private/x"])
-    assert acc == 0 and s.metrics["robots_denied"] == 1
+    _offer(s, 2, [f"http://{denied_host}/private/x"])
+    s._merge_pending()
+    assert s.metrics["robots_denied"] == 1
     assert s.log[-1]["status"] == "robots_denied"
 
 
-def test_offer_idempotent_under_replay():
+def test_offer_pending_min_depth_and_replay():
     s = FrontierShard(0)
     urls = [f"http://h1.web.test/p/{i}" for i in range(3)]
-    assert _offer(s, 7, urls) == 3
-    assert _offer(s, 7, urls) == 3  # memoized, state unchanged
+    _offer(s, 7, urls, depths=[4, 4, 4])
+    _offer(s, 7, urls, depths=[1, 1, 1])  # memoized key → ignored
+    _offer(s, 8, urls[:1], depths=[2])  # new key → min-depth merge
+    s._merge_pending()
     assert s.frontier_size() == 3
+    s.pop(0)
+    t = s.take_popped()
+    by_url = dict(zip(t["url"].to_pylist(), t["depth"].to_pylist()))
+    assert by_url[urls[0]] == 2  # min depth won
+    assert by_url[urls[1]] == 4
 
 
 def test_pop_ordering_and_politeness():
