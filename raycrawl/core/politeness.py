@@ -80,14 +80,15 @@ class RobotsCache:
 class HostPoliteness:
     """Bundle of per-host token buckets for one frontier shard."""
 
-    def __init__(self, epoch_seconds: float = 2.0):
+    def __init__(self, epoch_seconds: float = 2.0, burst: float = 8.0):
         self.epoch_seconds = epoch_seconds
+        self.burst = burst
         self.buckets: dict[str, TokenBucket] = {}
 
     def bucket(self, host: str) -> TokenBucket:
         b = self.buckets.get(host)
         if b is None:
-            b = self.buckets[host] = TokenBucket(rate=host_rate(host))
+            b = self.buckets[host] = TokenBucket(rate=host_rate(host), burst=self.burst)
         return b
 
     def refill_all(self) -> None:

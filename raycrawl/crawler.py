@@ -4,35 +4,43 @@ Reference analog: the crawler round loop (``pages/Crawler.py:54-153``) —
 poll each topic, project/join, buffer, flush every ``saving_period = 10``
 rounds, politeness-sleep. Re-expressed Ray-Data-first:
 
-    per epoch (ONE consumed Ray Data pipeline):
+    per epoch (ONE linear, shuffle-free Ray Data pipeline):
       pop      — each FrontierShard actor merges its pending link buffer
                  (deterministic sorted-URL, min-depth) then selects its
-                 politeness-budgeted, frontier-ordered URL batch
+                 politeness-budgeted, frontier-ordered URL batch, exposed
+                 as batch_size-row chunks (one Ray Data block each, so
+                 fetch parallelism = rows/batch_size, not num_shards)
       fetch    — ``map_batches(fetch_batch)`` stateless tasks whose
                  per-process state is cached across epochs (see
                  stages/fetch.py — avoids per-epoch actor-pool spin-up)
-      decode   — ``map_batches(decode_batch)`` ditto (CPU-shaped stage)
-      gate+emit— ``groupby("shard").map_groups``: the group task asks its
-                 shard actor to phash-gate (ordered, replay-safe memo),
-                 extracts + canonicalizes the survivors' outlinks, pushes
-                 them to the TARGET shards' pending buffers (the
-                 frontier-merge exchange — arrival order is irrelevant
-                 because the merge at the next pop is a data property),
-                 and emits the payload rows
+      decode+submit — ``map_batches(decode_submit)``: decode + phash each
+                 row, canonicalize outlinks, stream the tiny (digest,
+                 phash, meta, links) tuples to the owning shard actor
+                 (``gate_submit``, idempotent by digest), and emit the
+                 payload row — payload BYTES never cross a shuffle
       sink     — the same pipeline streams into
                  ``write_parquet(out/payload/epoch=K)`` → a failed run
                  resumes by epoch directory
+      finalize — after the pipeline, each shard actor runs the phash
+                 near-dup gate over its submitted rows in frontier order
+                 (``gate_finalize``), returns the suppressed digests (→
+                 per-epoch sidecar; ``read_payload`` anti-filters them)
+                 and the surviving outlinks bucketed by target shard; the
+                 driver routes those to peers' pending buffers — the
+                 frontier-merge exchange, arrival-order-free because the
+                 merge at the next pop is a data property
       checkpoint every ``saving_period`` epochs — Lance-style epoch dirs
                  (parquet fallback) with per-partition lineage manifests.
 
 The epoch working set is bounded by the politeness budget
-(Σ_host burst ≈ hosts × 8); the payload stream never materializes on the
-driver — it flows block-by-block into partitioned parquet.
+(Σ_host burst); the payload stream never materializes on the driver — it
+flows block-by-block into partitioned parquet. Gate/offer traffic is meta
+only (≈60 B/URL), orders of magnitude below payload volume.
 
 Scale notes: shard = hash(host) % num_shards contains skew (one hot host
 can at worst saturate its own shard's politeness budget, never the
-cluster); the only wide exchange per epoch is the groupby(shard) of the
-popped batch, keyed the same way as every piece of shard state.
+cluster); every piece of shard state is keyed by the same host-hash
+partitioning, and no stage shuffles payload bytes at all.
 """
 
 from __future__ import annotations
@@ -43,6 +51,7 @@ import shutil
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -68,8 +77,12 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     decode_concurrency: int = 4
     batch_size: int = 128  # binary image rows → keep batches modest
-    shard_num_cpus: float = 0.5
+    shard_num_cpus: float = 0.0  # control-plane actors: no CPU reservation
     keep_bytes_in_payload: bool = True
+    burst: float = 8.0  # politeness burst (tokens) per host
+    # pull per-row fetch logs + exact seen sets back to the driver at the
+    # end (oracle-parity testing only — expensive, not part of the job)
+    collect_parity_outputs: bool = False
 
 
 @dataclass
@@ -100,7 +113,8 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
     if restore_epoch is None:
         Actor = ray.remote(num_cpus=cfg.shard_num_cpus)(FrontierShard)
         return [
-            Actor.remote(s, cfg.epoch_seconds, cfg.expected_urls, cfg.phash_radius)
+            Actor.remote(s, cfg.epoch_seconds, cfg.expected_urls, cfg.phash_radius,
+                         cfg.burst)
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place
@@ -150,6 +164,11 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
                 for d in os.listdir(payload_dir):
                     if d.startswith("epoch=") and int(d.split("=")[1]) >= start_epoch:
                         shutil.rmtree(os.path.join(payload_dir, d))
+            sup = os.path.join(cfg.out_dir, "suppressed")
+            if os.path.isdir(sup):
+                for f in os.listdir(sup):
+                    if f.startswith("epoch=") and int(f.split("=")[1].split(".")[0]) >= start_epoch:
+                        os.remove(os.path.join(sup, f))
     if not resume:
         if os.path.isdir(cfg.out_dir):
             shutil.rmtree(cfg.out_dir)
@@ -173,6 +192,8 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
     stats = CrawlStats(out_dir=cfg.out_dir)
     num_shards = cfg.num_shards
     keep_bytes = cfg.keep_bytes_in_payload
+    suppressed_dir = os.path.join(cfg.out_dir, "suppressed")
+    os.makedirs(suppressed_dir, exist_ok=True)
     epoch = start_epoch
     while epoch < cfg.max_epochs:
         counts = ray.get([a.pop.remote(epoch) for a in actors])
@@ -181,28 +202,55 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
                 break
             epoch += 1  # all hosts throttled this epoch; refill and retry
             continue
-        ds = ray.data.from_arrow_refs([a.take_popped.remote() for a in actors])
-        fetched = ds.map_batches(
+
+        # ONE linear, shuffle-free pipeline per epoch. Each shard's pop
+        # table is sliced into chunks — one Ray Data block each — so fetch
+        # parallelism is (popped rows / chunk), independent of shard count.
+        # Chunk size adapts to the epoch: ~4 blocks per CPU slot, clamped to
+        # [4, batch_size] so big epochs amortize per-task overhead while
+        # small (discovery-tail) epochs still parallelize. Decode tasks
+        # stream (digest, phash, outlinks) meta to the shard actors
+        # (gate_submit, tiny + idempotent); payload bytes flow straight to
+        # parquet without ever crossing a shuffle.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        chunk = max(4, min(cfg.batch_size, -(-sum(counts) // (ncpu * 4))))
+        chunk_counts = ray.get([a.n_pop_chunks.remote(chunk) for a in actors])
+        refs = [
+            a.take_popped_chunk.remote(j, chunk)
+            for a, nc in zip(actors, chunk_counts)
+            for j in range(nc)
+        ]
+        ds = ray.data.from_arrow_refs(refs)
+        pipeline = ds.map_batches(
             fetch_batch,
             fn_kwargs={"web_cfg": cfg.web},
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=chunk,
         ).map_batches(
-            decode_batch,
+            _make_decode_submit(actors, epoch, keep_bytes),
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=chunk,
         )
+        pipeline.write_parquet(os.path.join(payload_dir, f"epoch={epoch}"))
 
-        # ONE consumed pipeline per epoch: the per-shard group task asks its
-        # shard actor to phash-gate (ordered), extracts+canonicalizes the
-        # surviving rows' outlinks, pushes them to the target shards'
-        # pending buffers (merged deterministically at the next pop), and
-        # emits the payload rows — which stream straight to parquet.
-        gated = fetched.groupby("shard").map_groups(
-            _make_gate_and_offer(actors, epoch, num_shards, keep_bytes),
-            batch_format="pyarrow",
+        # ordered phash gate + frontier merge (meta only; offers routed as
+        # object refs between actors, never materialized on the driver)
+        finals = ray.get([a.gate_finalize.remote(epoch, num_shards) for a in actors])
+        suppressed = [d for _, sup, _ in finals for d in sup]
+        pq.write_table(
+            pa.table({"url_hash": pa.array(suppressed, pa.binary())}),
+            os.path.join(suppressed_dir, f"epoch={epoch}.parquet"),
         )
-        gated.write_parquet(os.path.join(payload_dir, f"epoch={epoch}"))
+        offer_refs = []
+        for src, (_, _, offers) in enumerate(finals):
+            for dst, (urls, digs, hosts, pris, depths) in offers.items():
+                offer_refs.append(
+                    actors[dst].offer.remote(
+                        (epoch, src), urls, digs, hosts, pris, depths, epoch + 1
+                    )
+                )
+        if offer_refs:
+            ray.get(offer_refs)
         stats.fetched += sum(counts)
 
         if (epoch + 1) % cfg.saving_period == 0:
@@ -213,110 +261,100 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
     stats.epochs = epoch
     stats.metrics = ray.get([a.get_metrics.remote() for a in actors])
     stats.payload_rows = sum(m["fetched"] for m in stats.metrics)
-    stats.fetch_log = collect_fetch_log(actors)
-    stats.seen = {
-        s: set(ray.get(a.get_seen.remote())) for s, a in enumerate(actors)
-    }
+    if cfg.collect_parity_outputs:
+        stats.fetch_log = collect_fetch_log(actors)
+        stats.seen = {
+            s: set(ray.get(a.get_seen.remote())) for s, a in enumerate(actors)
+        }
     for a in actors:
         ray.kill(a)
     return stats
 
 
-def _make_gate_and_offer(actors, epoch: int, num_shards: int, keep_bytes: bool):
-    payload_schema = pa.schema(
-        [
-            ("image_id", pa.string()),
-            ("bytes", pa.large_binary()),
-            ("w", pa.int32()),
-            ("h", pa.int32()),
-            ("fmt", pa.string()),
-            ("caption", pa.string()),
-            ("phash", pa.int64()),
-            ("url", pa.string()),
-            ("url_hash", pa.binary()),
-            ("shard", pa.int32()),
-            ("epoch", pa.int64()),
-        ]
-    )
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.large_binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("url", pa.string()),
+        ("url_hash", pa.binary()),
+        ("shard", pa.int32()),
+        ("epoch", pa.int64()),
+    ]
+)
 
-    def gate_and_offer(tbl: pa.Table) -> pa.Table:
-        empty = payload_schema.empty_table()
+
+def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
+    """Decode + phash each fetched row, canonicalize its outlinks, stream
+    the (digest, phash, meta, links) tuples to the owning shard actor
+    (gate_submit — idempotent by digest), and emit the payload row. The
+    near-dup gate itself runs AFTER the pipeline (gate_finalize) in
+    deterministic frontier order; payload rows of suppressed pages are
+    filtered at read time via the suppressed sidecar."""
+
+    def decode_submit(tbl: pa.Table) -> pa.Table:
+        empty = PAYLOAD_SCHEMA.empty_table()
         if not keep_bytes:
             empty = empty.drop_columns(["bytes"])
         if tbl.num_rows == 0:
             return empty
-        shard = tbl["shard"][0].as_py()
-        digests = tbl["url_hash"].to_pylist()
-        meta = list(
-            zip(
-                tbl["url"].to_pylist(),
-                tbl["host"].to_pylist(),
-                tbl["priority"].to_pylist(),
-                tbl["depth"].to_pylist(),
-                tbl["discovered_at"].to_pylist(),
-            )
-        )
-        kept = ray.get(
-            actors[shard].gate.remote(epoch, digests, tbl["phash"].to_pylist(), meta)
-        )
-        mask = pa.array([d in kept for d in digests])
-        kept_tbl = tbl.filter(mask)
+        tbl = decode_batch(tbl)
 
-        # link extraction + canonicalization + local min-depth combine
-        best: dict[str, int] = {}
-        for base, depth, links in zip(
-            kept_tbl["url"].to_pylist(),
-            kept_tbl["depth"].to_pylist(),
-            kept_tbl["outlinks"].to_pylist(),
+        per_shard: dict[int, tuple[list, list, list, list]] = {}
+        for url, digest, host, shard, pri, depth, disc, ph, links in zip(
+            tbl["url"].to_pylist(),
+            tbl["url_hash"].to_pylist(),
+            tbl["host"].to_pylist(),
+            tbl["shard"].to_pylist(),
+            tbl["priority"].to_pylist(),
+            tbl["depth"].to_pylist(),
+            tbl["discovered_at"].to_pylist(),
+            tbl["phash"].to_pylist(),
+            tbl["outlinks"].to_pylist(),
         ):
+            canon: dict[str, tuple] = {}
             for raw in links or ():
-                cu = canonicalize_url(raw, base=base)
-                nd = depth + 1
-                if cu not in best or nd < best[cu]:
-                    best[cu] = nd
-        buckets: dict[int, list[tuple]] = {}
-        for u in sorted(best):
-            d = url_sha1(u)
-            h = host_of(u)
-            buckets.setdefault(shard_of_host(h, num_shards), []).append(
-                (u, d, h, priority_of(d), best[u])
-            )
-        offer_refs = [
-            actors[dst].offer.remote(
-                (epoch, shard),
-                [r[0] for r in rows],
-                [r[1] for r in rows],
-                [r[2] for r in rows],
-                [r[3] for r in rows],
-                [r[4] for r in rows],
-                epoch + 1,
-            )
-            for dst, rows in buckets.items()
-        ]
-        if offer_refs:
-            ray.get(offer_refs)
+                cu = canonicalize_url(raw, base=url)
+                if cu not in canon:
+                    d = url_sha1(cu)
+                    canon[cu] = (cu, d, host_of(cu), priority_of(d))
+            b = per_shard.setdefault(shard, ([], [], [], []))
+            b[0].append(digest)
+            b[1].append(ph)
+            b[2].append((url, host, pri, depth, disc))
+            b[3].append(list(canon.values()))
+        ray.get(
+            [
+                actors[s].gate_submit.remote(epoch, dg, phs, meta, lnk)
+                for s, (dg, phs, meta, lnk) in per_shard.items()
+            ]
+        )
 
         out = pa.table(
             {
-                "image_id": kept_tbl["image_id"],
-                "bytes": kept_tbl["bytes"],
-                "w": kept_tbl["w"],
-                "h": kept_tbl["h"],
-                "fmt": kept_tbl["fmt"],
-                "caption": kept_tbl["caption"],
-                "phash": kept_tbl["phash"],
-                "url": kept_tbl["url"],
-                "url_hash": kept_tbl["url_hash"],
-                "shard": kept_tbl["shard"],
-                "epoch": pa.array([epoch] * kept_tbl.num_rows, pa.int64()),
+                "image_id": tbl["image_id"],
+                "bytes": tbl["bytes"],
+                "w": tbl["w"],
+                "h": tbl["h"],
+                "fmt": tbl["fmt"],
+                "caption": tbl["caption"],
+                "phash": tbl["phash"],
+                "url": tbl["url"],
+                "url_hash": tbl["url_hash"],
+                "shard": tbl["shard"],
+                "epoch": pa.array([epoch] * tbl.num_rows, pa.int64()),
             },
-            schema=payload_schema,
+            schema=PAYLOAD_SCHEMA,
         )
         if not keep_bytes:
             out = out.drop_columns(["bytes"])
         return out
 
-    return gate_and_offer
+    return decode_submit
 
 
 def _checkpoint_all(actors, ckpt_dir: str, epoch: int) -> None:
@@ -330,8 +368,30 @@ def _checkpoint_all(actors, ckpt_dir: str, epoch: int) -> None:
 
 
 def read_payload(out_dir: str):
-    """The crawl's output payload as a Dataset (all epochs)."""
-    return ray.data.read_parquet(os.path.join(out_dir, "payload"))
+    """The crawl's output payload as a Dataset (all epochs), with near-dup
+    suppressed rows filtered out via the (tiny) suppressed sidecars —
+    broadcast once, applied as a vectorized anti-filter per batch."""
+    ds = ray.data.read_parquet(os.path.join(out_dir, "payload"))
+    sup_dir = os.path.join(out_dir, "suppressed")
+    suppressed: set[bytes] = set()
+    if os.path.isdir(sup_dir):
+        import pyarrow.parquet as _pq
+
+        for f in sorted(os.listdir(sup_dir)):
+            if f.endswith(".parquet"):
+                suppressed.update(
+                    _pq.read_table(os.path.join(sup_dir, f))["url_hash"].to_pylist()
+                )
+    if not suppressed:
+        return ds
+    ref = ray.put(suppressed)
+
+    def drop_suppressed(t: pa.Table) -> pa.Table:
+        sup = ray.get(ref)
+        mask = pa.array([d not in sup for d in t["url_hash"].to_pylist()])
+        return t.filter(mask)
+
+    return ds.map_batches(drop_suppressed, batch_format="pyarrow")
 
 
 def collect_fetch_log(actors_or_stats, out_dir: str | None = None) -> list[dict]:

@@ -36,6 +36,17 @@ import pyarrow.parquet as pq
 
 from ..core.politeness import HostPoliteness, RobotsCache
 from ..core.sketches import SeenSet, PhashIndex
+from ..core.urltools import shard_of_host
+
+_SHARD_CACHE: dict[tuple, int] = {}
+
+
+def _shard_of_host_cached(host: str, num_shards: int) -> int:
+    key = (host, num_shards)
+    v = _SHARD_CACHE.get(key)
+    if v is None:
+        v = _SHARD_CACHE[key] = shard_of_host(host, num_shards)
+    return v
 
 POP_SCHEMA = pa.schema(
     [
@@ -57,12 +68,14 @@ class FrontierShard:
         epoch_seconds: float = 2.0,
         expected_urls: int = 1 << 14,
         phash_radius: int = 2,
+        burst: float = 8.0,
     ):
         self.shard_id = shard_id
         self.epoch_seconds = epoch_seconds
         self.expected_urls = expected_urls
+        self.burst = burst
         self.seen = SeenSet(expected_urls)
-        self.politeness = HostPoliteness(epoch_seconds)
+        self.politeness = HostPoliteness(epoch_seconds, burst)
         self.robots = RobotsCache()
         self.phash = PhashIndex(phash_radius)
         # host → heap of (negpri, depth, discovered_at, digest, url)
@@ -74,7 +87,8 @@ class FrontierShard:
         # url → (digest, host, priority, min_depth, discovered_at)
         self.pending: dict[str, tuple] = {}
         self._offer_memo: dict = {}
-        self._gate_memo: dict[int, set[bytes]] = {}
+        self._gate_memo: dict[int, tuple] = {}
+        self._gate_buf: dict[int, dict[bytes, tuple]] = {}
         self._popped: pa.Table | None = None
 
     # ------------------------------------------------------------- enqueue
@@ -170,45 +184,99 @@ class FrontierShard:
         t = self._popped if self._popped is not None else POP_SCHEMA.empty_table()
         return t
 
+    def n_pop_chunks(self, chunk_rows: int) -> int:
+        """Number of ``chunk_rows``-sized slices of the current pop table.
+        The driver turns each slice into one Ray Data block, so fetch
+        parallelism is (total popped / chunk_rows), not num_shards."""
+        n = self._popped.num_rows if self._popped is not None else 0
+        return (n + chunk_rows - 1) // chunk_rows
+
+    def take_popped_chunk(self, j: int, chunk_rows: int) -> pa.Table:
+        t = self.take_popped()
+        return t.slice(j * chunk_rows, chunk_rows)
+
     def frontier_size(self) -> int:
         return sum(len(q) for q in self.host_q.values())
 
     # ---------------------------------------------------------------- gate
-    def gate(
+    #
+    # Two-phase, shuffle-free protocol:
+    #   * decode tasks call ``gate_submit`` DURING the epoch pipeline with
+    #     each fetched row's (digest, phash, meta, canonical outlinks) —
+    #     tiny data, idempotent by digest (task replay re-submits identical
+    #     content), arrival order irrelevant;
+    #   * after the pipeline the driver calls ``gate_finalize`` ONCE: rows
+    #     are sorted into frontier order, the phash Hamming gate runs, and
+    #     the surviving rows' outlinks are bucketed by target shard and
+    #     returned (the driver routes them to peers' pending buffers).
+    # Payload bytes never pass through the gate — the pipeline writes them
+    # straight to the epoch's parquet; near-dup rows are filtered at read
+    # time via the (tiny) suppressed-digest sidecar the driver persists.
+    def gate_submit(
         self,
         epoch: int,
         digests: list[bytes],
         phashes: list[int],
         meta: list[tuple],
-    ) -> set[bytes]:
-        """phash near-dup gate. ``meta`` rows are (url, host, priority,
-        depth, discovered_at) aligned with ``digests``; rows MUST arrive
-        sorted in frontier order (the caller sorts; this shard re-asserts).
-        Returns the set of digests that survive."""
+        links: list[list[tuple]],
+    ) -> int:
+        buf = self._gate_buf.setdefault(epoch, {})
+        for d, p, m, ls in zip(digests, phashes, meta, links):
+            buf[d] = (p, m, ls)
+        return len(buf)
+
+    def gate_finalize(self, epoch: int, num_shards: int):
+        """Run the ordered phash gate over this epoch's submitted rows.
+
+        Returns (kept_count, suppressed_digests, {dst_shard: offer_tuple})
+        where offer_tuple = (urls, digests, hosts, priorities, depths) for
+        the driver to route to ``offer`` on each target shard."""
         if epoch in self._gate_memo:
             return self._gate_memo[epoch]
+        buf = self._gate_buf.pop(epoch, {})
         order = sorted(
-            range(len(digests)),
-            key=lambda i: (-meta[i][2], meta[i][3], meta[i][4], digests[i]),
+            buf.items(), key=lambda kv: (-kv[1][1][2], kv[1][1][3], kv[1][1][4], kv[0])
         )
-        kept: set[bytes] = set()
-        for i in order:
-            url, host, pri, depth, disc = meta[i]
-            if self.phash.query(phashes[i]) is not None:
+        suppressed: list[bytes] = []
+        best: dict[str, tuple] = {}  # canonical url → (digest,host,pri,min depth)
+        kept = 0
+        for digest, (ph, m, ls) in order:
+            url, host, pri, depth, disc = m
+            if self.phash.query(ph) is not None:
                 self.metrics["phash_suppressed"] += 1
                 self.log.append(
-                    self._logrow(epoch, url, digests[i], host, pri, depth, disc,
+                    self._logrow(epoch, url, digest, host, pri, depth, disc,
                                  "dup_suppressed")
                 )
+                suppressed.append(digest)
                 continue
-            self.phash.add(phashes[i])
+            self.phash.add(ph)
             self.metrics["fetched"] += 1
+            kept += 1
             self.log.append(
-                self._logrow(epoch, url, digests[i], host, pri, depth, disc, "fetched")
+                self._logrow(epoch, url, digest, host, pri, depth, disc, "fetched")
             )
-            kept.add(digests[i])
-        self._gate_memo[epoch] = kept
-        return kept
+            for lu, ld, lh, lp in ls:  # (url, digest, host, priority)
+                nd = depth + 1
+                cur = best.get(lu)
+                if cur is None or nd < cur[3]:
+                    best[lu] = (ld, lh, lp, nd)
+        offers: dict[int, tuple] = {}
+        by_dst: dict[int, list[str]] = {}
+        for u in sorted(best):
+            dst = _shard_of_host_cached(best[u][1], num_shards)
+            by_dst.setdefault(dst, []).append(u)
+        for dst, urls in by_dst.items():
+            offers[dst] = (
+                urls,
+                [best[u][0] for u in urls],
+                [best[u][1] for u in urls],
+                [best[u][2] for u in urls],
+                [best[u][3] for u in urls],
+            )
+        result = (kept, suppressed, offers)
+        self._gate_memo[epoch] = result
+        return result
 
     def _logrow(self, epoch, url, digest, host, pri, depth, disc, status) -> dict:
         return dict(
@@ -293,6 +361,7 @@ class FrontierShard:
         manifest = dict(
             shard=self.shard_id,
             epoch=epoch,
+            burst=self.burst,
             metrics=self.get_metrics(),
             tokens={h: b.tokens for h, b in self.politeness.buckets.items()},
             robots={h: list(r) for h, r in self.robots.rules.items()},
@@ -319,7 +388,8 @@ class FrontierShard:
         d = os.path.join(ckpt_dir, f"epoch={epoch}", f"shard={shard_id}")
         with open(os.path.join(d, "manifest.json")) as f:
             manifest = json.load(f)
-        self = cls(shard_id, manifest["epoch_seconds"], expected_urls, phash_radius)
+        self = cls(shard_id, manifest["epoch_seconds"], expected_urls, phash_radius,
+                   manifest.get("burst", 8.0))
         npz = np.load(os.path.join(d, "sketches.npz"))
         with open(os.path.join(d, "exact_seen.bin"), "rb") as f:
             exact = f.read()

@@ -164,33 +164,30 @@ def top_revenue_orders(sf_dir: str):
         )
 
     # partial per-order pre-aggregation happens inside Ray's hash aggregate;
-    # join is the built-in hash-partitioned Dataset.join
+    # then LIMIT is pushed below the join: only the top-10 aggregate rows
+    # are joined (broadcast lookup) — never a full-table shuffle join
     rev = (
         li.map_batches(disc, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
-    orders = table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = rev.join(
-        orders, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderkey": t["l_orderkey"],
-                "revenue": pc.divide(
-                    pc.cast(t["rev_c"], pa.float64()), pa.scalar(100.0)
-                ),
-                "o_orderpriority": t["o_orderpriority"],
-            }
-        )
-
-    return (
-        joined.map_batches(proj, batch_format="pyarrow")
-        .sort([("revenue"), ("o_orderkey")], descending=[True, False])
+    top = (
+        rev.sort([("rev_c"), ("l_orderkey")], descending=[True, False])
         .limit(10)
+        .to_pandas()
+    )
+    keys = set(top["l_orderkey"])
+    pri = (
+        table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .filter(expr=f"o_orderkey in {sorted(keys)}")
+        .to_pandas()
+    )
+    out = top.merge(pri, left_on="l_orderkey", right_on="o_orderkey")
+    out["revenue"] = out["rev_c"].astype("float64") / 100.0
+    return (
+        out[["o_orderkey", "revenue", "o_orderpriority"]]
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True])
+        .reset_index(drop=True)
     )
 
 

@@ -71,6 +71,7 @@ def oracle_crawl(
     num_shards: int = 4,
     epoch_seconds: float = 2.0,
     phash_radius: int = 2,
+    burst: float = BURST,
 ) -> OracleResult:
     res = OracleResult()
     seen: dict[int, set[bytes]] = {s: set() for s in range(num_shards)}
@@ -114,7 +115,7 @@ def oracle_crawl(
     epoch = 0
     while epoch < max_epochs and frontier:
         for h in tokens:
-            tokens[h] = min(BURST, tokens[h] + host_rate(h) * epoch_seconds)
+            tokens[h] = min(burst, tokens[h] + host_rate(h) * epoch_seconds)
         frontier.sort(key=order_key)
         selected: list[dict] = []
         remaining: list[dict] = []
@@ -124,7 +125,7 @@ def oracle_crawl(
                 remaining.append(item)
                 continue
             if item["host"] not in tokens:
-                tokens[item["host"]] = BURST
+                tokens[item["host"]] = burst
             if tokens[item["host"]] >= 1.0:
                 tokens[item["host"]] -= 1.0
                 selected.append(item)

@@ -29,7 +29,7 @@ def engine(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("crawl") / "out")
     cfg = CrawlConfig(
         web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=EPOCHS,
-        fetch_concurrency=2, decode_concurrency=2,
+        collect_parity_outputs=True,
     )
     stats = run_crawl(cfg, seed_urls(WEB))
     payload = read_payload(out).to_pandas()

@@ -75,36 +75,49 @@ def test_pop_ordering_and_politeness():
     assert s.frontier_size() == 12
 
 
-def test_gate_memo_and_order():
+def test_gate_submit_finalize():
     s = FrontierShard(0)
     digests = [bytes([i]) * 20 for i in range(3)]
     phashes = [0, 1, 0x0F0F0F0F0F0F0F0F]  # 0↔1 near-dups; third is distance 32
-    meta = [(f"http://h/{i}", "h", 5, 0, 0) for i in range(3)]
-    kept = s.gate(0, digests, phashes, meta)
-    assert kept == {digests[0], digests[2]}
+    meta = [(f"http://h1.web.test/p/{i}", "h1.web.test", 5, 0, 0) for i in range(3)]
+    links = [[], [], [("http://h2.web.test/p/9", bytes(20), "h2.web.test", 3)]]
+    # submits may arrive in any order / duplicated (task replay)
+    s.gate_submit(0, digests[1:], phashes[1:], meta[1:], links[1:])
+    s.gate_submit(0, digests[:1], phashes[:1], meta[:1], links[:1])
+    s.gate_submit(0, digests[1:2], phashes[1:2], meta[1:2], links[1:2])
+    kept, suppressed, offers = s.gate_finalize(0, num_shards=4)
+    assert kept == 2
+    assert suppressed == [digests[1]]  # ordered gate: digest 0 wins, 1 near-dup
     assert s.metrics["phash_suppressed"] == 1
-    assert s.gate(0, digests, phashes, meta) == kept  # replay-safe
+    # surviving row 2's outlink routed to its host shard
+    (dst, (urls, digs, hosts, pris, depths)), = offers.items()
+    assert urls == ["http://h2.web.test/p/9"] and depths == [1]
+    # replay-safe: second finalize returns the memoized result
+    assert s.gate_finalize(0, num_shards=4) == (kept, suppressed, offers)
 
 
 def test_checkpoint_restore_roundtrip(tmp_path):
     s = FrontierShard(2, epoch_seconds=2.0)
     _offer(s, 0, [f"http://h1.web.test/p/{i}" for i in range(10)])
     s.pop(0)
-    s.gate(
+    t = s.take_popped()
+    s.gate_submit(
         0,
-        s.take_popped()["url_hash"].to_pylist(),
-        [0xFF << (8 * i) for i in range(s.take_popped().num_rows)],
+        t["url_hash"].to_pylist(),
+        [0xFF << (8 * i) for i in range(t.num_rows)],
         [
             (u, h, p, d, da)
             for u, h, p, d, da in zip(
-                s.take_popped()["url"].to_pylist(),
-                s.take_popped()["host"].to_pylist(),
-                s.take_popped()["priority"].to_pylist(),
-                s.take_popped()["depth"].to_pylist(),
-                s.take_popped()["discovered_at"].to_pylist(),
+                t["url"].to_pylist(),
+                t["host"].to_pylist(),
+                t["priority"].to_pylist(),
+                t["depth"].to_pylist(),
+                t["discovered_at"].to_pylist(),
             )
         ],
+        [[] for _ in range(t.num_rows)],
     )
+    s.gate_finalize(0, num_shards=4)
     ck = str(tmp_path / "ckpt")
     manifest = s.checkpoint(ck, epoch=0)
     assert manifest["metrics"]["fetched"] == 8

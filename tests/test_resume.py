@@ -17,7 +17,7 @@ def _run(ray_session, out, max_epochs, saving_period=3, resume=False):
 
     cfg = CrawlConfig(
         web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=max_epochs,
-        saving_period=saving_period, fetch_concurrency=2, decode_concurrency=2,
+        saving_period=saving_period, collect_parity_outputs=True,
     )
     return run_crawl(cfg, seed_urls(WEB), resume=resume)
 
