@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+import ray.data
 from ray.data.aggregate import Count, Min
 
 from .common import table
@@ -118,6 +119,27 @@ def minhash_lsh_candidates(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 2))
 
+    # Almost every LSH bucket is a singleton; pairing work only exists in
+    # buckets with ≥2 members. A cheap counting aggregate finds those keys,
+    # which are broadcast as a filter before the (now tiny) pair-expansion
+    # groupby — the shuffle moves only multi-member buckets.
+    bands = bands.materialize()  # (band, band_hash, doc_id) rows — small
+    multi = (
+        bands.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n >= 2")
+        .to_pandas()
+    )
+    multi_keys = set(zip(multi["band"], multi["band_hash"]))
+    keys_ref = ray.put(multi_keys)
+
+    def keep_multi(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        mask = [
+            (b, h) in keys for b, h in zip(df["band"], df["band_hash"])
+        ]
+        return df[mask]
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())
         out = {"a": [], "b": []}
@@ -128,16 +150,30 @@ def minhash_lsh_candidates(sf_dir: str):
         return pd.DataFrame(out)
 
     pairs = (
-        bands.groupby(["band", "band_hash"])
+        bands.map_batches(keep_multi, batch_format="pandas")
+        .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
-    # verify candidates with exact Jaccard (docs fetched via broadcast of the
-    # candidate doc texts — candidate set is small by construction)
-    docs = {r["doc_id"]: r["text"] for r in
-            table(sf_dir, "documents", ["doc_id", "text"]).take_all()}
+    # verify candidates with exact Jaccard. Only the texts of candidate
+    # docs are loaded and broadcast (candidate set is small by
+    # construction — never the full corpus).
+    cand = pairs.to_pandas()
+    cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
+    if not cand_ids:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    docs_df = (
+        table(sf_dir, "documents", ["doc_id", "text"])
+        .filter(expr=f"doc_id in {cand_ids}")
+        .to_pandas()
+    )
+    docs = dict(zip(docs_df["doc_id"], docs_df["text"]))
     ref = ray.put(docs)
+    pairs = ray.data.from_pandas(cand)
 
     class Verify:
         def __init__(self, ref):

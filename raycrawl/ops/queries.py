@@ -95,14 +95,25 @@ def pricing_summary(sf_dir: str):
             }
         )
 
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combiner: collapse each batch to ≤6 rows before the
+        # shuffle (the groupby then moves a handful of rows per block)
+        return pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
+             ("qty_c", "count")]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_c", "base_c", "disc_c", "n_part"]
+        )
+
     agg = (
         ds.map_batches(to_cents, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty_c", alias_name="qty_c"),
             Sum("base_c", alias_name="base_c"),
             Sum("disc_c", alias_name="disc_c"),
-            Count(alias_name="n"),
+            Sum("n_part", alias_name="n"),
         )
     )
 
@@ -166,8 +177,16 @@ def top_revenue_orders(sf_dir: str):
     # partial per-order pre-aggregation happens inside Ray's hash aggregate;
     # then LIMIT is pushed below the join: only the top-10 aggregate rows
     # are joined (broadcast lookup) — never a full-table shuffle join
+    def partial(t: pa.Table) -> pa.Table:
+        # lineitem rows of one order are adjacent → a per-batch combine
+        # shrinks the shuffle ~4x before the global aggregate
+        return pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("rev_c", "sum")]
+        ).rename_columns(["l_orderkey", "rev_c"])
+
     rev = (
         li.map_batches(disc, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
