@@ -130,7 +130,7 @@ def image_feature_extract(sf_dir: str):
     from ..stages.multimodal import ImageFeatures
 
     return _payload_images(sf_dir).map_batches(
-        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
     )
 
 
@@ -141,7 +141,7 @@ def image_resize_32(sf_dir: str):
     return (
         _payload_images(sf_dir)
         .map_batches(ImageResize, fn_constructor_args=(32, 32),
-                     batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+                     batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
         .drop_columns(["bytes"])
     )
 
@@ -167,7 +167,7 @@ def video_frame_sample_phash(sf_dir: str):
 
     return ds.map_batches(build, batch_format="pyarrow", batch_size=64).map_batches(
         FrameSampler, fn_constructor_args=(2,), batch_format="pyarrow",
-        batch_size=32, concurrency=(1, 2),
+        batch_size=32, concurrency=(1, 8),
     )
 
 
@@ -191,5 +191,5 @@ def audio_feature_extract(sf_dir: str):
         )
 
     return ds.map_batches(build, batch_format="pyarrow", batch_size=128).map_batches(
-        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
     )

@@ -117,7 +117,7 @@ def minhash_lsh_candidates(sf_dir: str):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket, verified
     by exact shingle-Jaccard ≥ 0.5, deduplicated across bands."""
     ds = table(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 2))
+    bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 8))
 
     # Almost every LSH bucket is a singleton; pairing work only exists in
     # buckets with ≥2 members. A cheap counting aggregate finds those keys,
@@ -191,7 +191,7 @@ def minhash_lsh_candidates(sf_dir: str):
             return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
 
     return pairs.map_batches(Verify, fn_constructor_args=(ref,),
-                             batch_format="pandas", concurrency=(1, 2))
+                             batch_format="pandas", concurrency=(1, 8))
 
 
 # --------------------------------------------------------------------------
@@ -226,7 +226,7 @@ def simhash_dedup_groups(sf_dir: str):
             return pd.DataFrame({"doc_id": df["doc_id"], "simhash": hashes})
 
     return (
-        ds.map_batches(SimHash, batch_format="pandas", concurrency=(1, 2))
+        ds.map_batches(SimHash, batch_format="pandas", concurrency=(1, 8))
         .groupby("simhash")
         .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="group_size"))
     )

@@ -171,7 +171,7 @@ def tfidf_top_terms(sf_dir: str, max_features: int = 26):
             )
 
     return ds.map_batches(TfIdf, fn_constructor_args=(ref,), batch_format="pandas",
-                          concurrency=(1, 2))
+                          concurrency=(1, 8))
 
 
 # --------------------------------------------------------------------------
@@ -227,5 +227,5 @@ def model_score_embeddings(sf_dir: str):
 
     return table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         ModelScorer, fn_constructor_args=(model_path,), batch_format="pandas",
-        batch_size=100, concurrency=(1, 2),
+        batch_size=100, concurrency=(1, 8),
     )

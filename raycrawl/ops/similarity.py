@@ -82,7 +82,7 @@ def ann_bruteforce_topk(sf_dir: str):
             return pd.concat(out, ignore_index=True)
 
     scored = table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        Score, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 2)
+        Score, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 8)
     )
 
     # per-query top-k: sort within the (tiny) per-qid groups
@@ -139,7 +139,7 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 8):
             return pd.concat(out, ignore_index=True)
 
     scored = table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        BucketScore, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 2)
+        BucketScore, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 8)
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:

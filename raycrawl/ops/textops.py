@@ -217,7 +217,7 @@ def doc_quality_scores(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 2))
+    return ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 8))
 
 
 # --------------------------------------------------------------------------

@@ -170,7 +170,7 @@ def gender_dict_vote_counts(sf_dir: str):
 
     return (
         ds.map_batches(Vote, fn_constructor_args=(ref,), batch_format="pandas",
-                       concurrency=(1, 2))
+                       concurrency=(1, 8))
         .groupby("gender")
         .aggregate(Count(alias_name="n"))
     )
@@ -245,7 +245,7 @@ def location_normalize_counts(sf_dir: str):
     return (
         table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
         .map_batches(Normalize, fn_constructor_args=(ref,), batch_format="pandas",
-                     concurrency=(1, 2))
+                     concurrency=(1, 8))
         .groupby("normalized")
         .aggregate(Count(alias_name="n"))
     )
@@ -299,7 +299,7 @@ def propagate_labels(
         counts = (
             edges.map_batches(
                 AttachVote, fn_constructor_args=(ref, seed_ref),
-                batch_format="pyarrow", concurrency=(1, 2),
+                batch_format="pyarrow", concurrency=(1, 8),
             )
             .groupby(["src", "dst_label"])
             .aggregate(Count(alias_name="v"))

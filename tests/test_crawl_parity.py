@@ -93,3 +93,22 @@ def test_dup_suppression_happened(oracle):
     # the synthetic web injects near-dups; the gate must actually fire
     assert any(r["status"] == "dup_suppressed" for r in oracle.fetch_log)
     assert any(r["status"] == "robots_denied" for r in oracle.fetch_log)
+
+
+def test_parity_nondefault_config(ray_session, tmp_path):
+    """Oracle parity must hold for non-default shards/burst/epoch_seconds
+    (exercises the burst wiring end-to-end)."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=5, pages_per_host=12)
+    o = oracle_crawl(web, seed_urls(web), max_epochs=25, num_shards=2,
+                     epoch_seconds=4.0, burst=16.0)
+    cfg = CrawlConfig(
+        web=web, out_dir=str(tmp_path / "out"), num_shards=2, max_epochs=25,
+        epoch_seconds=4.0, burst=16.0, collect_parity_outputs=True,
+    )
+    stats = run_crawl(cfg, seed_urls(web))
+    assert _sort_log(o.fetch_log) == _sort_log(stats.fetch_log)
+    assert {s: sorted(v) for s, v in o.seen.items()} == {
+        s: sorted(v) for s, v in stats.seen.items()
+    }

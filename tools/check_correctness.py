@@ -60,7 +60,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
                 if not np.allclose(a[c], b[c], rtol=0, atol=0, equal_nan=True):
                     problems.append(f"values differ in {c}")
             else:
-                if not (a[c].values == b[c].values).all():
+                # Series.equals treats NaT/NaN as equal (like the driver's
+                # value-hash of nulls); bare == would not
+                if not a[c].reset_index(drop=True).equals(
+                    b[c].reset_index(drop=True)
+                ):
                     problems.append(f"values differ in {c}")
     return problems
 
