@@ -1,0 +1,87 @@
+"""CLI entry point — the ``ray job submit`` surface of the crawl engine.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- python -m raycrawl crawl \
+        --out /data/crawl-run-1 --hosts 1024 --pages-per-host 100 \
+        --shards 256 --max-epochs 500 --resume
+
+In this sandbox the same command runs against a local ``ray.init`` (the
+only script in the repo that owns a Ray session besides bench.py and the
+test fixture).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="raycrawl")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the crawl engine")
+    c.add_argument("--out", default="/tmp/raycrawl_job")
+    c.add_argument("--hosts", type=int, default=64)
+    c.add_argument("--pages-per-host", type=int, default=20)
+    c.add_argument("--shards", type=int, default=8)
+    c.add_argument("--max-epochs", type=int, default=100)
+    c.add_argument("--epoch-seconds", type=float, default=30.0)
+    c.add_argument("--burst", type=float, default=8.0)
+    c.add_argument("--saving-period", type=int, default=10)
+    c.add_argument("--seeds", type=int, default=None,
+                   help="number of seed hosts (default: all)")
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.add_argument("--no-bytes", action="store_true",
+                   help="drop payload bytes from the sink")
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=args.hosts, pages_per_host=args.pages_per_host)
+    cfg = CrawlConfig(
+        web=web,
+        out_dir=args.out,
+        num_shards=args.shards,
+        max_epochs=args.max_epochs,
+        epoch_seconds=args.epoch_seconds,
+        burst=args.burst,
+        saving_period=args.saving_period,
+        keep_bytes_in_payload=not args.no_bytes,
+    )
+    stats = run_crawl(cfg, seed_urls(web, args.seeds), resume=args.resume)
+    print(
+        json.dumps(
+            {
+                "epochs": stats.epochs,
+                "payload_rows": stats.payload_rows,
+                "out_dir": stats.out_dir,
+                "metrics": stats.metrics,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,4 +12,5 @@ from . import similarity  # noqa: F401
 from . import crawlq  # noqa: F401
 from . import scoring  # noqa: F401
 from . import temporal  # noqa: F401
+from . import setops  # noqa: F401
 from ..pipelines import reference_analogs  # noqa: F401

@@ -1,0 +1,78 @@
+"""Set / distinct / union / per-group-top-k operators (SURVEY §2.6-2.7)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+from ray.data.aggregate import Count
+
+from .common import table
+from .queries import register
+
+
+# ds.unique — distinct values of a column (a shuffle)
+@register(
+    "distinct_langs",
+    sql="SELECT DISTINCT lang FROM documents",
+)
+def distinct_langs(sf_dir: str):
+    vals = table(sf_dir, "documents", ["lang"]).unique("lang")
+    return pd.DataFrame({"lang": sorted(vals)})
+
+
+# ds.union — D2/D3 analog: two sources unioned then aggregated
+@register(
+    "union_name_initials",
+    sql="""
+    SELECT substr(name, 1, 1) AS initial, count(*) AS n FROM (
+      SELECT c_name AS name FROM customer
+      UNION ALL
+      SELECT s_name AS name FROM supplier)
+    GROUP BY 1
+    """,
+)
+def union_name_initials(sf_dir: str):
+    cust = table(sf_dir, "customer", ["c_name"]).map_batches(
+        lambda t: pa.table({"name": t["c_name"]}), batch_format="pyarrow"
+    )
+    sup = table(sf_dir, "supplier", ["s_name"]).map_batches(
+        lambda t: pa.table({"name": t["s_name"]}), batch_format="pyarrow"
+    )
+
+    def initial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"initial": pc.utf8_slice_codeunits(t["name"], 0, 1)})
+
+    return (
+        cust.union(sup)
+        .map_batches(initial, batch_format="pyarrow")
+        .groupby("initial")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# per-group top-k (A4 family): each user's top-2 events by value
+@register(
+    "top2_events_per_user",
+    sql="""
+    SELECT user_id, event_id, ROUND(value, 2) AS value, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events)
+    WHERE rnk <= 2
+    """,
+)
+def top2_events_per_user(sf_dir: str):
+    ds = table(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
+        g = g.reset_index(drop=True)
+        g["rnk"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        g["value"] = g["value"].round(2)
+        return g[["user_id", "event_id", "value", "rnk"]]
+
+    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
