@@ -59,6 +59,7 @@ from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
 from .core.webgraph import WebConfig, priority_of
 from .frontier.shard import FrontierShard
 from .stages.fetch import fetch_batch, decode_batch
+from .io import lancelike
 
 PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
                 "url", "url_hash", "shard", "epoch"]
@@ -231,7 +232,10 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
             batch_format="pyarrow",
             batch_size=chunk,
         )
-        pipeline.write_parquet(os.path.join(payload_dir, f"epoch={epoch}"))
+        # payload sink: Lance when the library is present, parquet fallback
+        lancelike.write_ray_dataset(
+            pipeline, os.path.join(payload_dir, f"epoch={epoch}")
+        )
 
         # ordered phash gate + frontier merge (meta only; offers routed as
         # object refs between actors, never materialized on the driver)
@@ -243,11 +247,10 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
         )
         offer_refs = []
         for src, (_, _, offers) in enumerate(finals):
-            for dst, (urls, digs, hosts, pris, depths) in offers.items():
+            for dst, packed_ref in offers.items():
                 offer_refs.append(
-                    actors[dst].offer.remote(
-                        (epoch, src), urls, digs, hosts, pris, depths, epoch + 1
-                    )
+                    actors[dst].offer_packed.remote((epoch, src), packed_ref,
+                                                    epoch + 1)
                 )
         if offer_refs:
             ray.get(offer_refs)
@@ -371,7 +374,7 @@ def read_payload(out_dir: str):
     """The crawl's output payload as a Dataset (all epochs), with near-dup
     suppressed rows filtered out via the (tiny) suppressed sidecars —
     broadcast once, applied as a vectorized anti-filter per batch."""
-    ds = ray.data.read_parquet(os.path.join(out_dir, "payload"))
+    ds = lancelike.read_ray_dataset(os.path.join(out_dir, "payload"))
     sup_dir = os.path.join(out_dir, "suppressed")
     suppressed: set[bytes] = set()
     if os.path.isdir(sup_dir):

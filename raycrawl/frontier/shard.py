@@ -41,6 +41,20 @@ from ..core.urltools import shard_of_host
 _SHARD_CACHE: dict[tuple, int] = {}
 
 
+def _put_offer(payload):
+    """Place an offer payload in the Ray object store when running inside
+    Ray (store-to-store transfer to the target shard); fall back to the
+    raw value in plain-Python unit tests."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return ray.put(payload)
+    except ImportError:
+        pass
+    return payload
+
+
 def _shard_of_host_cached(host: str, num_shards: int) -> int:
     key = (host, num_shards)
     v = _SHARD_CACHE.get(key)
@@ -119,6 +133,15 @@ class FrontierShard:
                 self.pending[url] = (digest, host, pri, depth, discovered_at)
         self._offer_memo[offer_key] = len(urls)
         return len(urls)
+
+    def offer_packed(self, offer_key, packed, discovered_at: int) -> int:
+        """``offer`` with the five column lists packed into one object —
+        the driver passes the ObjectRef a peer's ``gate_finalize`` returned
+        and Ray dereferences it on arrival (no driver materialization)."""
+        urls, digests, hosts, priorities, depths = packed
+        return self.offer(
+            offer_key, urls, digests, hosts, priorities, depths, discovered_at
+        )
 
     def _merge_pending(self) -> None:
         """Seen-check + robots-check + enqueue the pending buffer
@@ -267,13 +290,17 @@ class FrontierShard:
             dst = _shard_of_host_cached(best[u][1], num_shards)
             by_dst.setdefault(dst, []).append(u)
         for dst, urls in by_dst.items():
-            offers[dst] = (
+            payload = (
                 urls,
                 [best[u][0] for u in urls],
                 [best[u][1] for u in urls],
                 [best[u][2] for u in urls],
                 [best[u][3] for u in urls],
             )
+            # offers travel as object refs: the driver routes only the ref;
+            # the data moves store-to-store when the target actor receives
+            # it as a (top-level, auto-dereferenced) task argument
+            offers[dst] = _put_offer(payload)
         result = (kept, suppressed, offers)
         self._gate_memo[epoch] = result
         return result

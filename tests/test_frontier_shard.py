@@ -90,7 +90,18 @@ def test_gate_submit_finalize():
     assert suppressed == [digests[1]]  # ordered gate: digest 0 wins, 1 near-dup
     assert s.metrics["phash_suppressed"] == 1
     # surviving row 2's outlink routed to its host shard
-    (dst, (urls, digs, hosts, pris, depths)), = offers.items()
+    def _deref(x):
+        try:
+            import ray
+
+            if isinstance(x, ray.ObjectRef):
+                return ray.get(x)
+        except ImportError:
+            pass
+        return x
+
+    (dst, packed), = offers.items()
+    urls, digs, hosts, pris, depths = _deref(packed)
     assert urls == ["http://h2.web.test/p/9"] and depths == [1]
     # replay-safe: second finalize returns the memoized result
     assert s.gate_finalize(0, num_shards=4) == (kept, suppressed, offers)
