@@ -77,6 +77,7 @@ def crawl_bench(sf_dir: str):
         saving_period=20,
         burst=32.0,  # dense epochs: politeness budget 256 hosts × 32 tokens
         keep_bytes_in_payload=True,
+        keep_fetch_log=False,  # aggregate lineage metrics only
     )
     t0 = time.time()
     stats = run_crawl(cfg, seed_urls(web, n_hosts))
@@ -168,7 +169,7 @@ def crawl_scaling_run():
     cfg = CrawlConfig(
         web=web, out_dir=f"/tmp/raycrawl_scaling_{NUM_CPUS}", num_shards=8,
         max_epochs=60, epoch_seconds=60.0, saving_period=30, burst=64.0,
-        expected_urls=1 << 17, keep_bytes_in_payload=False,
+        expected_urls=1 << 17, keep_bytes_in_payload=False, keep_fetch_log=False,
     )
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
         lambda b: b

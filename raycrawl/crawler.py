@@ -81,6 +81,10 @@ class CrawlConfig:
     shard_num_cpus: float = 0.0  # control-plane actors: no CPU reservation
     keep_bytes_in_payload: bool = True
     burst: float = 8.0  # politeness burst (tokens) per host
+    # per-row fetch log (parity/lineage detail). True keeps rows in actor
+    # memory and flushes increments at each checkpoint; False records only
+    # the aggregate lineage metrics (the at-scale default)
+    keep_fetch_log: bool = True
     # pull per-row fetch logs + exact seen sets back to the driver at the
     # end (oracle-parity testing only — expensive, not part of the job)
     collect_parity_outputs: bool = False
@@ -115,7 +119,7 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
         Actor = ray.remote(num_cpus=cfg.shard_num_cpus)(FrontierShard)
         return [
             Actor.remote(s, cfg.epoch_seconds, cfg.expected_urls, cfg.phash_radius,
-                         cfg.burst)
+                         cfg.burst, cfg.keep_fetch_log)
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place

@@ -83,8 +83,11 @@ class FrontierShard:
         expected_urls: int = 1 << 14,
         phash_radius: int = 2,
         burst: float = 8.0,
+        log_enabled: bool = True,
     ):
         self.shard_id = shard_id
+        self.log_enabled = log_enabled
+        self._log_flushed = 0  # rows already persisted by a checkpoint
         self.epoch_seconds = epoch_seconds
         self.expected_urls = expected_urls
         self.burst = burst
@@ -154,10 +157,8 @@ class FrontierShard:
             path = "/" + url.split("://", 1)[1].split("/", 1)[1]
             if not self.robots.allowed(host, path):
                 self.metrics["robots_denied"] += 1
-                self.log.append(
-                    self._logrow(discovered_at, url, digest, host, pri, depth,
+                self._log_append(discovered_at, url, digest, host, pri, depth,
                                  discovered_at, "robots_denied")
-                )
                 continue
             self.metrics["accepted"] += 1
             heapq.heappush(
@@ -267,18 +268,14 @@ class FrontierShard:
             url, host, pri, depth, disc = m
             if self.phash.query(ph) is not None:
                 self.metrics["phash_suppressed"] += 1
-                self.log.append(
-                    self._logrow(epoch, url, digest, host, pri, depth, disc,
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
                                  "dup_suppressed")
-                )
                 suppressed.append(digest)
                 continue
             self.phash.add(ph)
             self.metrics["fetched"] += 1
             kept += 1
-            self.log.append(
-                self._logrow(epoch, url, digest, host, pri, depth, disc, "fetched")
-            )
+            self._log_append(epoch, url, digest, host, pri, depth, disc, "fetched")
             for lu, ld, lh, lp in ls:  # (url, digest, host, priority)
                 nd = depth + 1
                 cur = best.get(lu)
@@ -304,6 +301,12 @@ class FrontierShard:
         result = (kept, suppressed, offers)
         self._gate_memo[epoch] = result
         return result
+
+    def _log_append(self, epoch, url, digest, host, pri, depth, disc, status):
+        if self.log_enabled:
+            self.log.append(
+                self._logrow(epoch, url, digest, host, pri, depth, disc, status)
+            )
 
     def _logrow(self, epoch, url, digest, host, pri, depth, disc, status) -> dict:
         return dict(
@@ -381,14 +384,20 @@ class FrontierShard:
         )
         with open(os.path.join(d, "exact_seen.bin"), "wb") as f:
             f.write(st["exact"])
-        if self.log:
+        # incremental lineage log: persist only rows since the last
+        # checkpoint — a shard never rewrites its full history
+        new_rows = self.log[self._log_flushed :]
+        if new_rows:
             pq.write_table(
-                pa.Table.from_pylist(self.log), os.path.join(d, "fetch_log.parquet")
+                pa.Table.from_pylist(new_rows),
+                os.path.join(d, "fetch_log_increment.parquet"),
             )
+        self._log_flushed = len(self.log)
         manifest = dict(
             shard=self.shard_id,
             epoch=epoch,
             burst=self.burst,
+            log_enabled=self.log_enabled,
             metrics=self.get_metrics(),
             tokens={h: b.tokens for h, b in self.politeness.buckets.items()},
             robots={h: list(r) for h, r in self.robots.rules.items()},
@@ -416,7 +425,7 @@ class FrontierShard:
         with open(os.path.join(d, "manifest.json")) as f:
             manifest = json.load(f)
         self = cls(shard_id, manifest["epoch_seconds"], expected_urls, phash_radius,
-                   manifest.get("burst", 8.0))
+                   manifest.get("burst", 8.0), manifest.get("log_enabled", True))
         npz = np.load(os.path.join(d, "sketches.npz"))
         with open(os.path.join(d, "exact_seen.bin"), "rb") as f:
             exact = f.read()
@@ -457,7 +466,18 @@ class FrontierShard:
             k: manifest["metrics"][k]
             for k in ("offered", "accepted", "fetched", "robots_denied", "phash_suppressed")
         }
-        lp = os.path.join(d, "fetch_log.parquet")
-        if os.path.exists(lp):
-            self.log = pq.read_table(lp).to_pylist()
+        base = os.path.dirname(os.path.dirname(d))  # ckpt_dir
+        rows: list[dict] = []
+        for ed in sorted(
+            (x for x in os.listdir(base) if x.startswith("epoch=")),
+            key=lambda x: int(x.split("=")[1]),
+        ):
+            if int(ed.split("=")[1]) > epoch:
+                continue
+            lp = os.path.join(base, ed, f"shard={shard_id}",
+                              "fetch_log_increment.parquet")
+            if os.path.exists(lp):
+                rows.extend(pq.read_table(lp).to_pylist())
+        self.log = rows
+        self._log_flushed = len(rows)
         return self
