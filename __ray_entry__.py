@@ -28,8 +28,6 @@ def entry() -> Any:
         out_dir="/tmp/raycrawl_entry",
         num_shards=4,
         max_epochs=40,
-        fetch_concurrency=2,
-        decode_concurrency=2,
     )
     run_crawl(cfg, seed_urls(web))
     return read_payload(cfg.out_dir).drop_columns(["bytes"]).to_pandas()

@@ -75,9 +75,7 @@ class CrawlConfig:
     max_epochs: int = 100
     saving_period: int = 10
     expected_urls: int = 1 << 14
-    fetch_concurrency: int = 4
-    decode_concurrency: int = 4
-    batch_size: int = 128  # binary image rows → keep batches modest
+    batch_size: int = 128  # max rows per chunk/block (adaptive below this)
     shard_num_cpus: float = 0.0  # control-plane actors: no CPU reservation
     keep_bytes_in_payload: bool = True
     burst: float = 8.0  # politeness burst (tokens) per host

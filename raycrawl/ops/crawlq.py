@@ -37,8 +37,6 @@ def _crawl_out_dir(sf_dir: str) -> str:
         num_shards=4,
         max_epochs=60,
         epoch_seconds=8.0,  # larger virtual epochs → fewer, denser epochs
-        fetch_concurrency=4,
-        decode_concurrency=4,
     )
     run_crawl(cfg, seed_urls(web))
     _CRAWL_CACHE[sf_dir] = out
