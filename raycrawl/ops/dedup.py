@@ -120,17 +120,26 @@ def minhash_lsh_candidates(sf_dir: str):
     bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 8))
 
     # Almost every LSH bucket is a singleton; pairing work only exists in
-    # buckets with ≥2 members. A cheap counting aggregate finds those keys,
-    # which are broadcast as a filter before the (now tiny) pair-expansion
-    # groupby — the shuffle moves only multi-member buckets.
-    bands = bands.materialize()  # (band, band_hash, doc_id) rows — small
-    multi = (
-        bands.groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n >= 2")
-        .to_pandas()
-    )
-    multi_keys = set(zip(multi["band"], multi["band_hash"]))
+    # buckets with ≥2 members. Find those bucket keys first and broadcast
+    # them as a filter before the (now tiny) pair-expansion groupby — the
+    # pair shuffle then moves only multi-member buckets. The key-counting
+    # step itself is adaptive: below ~1M band rows a driver-side
+    # value_counts beats Ray's shuffle fixed costs; above it, the
+    # distributed groupby (same semantics) takes over.
+    bands = bands.materialize()  # (band, band_hash, doc_id) rows
+    n_band_rows = bands.count()
+    if n_band_rows <= 1_000_000:
+        bdf = bands.select_columns(["band", "band_hash"]).to_pandas()
+        vc = bdf.value_counts(["band", "band_hash"])
+        multi_keys = set(vc[vc >= 2].index)
+    else:  # pragma: no cover - exercised only at large scale
+        multi = (
+            bands.groupby(["band", "band_hash"])
+            .aggregate(Count(alias_name="n"))
+            .filter(expr="n >= 2")
+            .to_pandas()
+        )
+        multi_keys = set(zip(multi["band"], multi["band_hash"]))
     keys_ref = ray.put(multi_keys)
 
     def keep_multi(df: pd.DataFrame) -> pd.DataFrame:
@@ -149,17 +158,31 @@ def minhash_lsh_candidates(sf_dir: str):
                 out["b"].append(ids[j])
         return pd.DataFrame(out)
 
-    pairs = (
-        bands.map_batches(keep_multi, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
+    multi_rows = bands.map_batches(keep_multi, batch_format="pandas")
+    if n_band_rows <= 1_000_000:
+        # multi-member-bucket rows are tiny → expand + cross-band dedup on
+        # the driver (the distributed path below is identical in semantics)
+        mdf = multi_rows.to_pandas()
+        seen_pairs: set[tuple] = set()
+        for _, g in mdf.groupby(["band", "band_hash"]):
+            ids = sorted(g["doc_id"].unique())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    seen_pairs.add((ids[i], ids[j]))
+        cand = pd.DataFrame(
+            sorted(seen_pairs), columns=["a", "b"]
+        ) if seen_pairs else pd.DataFrame({"a": [], "b": []})
+    else:  # pragma: no cover - exercised only at large scale
+        pairs = (
+            multi_rows.groupby(["band", "band_hash"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["a", "b"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        )
+        cand = pairs.to_pandas()
     # verify candidates with exact Jaccard. Only the texts of candidate
     # docs are loaded and broadcast (candidate set is small by
     # construction — never the full corpus).
-    cand = pairs.to_pandas()
     cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
     if not cand_ids:
         return pd.DataFrame(
