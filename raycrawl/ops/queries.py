@@ -17,7 +17,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from .common import table, round_cols, cast_cols
+from .common import table
 
 REGISTRY: dict[str, dict] = {}
 

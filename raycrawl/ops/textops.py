@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from .common import table
 from .queries import register
