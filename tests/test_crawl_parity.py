@@ -112,3 +112,29 @@ def test_parity_nondefault_config(ray_session, tmp_path):
     assert {s: sorted(v) for s, v in o.seen.items()} == {
         s: sorted(v) for s, v in stats.seen.items()
     }
+
+
+def test_hot_host_skew_contained(ray_session, tmp_path):
+    """A single host holding most of the universe must be throttled to its
+    politeness budget per epoch (skew containment), while parity with the
+    oracle still holds."""
+    from raycrawl.core.webgraph import WebConfig
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    # 2 hosts, one with 60 pages: seeds only the hot host's page 0
+    web = WebConfig(n_hosts=2, pages_per_host=60)
+    seeds = ["http://h0.web.test/p/0"]
+    o = oracle_crawl(web, seeds, max_epochs=60, num_shards=2)
+    cfg = CrawlConfig(
+        web=web, out_dir=str(tmp_path / "skew"), num_shards=2, max_epochs=60,
+        collect_parity_outputs=True,
+    )
+    stats = run_crawl(cfg, seeds)
+    assert _sort_log(o.fetch_log) == _sort_log(stats.fetch_log)
+    # per-epoch fetches from any single host never exceed the burst (8)
+    per = {}
+    for r in stats.fetch_log:
+        if r["status"] in ("fetched", "dup_suppressed"):
+            per.setdefault((r["epoch"], r["host"]), 0)
+            per[(r["epoch"], r["host"])] += 1
+    assert max(per.values()) <= 8

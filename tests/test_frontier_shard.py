@@ -148,3 +148,19 @@ def test_checkpoint_restore_roundtrip(tmp_path):
     assert os.path.exists(
         os.path.join(ck, "epoch=0", "shard=2", "manifest.json")
     )
+
+
+def test_gate_submit_after_finalize_is_harmless():
+    """A straggler task replay that re-submits AFTER finalize must not
+    corrupt state: finalize for that epoch keeps returning the memoized
+    result and the stray buffer is ignored."""
+    s = FrontierShard(0)
+    digests = [bytes([i]) * 20 for i in range(2)]
+    phashes = [0, 0xFFFFFFFF00000000]
+    meta = [(f"http://h1.web.test/p/{i}", "h1.web.test", 5, 0, 0) for i in range(2)]
+    s.gate_submit(0, digests, phashes, meta, [[], []])
+    first = s.gate_finalize(0, num_shards=2)
+    # late replay of a chunk
+    s.gate_submit(0, digests[:1], phashes[:1], meta[:1], [[]])
+    assert s.gate_finalize(0, num_shards=2) == first
+    assert s.metrics["fetched"] == 2  # not double-counted
