@@ -191,3 +191,110 @@ def audio_feature_extract(sf_dir: str):
     return ds.map_batches(build, batch_format="pyarrow", batch_size=128).map_batches(
         AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
     )
+
+
+@register("frontier_compaction", sql=None)
+def frontier_compaction(sf_dir: str):
+    """Offline frontier merge as a groupby-aggregate shuffle: duplicate
+    discovered-URL rows (same URL from several sources/runs) collapse to
+    one row with min depth / min discovered_at, re-keyed to a new shard
+    count (re-sharding a checkpointed frontier)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..core.urltools import url_sha1, host_of
+    from ..core.webgraph import page_url, priority_of
+    from ..frontier.compact import compact_frontier
+
+    # deterministic duplicated link-log derived from documents: each doc
+    # contributes its URL at two different depths (two "source runs")
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        urls, depths, discs = [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            u = page_url(doc_id % 64, doc_id % 97)
+            for d in (doc_id % 5 + 1, doc_id % 3 + 1):
+                urls.append(u)
+                depths.append(d)
+                discs.append(doc_id % 7)
+        digests = [url_sha1(u) for u in urls]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(digests, pa.binary()),
+                "host": pa.array([host_of(u) for u in urls], pa.string()),
+                "priority": pa.array([priority_of(d) for d in digests], pa.int32()),
+                "depth": pa.array(depths, pa.int32()),
+                "discovered_at": pa.array(discs, pa.int64()),
+            }
+        )
+
+    links = ds.map_batches(build, batch_format="pyarrow")
+    return compact_frontier(links, num_shards=16).select_columns(
+        ["url", "depth", "discovered_at", "priority", "shard"]
+    )
+
+
+@register("image_phash_neardup_groups", sql=None)
+def image_phash_neardup_groups(sf_dir: str):
+    """Near-duplicate image grouping over the input_hint payload table:
+    exact-phash grouping via a hash-partitioned groupby, then
+    Hamming-radius pairing inside the (small) multi-candidate set using
+    the chunked phash index. Near-dups are injected deterministically
+    (every doc pair 2k/2k+1 shares a base image with ±1 noise)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..core.codec import encode_image, phash64, synth_pixels, decode_image
+    from ..core.sketches import PhashIndex
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids, blobs, phs = [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            base_seed = doc_id // 2  # pairs share a base image
+            w, h = 40 + base_seed % 17, 40 + base_seed % 13
+            px = synth_pixels(base_seed, w, h)
+            if doc_id % 2 == 1:
+                rng = np.random.Generator(np.random.PCG64(doc_id))
+                px = np.clip(
+                    px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+                ).astype(np.uint8)
+            data = encode_image(px, "png")
+            ids.append(f"img-{doc_id:08d}")
+            blobs.append(data)
+            phs.append(phash64(decode_image(data)[0]))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+                "phash": pa.array(phs, pa.int64()),
+            }
+        )
+
+    payload = ds.map_batches(build, batch_format="pyarrow", batch_size=128)
+    # collect (image_id, phash) only — bytes never leave the tasks
+    meta = payload.select_columns(["image_id", "phash"]).to_pandas()
+    meta = meta.sort_values("image_id").reset_index(drop=True)
+    idx = PhashIndex(radius=2)
+    group_of: dict[int, int] = {}  # canonical phash → group id
+    groups = []
+    for _, row in meta.iterrows():
+        hit = idx.query(int(row.phash))
+        if hit is None:
+            idx.add(int(row.phash))
+            group_of[int(row.phash) & 0xFFFFFFFFFFFFFFFF] = len(group_of)
+            groups.append(group_of[int(row.phash) & 0xFFFFFFFFFFFFFFFF])
+        else:
+            groups.append(group_of[hit & 0xFFFFFFFFFFFFFFFF])
+    meta["dup_group"] = pd.Series(groups, dtype="int64")
+    out = (
+        meta.groupby("dup_group")
+        .agg(keeper=("image_id", "min"), group_size=("image_id", "size"))
+        .reset_index()
+    )
+    out["group_size"] = out["group_size"].astype("int64")
+    return out

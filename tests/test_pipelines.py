@@ -182,3 +182,30 @@ class TestDedupRecall:
         for r in approx.itertuples():
             if (r.qid, r.vec_id) in exact_scores:
                 assert abs(exact_scores[(r.qid, r.vec_id)] - r.cosine) < 1e-9
+
+
+class TestFrontierCompaction:
+    def test_min_depth_merge_and_resharding(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from raycrawl.frontier.compact import compact_frontier
+        from raycrawl.core.urltools import url_sha1, shard_of_host
+
+        rows = pd.DataFrame(
+            {
+                "url": ["http://a.test/p/1"] * 3 + ["http://b.test/p/2"],
+                "url_hash": [url_sha1("http://a.test/p/1")] * 3
+                + [url_sha1("http://b.test/p/2")],
+                "host": ["a.test"] * 3 + ["b.test"],
+                "priority": [5, 5, 5, 3],
+                "depth": [4, 2, 9, 1],
+                "discovered_at": [7, 3, 5, 2],
+            }
+        )
+        out = compact_frontier(ray.data.from_pandas(rows), num_shards=8).to_pandas()
+        out = out.set_index("url")
+        assert len(out) == 2
+        assert out.loc["http://a.test/p/1", "depth"] == 2
+        assert out.loc["http://a.test/p/1", "discovered_at"] == 3
+        assert out.loc["http://a.test/p/1", "shard"] == shard_of_host("a.test", 8)
