@@ -73,7 +73,7 @@ def crawl_bench(sf_dir: str):
         out_dir=f"/tmp/raycrawl_bench_{NUM_CPUS}",
         num_shards=8,
         max_epochs=40,
-        epoch_seconds=30.0,
+        epoch_seconds=60.0,
         saving_period=20,
         burst=32.0,  # dense epochs: politeness budget 256 hosts × 32 tokens
         keep_bytes_in_payload=True,

@@ -97,6 +97,7 @@ class CrawlStats:
     out_dir: str = ""
     fetch_log: list[dict] = field(default_factory=list)
     seen: dict[int, set[bytes]] = field(default_factory=dict)
+    last_pipeline_stats: str = ""  # ds.stats() of the final epoch pipeline
 
 
 def _seed_tables(cfg: CrawlConfig, seeds: list[str]):
@@ -238,6 +239,7 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
         lancelike.write_ray_dataset(
             pipeline, os.path.join(payload_dir, f"epoch={epoch}")
         )
+        stats.last_pipeline_stats = pipeline.stats()
 
         # ordered phash gate + frontier merge (meta only; offers routed as
         # object refs between actors, never materialized on the driver)
