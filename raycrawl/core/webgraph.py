@@ -60,6 +60,13 @@ def priority_of(digest: bytes) -> int:
     return digest[2] % 10
 
 
+def fetch_fails(digest: bytes) -> bool:
+    """Deterministic synthetic fetch failure (~7.7% of URLs) — models 4xx/
+    timeout pages. A failed fetch consumes its politeness token, emits no
+    payload and no outlinks, and is dead-lettered (status ``fetch_error``)."""
+    return digest[4] % 13 == 0
+
+
 def _parse(canonical_url: str) -> tuple[int, int, bool]:
     """canonical URL → (host_idx, page_idx, private)."""
     rest = canonical_url.split("://", 1)[1]

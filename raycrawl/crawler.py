@@ -168,11 +168,12 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
                 for d in os.listdir(payload_dir):
                     if d.startswith("epoch=") and int(d.split("=")[1]) >= start_epoch:
                         shutil.rmtree(os.path.join(payload_dir, d))
-            sup = os.path.join(cfg.out_dir, "suppressed")
-            if os.path.isdir(sup):
-                for f in os.listdir(sup):
-                    if f.startswith("epoch=") and int(f.split("=")[1].split(".")[0]) >= start_epoch:
-                        os.remove(os.path.join(sup, f))
+            for side in ("suppressed", "errors"):
+                sd = os.path.join(cfg.out_dir, side)
+                if os.path.isdir(sd):
+                    for f in os.listdir(sd):
+                        if f.startswith("epoch=") and int(f.split("=")[1].split(".")[0]) >= start_epoch:
+                            os.remove(os.path.join(sd, f))
     if not resume:
         if os.path.isdir(cfg.out_dir):
             shutil.rmtree(cfg.out_dir)
@@ -198,6 +199,8 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
     keep_bytes = cfg.keep_bytes_in_payload
     suppressed_dir = os.path.join(cfg.out_dir, "suppressed")
     os.makedirs(suppressed_dir, exist_ok=True)
+    errors_dir = os.path.join(cfg.out_dir, "errors")
+    os.makedirs(errors_dir, exist_ok=True)  # dead-letter sidecars
     epoch = start_epoch
     while epoch < cfg.max_epochs:
         counts = ray.get([a.pop.remote(epoch) for a in actors])
@@ -244,13 +247,18 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
         # ordered phash gate + frontier merge (meta only; offers routed as
         # object refs between actors, never materialized on the driver)
         finals = ray.get([a.gate_finalize.remote(epoch, num_shards) for a in actors])
-        suppressed = [d for _, sup, _ in finals for d in sup]
+        suppressed = [d for _, sup, _, _ in finals for d in sup]
         pq.write_table(
             pa.table({"url_hash": pa.array(suppressed, pa.binary())}),
             os.path.join(suppressed_dir, f"epoch={epoch}.parquet"),
         )
+        errors = [d for _, _, errs, _ in finals for d in errs]
+        pq.write_table(
+            pa.table({"url_hash": pa.array(errors, pa.binary())}),
+            os.path.join(errors_dir, f"epoch={epoch}.parquet"),
+        )
         offer_refs = []
-        for src, (_, _, offers) in enumerate(finals):
+        for src, (_, _, _, offers) in enumerate(finals):
             for dst, packed_ref in offers.items():
                 offer_refs.append(
                     actors[dst].offer_packed.remote((epoch, src), packed_ref,
@@ -312,7 +320,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
         tbl = decode_batch(tbl)
 
         per_shard: dict[int, tuple[list, list, list, list]] = {}
-        for url, digest, host, shard, pri, depth, disc, ph, links in zip(
+        for url, digest, host, shard, pri, depth, disc, ph, links, ok in zip(
             tbl["url"].to_pylist(),
             tbl["url_hash"].to_pylist(),
             tbl["host"].to_pylist(),
@@ -322,16 +330,18 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
             tbl["discovered_at"].to_pylist(),
             tbl["phash"].to_pylist(),
             tbl["outlinks"].to_pylist(),
+            tbl["fetch_ok"].to_pylist(),
         ):
             canon: dict[str, tuple] = {}
-            for raw in links or ():
-                cu = canonicalize_url(raw, base=url)
-                if cu not in canon:
-                    d = url_sha1(cu)
-                    canon[cu] = (cu, d, host_of(cu), priority_of(d))
+            if ok:
+                for raw in links or ():
+                    cu = canonicalize_url(raw, base=url)
+                    if cu not in canon:
+                        d = url_sha1(cu)
+                        canon[cu] = (cu, d, host_of(cu), priority_of(d))
             b = per_shard.setdefault(shard, ([], [], [], []))
             b[0].append(digest)
-            b[1].append(ph)
+            b[1].append(ph if ok else None)
             b[2].append((url, host, pri, depth, disc))
             b[3].append(list(canon.values()))
         ray.get(
@@ -341,6 +351,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
             ]
         )
 
+        tbl = tbl.filter(tbl["fetch_ok"])  # dead-letter rows carry no payload
         out = pa.table(
             {
                 "image_id": tbl["image_id"],

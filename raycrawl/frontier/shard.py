@@ -98,7 +98,8 @@ class FrontierShard:
         # host → heap of (negpri, depth, discovered_at, digest, url)
         self.host_q: dict[str, list[tuple]] = {}
         self.metrics = dict(
-            offered=0, accepted=0, fetched=0, robots_denied=0, phash_suppressed=0
+            offered=0, accepted=0, fetched=0, robots_denied=0,
+            phash_suppressed=0, fetch_errors=0,
         )
         self.log: list[dict] = []
         # url → (digest, host, priority, min_depth, discovered_at)
@@ -252,9 +253,10 @@ class FrontierShard:
     def gate_finalize(self, epoch: int, num_shards: int):
         """Run the ordered phash gate over this epoch's submitted rows.
 
-        Returns (kept_count, suppressed_digests, {dst_shard: offer_tuple})
-        where offer_tuple = (urls, digests, hosts, priorities, depths) for
-        the driver to route to ``offer`` on each target shard."""
+        Returns (kept_count, suppressed_digests, error_digests,
+        {dst_shard: offer_ref}) where an offer payload is (urls, digests,
+        hosts, priorities, depths) for the driver to route to
+        ``offer_packed`` on each target shard."""
         if epoch in self._gate_memo:
             return self._gate_memo[epoch]
         buf = self._gate_buf.pop(epoch, {})
@@ -262,10 +264,17 @@ class FrontierShard:
             buf.items(), key=lambda kv: (-kv[1][1][2], kv[1][1][3], kv[1][1][4], kv[0])
         )
         suppressed: list[bytes] = []
+        errors: list[bytes] = []
         best: dict[str, tuple] = {}  # canonical url → (digest,host,pri,min depth)
         kept = 0
         for digest, (ph, m, ls) in order:
             url, host, pri, depth, disc = m
+            if ph is None:  # dead-letter: fetch failed (4xx/timeout analog)
+                self.metrics["fetch_errors"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "fetch_error")
+                errors.append(digest)
+                continue
             if self.phash.query(ph) is not None:
                 self.metrics["phash_suppressed"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
@@ -298,7 +307,7 @@ class FrontierShard:
             # the data moves store-to-store when the target actor receives
             # it as a (top-level, auto-dereferenced) task argument
             offers[dst] = _put_offer(payload)
-        result = (kept, suppressed, offers)
+        result = (kept, suppressed, errors, offers)
         self._gate_memo[epoch] = result
         return result
 
@@ -463,8 +472,9 @@ class FrontierShard:
         self.robots.rules = {h: tuple(r) for h, r in manifest["robots"].items()}
         self.robots.fetches = manifest["metrics"]["robots_fetches"]
         self.metrics = {
-            k: manifest["metrics"][k]
-            for k in ("offered", "accepted", "fetched", "robots_denied", "phash_suppressed")
+            k: manifest["metrics"].get(k, 0)
+            for k in ("offered", "accepted", "fetched", "robots_denied",
+                      "phash_suppressed", "fetch_errors")
         }
         base = os.path.dirname(os.path.dirname(d))  # ckpt_dir
         rows: list[dict] = []

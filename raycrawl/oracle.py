@@ -45,7 +45,7 @@ from dataclasses import dataclass, field
 
 from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
 from .core.politeness import host_rate, RobotsCache
-from .core.webgraph import WebConfig, page_for, priority_of
+from .core.webgraph import WebConfig, page_for, priority_of, fetch_fails
 from .core.codec import hamming64, phash64, decode_image
 
 BURST = 8.0
@@ -80,7 +80,8 @@ def oracle_crawl(
     tokens: dict[str, float] = {}
     robots = RobotsCache()
     metrics = {
-        s: dict(offered=0, accepted=0, fetched=0, robots_denied=0, phash_suppressed=0)
+        s: dict(offered=0, accepted=0, fetched=0, robots_denied=0,
+                phash_suppressed=0, fetch_errors=0)
         for s in range(num_shards)
     }
 
@@ -136,8 +137,12 @@ def oracle_crawl(
 
         new_links: list[tuple[str, int]] = []
         for item in selected:
-            page = page_for(cfg, item["url"])
             shard = item["shard"]
+            if fetch_fails(item["digest"]):
+                metrics[shard]["fetch_errors"] += 1
+                res.fetch_log.append({**_log(item, epoch), "status": "fetch_error"})
+                continue
+            page = page_for(cfg, item["url"])
             # gating phash comes from the DECODED payload (consumer view)
             pixels, _ = decode_image(page.data)
             ph = phash64(pixels)

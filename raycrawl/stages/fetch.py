@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..core.webgraph import WebConfig, page_for, priority_of
+from ..core.webgraph import WebConfig, page_for, priority_of, fetch_fails
 from ..core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
 from ..core.codec import decode_image, phash64
 
@@ -61,21 +61,37 @@ class FetchWorker:
         self.cfg = web_cfg  # in production: http session pool, TLS contexts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pages = [page_for(self.cfg, u) for u in batch["url"].to_pylist()]
+        pages = []
+        oks = []
+        for u, d in zip(batch["url"].to_pylist(), batch["url_hash"].to_pylist()):
+            if fetch_fails(d):
+                pages.append(None)  # dead-letter: 4xx/timeout analog
+                oks.append(False)
+            else:
+                pages.append(page_for(self.cfg, u))
+                oks.append(True)
         return batch.append_column(
-            "image_id", pa.array([p.image_id for p in pages], pa.string())
+            "fetch_ok", pa.array(oks, pa.bool_())
         ).append_column(
-            "bytes", pa.array([p.data for p in pages], pa.large_binary())
+            "image_id",
+            pa.array([p.image_id if p else None for p in pages], pa.string()),
         ).append_column(
-            "w", pa.array([p.w for p in pages], pa.int32())
+            "bytes",
+            pa.array([p.data if p else None for p in pages], pa.large_binary()),
         ).append_column(
-            "h", pa.array([p.h for p in pages], pa.int32())
+            "w", pa.array([p.w if p else 0 for p in pages], pa.int32())
         ).append_column(
-            "fmt", pa.array([p.fmt for p in pages], pa.string())
+            "h", pa.array([p.h if p else 0 for p in pages], pa.int32())
         ).append_column(
-            "caption", pa.array([p.caption for p in pages], pa.string())
+            "fmt", pa.array([p.fmt if p else None for p in pages], pa.string())
         ).append_column(
-            "outlinks", pa.array([p.outlinks for p in pages], pa.list_(pa.string()))
+            "caption",
+            pa.array([p.caption if p else None for p in pages], pa.string()),
+        ).append_column(
+            "outlinks",
+            pa.array(
+                [p.outlinks if p else [] for p in pages], pa.list_(pa.string())
+            ),
         )
 
 
@@ -90,7 +106,11 @@ class DecodePhash:
     def __call__(self, batch: pa.Table) -> pa.Table:
         phashes = []
         for buf in batch["bytes"]:
-            pixels, _ = self._decode(buf.as_py())
+            raw = buf.as_py()
+            if raw is None:
+                phashes.append(None)  # failed fetch — nothing to decode
+                continue
+            pixels, _ = self._decode(raw)
             phashes.append(self._phash(pixels))
         return batch.append_column("phash", pa.array(phashes, pa.int64()))
 

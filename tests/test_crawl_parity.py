@@ -138,3 +138,8 @@ def test_hot_host_skew_contained(ray_session, tmp_path):
             per.setdefault((r["epoch"], r["host"]), 0)
             per[(r["epoch"], r["host"])] += 1
     assert max(per.values()) <= 8
+
+
+def test_fetch_errors_exercised(oracle):
+    # the synthetic web injects ~7.7% fetch failures; they must show up
+    assert any(r["status"] == "fetch_error" for r in oracle.fetch_log)

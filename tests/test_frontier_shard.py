@@ -85,7 +85,7 @@ def test_gate_submit_finalize():
     s.gate_submit(0, digests[1:], phashes[1:], meta[1:], links[1:])
     s.gate_submit(0, digests[:1], phashes[:1], meta[:1], links[:1])
     s.gate_submit(0, digests[1:2], phashes[1:2], meta[1:2], links[1:2])
-    kept, suppressed, offers = s.gate_finalize(0, num_shards=4)
+    kept, suppressed, errors, offers = s.gate_finalize(0, num_shards=4)
     assert kept == 2
     assert suppressed == [digests[1]]  # ordered gate: digest 0 wins, 1 near-dup
     assert s.metrics["phash_suppressed"] == 1
@@ -104,7 +104,7 @@ def test_gate_submit_finalize():
     urls, digs, hosts, pris, depths = _deref(packed)
     assert urls == ["http://h2.web.test/p/9"] and depths == [1]
     # replay-safe: second finalize returns the memoized result
-    assert s.gate_finalize(0, num_shards=4) == (kept, suppressed, offers)
+    assert s.gate_finalize(0, num_shards=4) == (kept, suppressed, errors, offers)
 
 
 def test_checkpoint_restore_roundtrip(tmp_path):
