@@ -68,7 +68,17 @@ def main(argv: list[str] | None = None) -> int:
         saving_period=args.saving_period,
         keep_bytes_in_payload=not args.no_bytes,
     )
-    stats = run_crawl(cfg, seed_urls(web, args.seeds), resume=args.resume)
+    import signal
+
+    stop = {"flag": False}
+
+    def _on_term(signum, frame):  # graceful shutdown → checkpoint + exit
+        stop["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    stats = run_crawl(cfg, seed_urls(web, args.seeds), resume=args.resume,
+                      should_stop=lambda: stop["flag"])
     print(
         json.dumps(
             {

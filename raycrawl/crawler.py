@@ -147,13 +147,24 @@ def latest_checkpoint_epoch(out_dir: str) -> int | None:
     return max(epochs) if epochs else None
 
 
-def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> CrawlStats:
+def run_crawl(
+    cfg: CrawlConfig,
+    seeds: list[str],
+    resume: bool = False,
+    should_stop=None,
+) -> CrawlStats:
     """Run the crawl to frontier exhaustion (or ``max_epochs``).
 
     ``resume=True`` restarts from the latest complete checkpoint: shard
     state is restored inside the actors, payload directories for epochs
     after the checkpoint are discarded (they may be partial), finished
     epoch directories are skipped — the resumable-output contract.
+
+    ``should_stop`` (optional callable → bool) is checked between epochs:
+    the graceful-shutdown hook (reference analog: the SIGTERM handler that
+    sets ``kill_now`` and flushes buffers, ``PreprocessDump.py:367-373``).
+    On stop the driver checkpoints all shards and returns; a later
+    ``resume=True`` run continues exactly where it left off.
     """
     payload_dir = os.path.join(cfg.out_dir, "payload")
     ckpt_dir = os.path.join(cfg.out_dir, "checkpoints")
@@ -203,6 +214,8 @@ def run_crawl(cfg: CrawlConfig, seeds: list[str], resume: bool = False) -> Crawl
     os.makedirs(errors_dir, exist_ok=True)  # dead-letter sidecars
     epoch = start_epoch
     while epoch < cfg.max_epochs:
+        if should_stop is not None and should_stop():
+            break  # graceful stop: fall through to the final checkpoint
         counts = ray.get([a.pop.remote(epoch) for a in actors])
         if sum(counts) == 0:
             if sum(ray.get([a.frontier_size.remote() for a in actors])) == 0:

@@ -65,3 +65,35 @@ def test_resume_matches_uninterrupted(ray_session, tmp_path, interrupt_epoch):
     for s in range(SHARDS):
         for k in ("fetched", "robots_denied", "phash_suppressed"):
             assert full.metrics[s][k] == resumed.metrics[s][k]
+
+
+def test_graceful_stop_then_resume(ray_session, tmp_path):
+    """should_stop (SIGTERM analog) checkpoints mid-crawl; resuming yields
+    the same final output as an uninterrupted run."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    out_full = str(tmp_path / "full")
+    out_stop = str(tmp_path / "stop")
+    full = _run(ray_session, out_full, max_epochs=50)
+
+    calls = {"n": 0}
+
+    def stop_after_3():
+        calls["n"] += 1
+        return calls["n"] > 3
+
+    cfg = CrawlConfig(
+        web=WEB, out_dir=out_stop, num_shards=SHARDS, max_epochs=50,
+        saving_period=3, collect_parity_outputs=True,
+    )
+    from raycrawl.core.webgraph import seed_urls
+
+    run_crawl(cfg, seed_urls(WEB), should_stop=stop_after_3)
+    resumed = _run(ray_session, out_stop, max_epochs=50, resume=True)
+    assert resumed.epochs == full.epochs
+    import pandas as pd
+
+    a, b = _payload_df(out_full), _payload_df(out_stop)
+    pd.testing.assert_frame_equal(
+        a[["image_id", "caption", "phash"]], b[["image_id", "caption", "phash"]]
+    )
