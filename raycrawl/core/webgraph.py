@@ -61,10 +61,18 @@ def priority_of(digest: bytes) -> int:
 
 
 def fetch_fails(digest: bytes) -> bool:
-    """Deterministic synthetic fetch failure (~7.7% of URLs) — models 4xx/
-    timeout pages. A failed fetch consumes its politeness token, emits no
-    payload and no outlinks, and is dead-lettered (status ``fetch_error``)."""
+    """Deterministic synthetic PERMANENT fetch failure (~7.7% of URLs) —
+    models 4xx pages. A failed fetch consumes its politeness token, emits
+    no payload and no outlinks, and is dead-lettered (``fetch_error``)."""
     return digest[4] % 13 == 0
+
+
+def fetch_transient_fails(digest: bytes, attempt: int) -> bool:
+    """Deterministic TRANSIENT failure (~9% of URLs): the first attempt
+    times out, the retry succeeds — models 5xx/timeouts. Retries happen
+    inside the fetch task within ``retry_budget``; they are invisible to
+    crawl ordering (the URL still succeeds in its epoch)."""
+    return digest[5] % 11 == 0 and attempt == 0
 
 
 def _parse(canonical_url: str) -> tuple[int, int, bool]:

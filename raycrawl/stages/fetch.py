@@ -24,7 +24,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..core.webgraph import WebConfig, page_for, priority_of, fetch_fails
+from ..core.webgraph import (WebConfig, page_for, priority_of, fetch_fails,
+                             fetch_transient_fails)
 from ..core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
 from ..core.codec import decode_image, phash64
 
@@ -57,19 +58,30 @@ def decode_batch(batch: pa.Table) -> pa.Table:
 
 
 class FetchWorker:
+    RETRY_BUDGET = 2  # in-task retries for transient (5xx/timeout) failures
+
     def __init__(self, web_cfg: WebConfig):
         self.cfg = web_cfg  # in production: http session pool, TLS contexts
+        self.retries = 0  # per-worker retry counter (observability)
+
+    def _fetch_with_retries(self, url: str, digest: bytes):
+        for attempt in range(self.RETRY_BUDGET + 1):
+            if fetch_transient_fails(digest, attempt):
+                self.retries += 1
+                continue
+            return page_for(self.cfg, url)
+        return None  # retry budget exhausted (cannot happen with this rule)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pages = []
         oks = []
         for u, d in zip(batch["url"].to_pylist(), batch["url_hash"].to_pylist()):
             if fetch_fails(d):
-                pages.append(None)  # dead-letter: 4xx/timeout analog
+                pages.append(None)  # dead-letter: permanent 4xx analog
                 oks.append(False)
             else:
-                pages.append(page_for(self.cfg, u))
-                oks.append(True)
+                pages.append(self._fetch_with_retries(u, d))
+                oks.append(pages[-1] is not None)
         return batch.append_column(
             "fetch_ok", pa.array(oks, pa.bool_())
         ).append_column(

@@ -198,3 +198,39 @@ class TestWebgraph:
     def test_seed_urls(self):
         cfg = WebConfig(n_hosts=4, pages_per_host=5)
         assert seed_urls(cfg, 2) == ["http://h0.web.test/p/0", "http://h1.web.test/p/0"]
+
+
+class TestFetchRetries:
+    def test_transient_failure_retried_in_task(self):
+        import pyarrow as pa
+
+        from raycrawl.core.urltools import url_sha1
+        from raycrawl.core.webgraph import (
+            WebConfig,
+            fetch_fails,
+            fetch_transient_fails,
+            page_url,
+        )
+        from raycrawl.stages.fetch import FetchWorker
+
+        cfg = WebConfig(n_hosts=8, pages_per_host=40)
+        # find a URL that fails transiently but not permanently
+        target = next(
+            u
+            for k in range(8)
+            for i in range(40)
+            for u in [page_url(k, i)]
+            if fetch_transient_fails(url_sha1(u), 0)
+            and not fetch_fails(url_sha1(u))
+        )
+        w = FetchWorker(cfg)
+        out = w(
+            pa.table(
+                {
+                    "url": [target],
+                    "url_hash": pa.array([url_sha1(target)], pa.binary()),
+                }
+            )
+        )
+        assert out["fetch_ok"][0].as_py() is True  # retry succeeded
+        assert w.retries == 1
