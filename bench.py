@@ -164,7 +164,7 @@ def crawl_scaling_run():
              ignore_reinit_error=True, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
     n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
-    web = WebConfig(n_hosts=1024, pages_per_host=max(8, n_docs * 7 // 1024),
+    web = WebConfig(n_hosts=1024, pages_per_host=max(8, n_docs * 10 // 1024),
                     min_dim=192, max_dim=320)
     cfg = CrawlConfig(
         web=web, out_dir=f"/tmp/raycrawl_scaling_{NUM_CPUS}", num_shards=8,
