@@ -13,7 +13,10 @@ Maps 1:1 onto the reference's pages (SURVEY.md §3):
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
