@@ -16,8 +16,10 @@ Arrow-in/Arrow-out (``batch_format="pyarrow"``):
 * ``ExplodeLinks`` — stateless task: one row per outlink, canonicalized
   against the page URL (link-extraction analog of the reference's
   ``RT @user:`` parsing, ``Stance_Detection.py:63-84``), keyed with
-  SHA-1/host/shard/priority, with a within-batch min-depth combiner so the
-  per-epoch frontier-merge shuffle moves fewer rows.
+  SHA-1/host/shard/priority, with a within-batch min-depth combiner.
+  The live crawl inlines this logic in ``decode_submit``; this class is
+  the standalone Dataset operator for offline link-log processing
+  (feeds ``frontier.compact.compact_frontier``).
 """
 
 from __future__ import annotations

@@ -209,3 +209,56 @@ class TestFrontierCompaction:
         assert out.loc["http://a.test/p/1", "depth"] == 2
         assert out.loc["http://a.test/p/1", "discovered_at"] == 3
         assert out.loc["http://a.test/p/1", "shard"] == shard_of_host("a.test", 8)
+
+
+class TestScoringOracles:
+    def test_tfidf_matches_sequential_oracle(self, ray_session):
+        """tfidf_top_terms must equal a plain-python single-pass TF-IDF
+        with the same fit-once vocabulary rule."""
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from raycrawl.ops.scoring import tfidf_top_terms
+
+        got = tfidf_top_terms(SF).to_pandas().set_index("doc_id").sort_index()
+
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        recs = list(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+        df_counts: Counter = Counter()
+        for _, t in recs:
+            df_counts.update(set(t.split()))
+        n_docs = len(recs)
+        vocab_terms = sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:26]
+        idf = {t: float(np.log((1 + n_docs) / (1 + d)) + 1.0) for t, d in vocab_terms}
+        for doc_id, text in recs:
+            tf = Counter(w for w in text.split() if w in idf)
+            if not tf:
+                assert got.loc[doc_id, "top_term"] == ""
+                continue
+            ranked = sorted(((c * idf[w], w) for w, c in tf.items()),
+                            key=lambda x: (-x[0], x[1]))
+            assert got.loc[doc_id, "top_term"] == ranked[0][1]
+            assert abs(got.loc[doc_id, "tfidf"] - round(ranked[0][0], 6)) < 1e-9
+
+    def test_simhash_token_order_invariance(self):
+        # simhash is a sum over token vectors → permutation-invariant
+        import hashlib
+
+        import numpy as np
+
+        def simhash(text: str) -> int:
+            acc = np.zeros(64, dtype=np.int32)
+            for tok in text.split():
+                h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+                bits = np.unpackbits(
+                    np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
+                ).astype(np.int32)
+                acc += bits * 2 - 1
+            b = (acc > 0).astype(np.uint8)
+            v = int.from_bytes(np.packbits(b).tobytes(), "big")
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        assert simhash("alpha beta gamma") == simhash("gamma alpha beta")
+        assert simhash("alpha beta") != simhash("delta epsilon zeta")
