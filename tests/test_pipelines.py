@@ -262,3 +262,18 @@ class TestScoringOracles:
 
         assert simhash("alpha beta gamma") == simhash("gamma alpha beta")
         assert simhash("alpha beta") != simhash("delta epsilon zeta")
+
+
+class TestHLL:
+    def test_hll_estimate_within_error_bound(self, ray_session):
+        import duckdb
+
+        from raycrawl.ops.sketches_ops import hll_distinct_users
+
+        est = hll_distinct_users(SF).iloc[0]["estimate"]
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        # HLL with 2^12 registers: relative error ~1.04/sqrt(m) ≈ 1.6%;
+        # allow 5% (small-range correction regime at this sf)
+        assert abs(est - exact) / exact < 0.05
