@@ -16,21 +16,14 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship: Ray Data crawl over the deterministic synthetic web —
-    frontier shards, politeness, robots, phash near-dup gate — returning
-    the payload table (input_hint schema, minus raw bytes for size)."""
-    from raycrawl.core.webgraph import WebConfig, seed_urls
-    from raycrawl.crawler import CrawlConfig, run_crawl, read_payload
+    """Flagship: the Ray Data crawl engine — frontier shards, politeness,
+    robots, URL-seen sketches, phash near-dup gate — over a synthetic web
+    universe sized from /root/testdata/sf0.001 (the crawl's own input is
+    the deterministic web per BASELINE.json.input_hint). Returns the
+    payload table (input_hint schema minus raw bytes)."""
+    from raycrawl.ops.crawlq import crawl_payload
 
-    web = WebConfig(n_hosts=6, pages_per_host=16)
-    cfg = CrawlConfig(
-        web=web,
-        out_dir="/tmp/raycrawl_entry",
-        num_shards=4,
-        max_epochs=40,
-    )
-    run_crawl(cfg, seed_urls(web))
-    return read_payload(cfg.out_dir).drop_columns(["bytes"]).to_pandas()
+    return crawl_payload("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
