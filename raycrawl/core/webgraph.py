@@ -39,6 +39,9 @@ class WebConfig:
     private_frac: float = 0.15
     min_dim: int = 32
     max_dim: int = 64
+    # when True, every host's page 2 clones host 0's page 2 pixels (+noise):
+    # CROSS-host near-duplicates, detectable only by the global phash tier
+    cross_host_dup: bool = False
 
 
 def host_name(k: int) -> str:
@@ -136,8 +139,17 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
     rng = np.random.Generator(np.random.PCG64(_page_seed(cfg, k, i, private)))
 
     # --- image: near-dup pages clone the previous page's pixels + noise
+    is_xhost_dup = cfg.cross_host_dup and (not private) and i == 2 and k > 0
     is_neardup = (not private) and i % cfg.neardup_every == 1 and i > 0
-    if is_neardup:
+    if is_xhost_dup:
+        base_rng = np.random.Generator(np.random.PCG64(_page_seed(cfg, 0, 2, False)))
+        w = int(base_rng.integers(cfg.min_dim, cfg.max_dim + 1))
+        h = int(base_rng.integers(cfg.min_dim, cfg.max_dim + 1))
+        fmt = "jpeg" if base_rng.integers(0, 2) else "png"
+        px = synth_pixels(_page_seed(cfg, 0, 2, False), w, h).astype(np.int16)
+        noise = rng.integers(-1, 2, px.shape)
+        pixels = np.clip(px + noise, 0, 255).astype(np.uint8)
+    elif is_neardup:
         base_rng = np.random.Generator(np.random.PCG64(_page_seed(cfg, k, i - 1, False)))
         w = int(base_rng.integers(cfg.min_dim, cfg.max_dim + 1))
         h = int(base_rng.integers(cfg.min_dim, cfg.max_dim + 1))

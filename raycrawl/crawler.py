@@ -58,6 +58,7 @@ import ray.data
 from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
 from .core.webgraph import WebConfig, priority_of
 from .frontier.shard import FrontierShard
+from .frontier.phash_shard import PhashDedupShard, owner_shards
 from .stages.fetch import fetch_batch, decode_batch
 from .io import lancelike
 
@@ -83,6 +84,11 @@ class CrawlConfig:
     # memory and flushes increments at each checkpoint; False records only
     # the aggregate lineage metrics (the at-scale default)
     keep_fetch_log: bool = True
+    # corpus-wide near-dup suppression: route epoch candidates through the
+    # chunk-sharded global phash tier (frontier/phash_shard.py) instead of
+    # the per-host-shard gate
+    global_phash_dedup: bool = False
+    num_phash_shards: int = 4
     # pull per-row fetch logs + exact seen sets back to the driver at the
     # end (oracle-parity testing only — expensive, not part of the job)
     collect_parity_outputs: bool = False
@@ -127,6 +133,12 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
         RestActor.remote(ckpt, restore_epoch, s, cfg.expected_urls, cfg.phash_radius)
         for s in range(cfg.num_shards)
     ]
+
+
+class _RestoredPhashShard(PhashDedupShard):
+    def __init__(self, ckpt_dir, epoch, shard_id, num_shards, radius):
+        restored = PhashDedupShard.restore(ckpt_dir, epoch, shard_id, num_shards, radius)
+        self.__dict__.update(restored.__dict__)
 
 
 class _RestoredShard(FrontierShard):
@@ -191,6 +203,21 @@ def run_crawl(
         os.makedirs(payload_dir, exist_ok=True)
 
     actors = make_shard_actors(cfg, restore_epoch=(start_epoch - 1) if resume else None)
+    dedup_actors = None
+    if cfg.global_phash_dedup:
+        DedupActor = ray.remote(num_cpus=cfg.shard_num_cpus)(PhashDedupShard)
+        if resume:
+            RestDedup = ray.remote(num_cpus=cfg.shard_num_cpus)(_RestoredPhashShard)
+            dedup_actors = [
+                RestDedup.remote(ckpt_dir, start_epoch - 1, d,
+                                 cfg.num_phash_shards, cfg.phash_radius)
+                for d in range(cfg.num_phash_shards)
+            ]
+        else:
+            dedup_actors = [
+                DedupActor.remote(d, cfg.num_phash_shards, cfg.phash_radius)
+                for d in range(cfg.num_phash_shards)
+            ]
     if not resume:
         for sh, rows in _seed_tables(cfg, seeds).items():
             ray.get(
@@ -259,7 +286,50 @@ def run_crawl(
 
         # ordered phash gate + frontier merge (meta only; offers routed as
         # object refs between actors, never materialized on the driver)
-        finals = ray.get([a.gate_finalize.remote(epoch, num_shards) for a in actors])
+        if dedup_actors is not None:
+            # global tier: judge (read-only, global order) → OR verdicts →
+            # commit admitted → host shards apply the suppression set
+            cands = ray.get([a.collect_candidates.remote(epoch) for a in actors])
+            routed: dict[int, tuple[list, list, list]] = {}
+            for digests, phashes, keys in cands:
+                for dg, ph, k in zip(digests, phashes, keys):
+                    for dst in owner_shards(ph, cfg.num_phash_shards):
+                        b = routed.setdefault(dst, ([], [], []))
+                        b[0].append(dg)
+                        b[1].append(ph)
+                        b[2].append(k)
+            verdict_refs = {
+                dst: dedup_actors[dst].judge.remote(epoch, b[1], b[2])
+                for dst, b in routed.items()
+            }
+            suppressed_set: set[bytes] = set()
+            for dst, ref in verdict_refs.items():
+                for dg, dup in zip(routed[dst][0], ray.get(ref)):
+                    if dup:
+                        suppressed_set.add(dg)
+            admitted_by_dst: dict[int, list[int]] = {}
+            for digests, phashes, keys in cands:
+                for dg, ph in zip(digests, phashes):
+                    if dg not in suppressed_set:
+                        for dst in owner_shards(ph, cfg.num_phash_shards):
+                            admitted_by_dst.setdefault(dst, []).append(ph)
+            ray.get(
+                [
+                    dedup_actors[dst].commit.remote(epoch, phs)
+                    for dst, phs in admitted_by_dst.items()
+                ]
+            )
+            sup_ref = ray.put(sorted(suppressed_set))
+            finals = ray.get(
+                [
+                    a.gate_finalize_global.remote(epoch, num_shards, sup_ref)
+                    for a in actors
+                ]
+            )
+        else:
+            finals = ray.get(
+                [a.gate_finalize.remote(epoch, num_shards) for a in actors]
+            )
         suppressed = [d for _, sup, _, _ in finals for d in sup]
         pq.write_table(
             pa.table({"url_hash": pa.array(suppressed, pa.binary())}),
@@ -282,10 +352,11 @@ def run_crawl(
         stats.fetched += sum(counts)
 
         if (epoch + 1) % cfg.saving_period == 0:
-            _checkpoint_all(actors, ckpt_dir, epoch)
+            _checkpoint_all(actors, ckpt_dir, epoch, dedup_actors)
         epoch += 1
 
-    _checkpoint_all(actors, ckpt_dir, epoch - 1 if epoch > start_epoch else start_epoch)
+    _checkpoint_all(actors, ckpt_dir, epoch - 1 if epoch > start_epoch else start_epoch,
+                    dedup_actors)
     stats.epochs = epoch
     stats.metrics = ray.get([a.get_metrics.remote() for a in actors])
     stats.payload_rows = sum(m["fetched"] for m in stats.metrics)
@@ -296,6 +367,9 @@ def run_crawl(
         }
     for a in actors:
         ray.kill(a)
+    if dedup_actors is not None:
+        for d in dedup_actors:
+            ray.kill(d)
     return stats
 
 
@@ -388,10 +462,12 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
     return decode_submit
 
 
-def _checkpoint_all(actors, ckpt_dir: str, epoch: int) -> None:
+def _checkpoint_all(actors, ckpt_dir: str, epoch: int, dedup_actors=None) -> None:
     if epoch < 0:
         return
     ray.get([a.checkpoint.remote(ckpt_dir, epoch) for a in actors])
+    if dedup_actors is not None:
+        ray.get([d.checkpoint.remote(ckpt_dir, epoch) for d in dedup_actors])
     d = os.path.join(ckpt_dir, f"epoch={epoch}")
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "COMPLETE"), "w") as f:

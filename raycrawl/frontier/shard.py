@@ -317,6 +317,76 @@ class FrontierShard:
                 self._logrow(epoch, url, digest, host, pri, depth, disc, status)
             )
 
+    # ----------------------------------------- global-dedup-mode variants
+    def collect_candidates(self, epoch: int):
+        """Global-phash mode, phase 0: this epoch's fetch-ok candidate
+        (digest, phash, order_key) rows — read-only; the buffer stays put
+        until ``gate_finalize_global``."""
+        buf = self._gate_buf.get(epoch, {})
+        digests, phashes, keys = [], [], []
+        for digest, (ph, m, _ls) in buf.items():
+            if ph is None:
+                continue  # fetch errors never reach the dedup tier
+            digests.append(digest)
+            phashes.append(ph)
+            keys.append((-m[2], m[3], m[4], digest))
+        return digests, phashes, keys
+
+    def gate_finalize_global(self, epoch: int, num_shards: int, suppressed_digests):
+        """Global-phash mode, phase 3: apply the tier's verdicts. Same
+        return shape as ``gate_finalize``; the phash state lives in the
+        dedup shards, not here."""
+        if epoch in self._gate_memo:
+            return self._gate_memo[epoch]
+        sup = set(suppressed_digests)
+        buf = self._gate_buf.pop(epoch, {})
+        order = sorted(
+            buf.items(), key=lambda kv: (-kv[1][1][2], kv[1][1][3], kv[1][1][4], kv[0])
+        )
+        suppressed: list[bytes] = []
+        errors: list[bytes] = []
+        best: dict[str, tuple] = {}
+        kept = 0
+        for digest, (ph, m, ls) in order:
+            url, host, pri, depth, disc = m
+            if ph is None:
+                self.metrics["fetch_errors"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "fetch_error")
+                errors.append(digest)
+                continue
+            if digest in sup:
+                self.metrics["phash_suppressed"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "dup_suppressed")
+                suppressed.append(digest)
+                continue
+            self.metrics["fetched"] += 1
+            kept += 1
+            self._log_append(epoch, url, digest, host, pri, depth, disc, "fetched")
+            for lu, ld, lh, lp in ls:
+                nd = depth + 1
+                cur = best.get(lu)
+                if cur is None or nd < cur[3]:
+                    best[lu] = (ld, lh, lp, nd)
+        offers: dict[int, tuple] = {}
+        by_dst: dict[int, list[str]] = {}
+        for u in sorted(best):
+            dst = _shard_of_host_cached(best[u][1], num_shards)
+            by_dst.setdefault(dst, []).append(u)
+        for dst, urls in by_dst.items():
+            payload = (
+                urls,
+                [best[u][0] for u in urls],
+                [best[u][1] for u in urls],
+                [best[u][2] for u in urls],
+                [best[u][3] for u in urls],
+            )
+            offers[dst] = _put_offer(payload)
+        result = (kept, suppressed, errors, offers)
+        self._gate_memo[epoch] = result
+        return result
+
     def _logrow(self, epoch, url, digest, host, pri, depth, disc, status) -> dict:
         return dict(
             epoch=epoch,

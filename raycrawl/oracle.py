@@ -72,10 +72,15 @@ def oracle_crawl(
     epoch_seconds: float = 2.0,
     phash_radius: int = 2,
     burst: float = BURST,
+    global_phash_dedup: bool = False,
+    num_phash_shards: int = 4,
 ) -> OracleResult:
     res = OracleResult()
     seen: dict[int, set[bytes]] = {s: set() for s in range(num_shards)}
     phash_seen: dict[int, list[int]] = {s: [] for s in range(num_shards)}
+    global_phash_committed: dict[int, list[int]] = {
+        s: [] for s in range(num_phash_shards)
+    }
     frontier: list[dict] = []
     tokens: dict[str, float] = {}
     robots = RobotsCache()
@@ -135,6 +140,39 @@ def oracle_crawl(
                 remaining.append(item)
         frontier = remaining
 
+        # global-dedup mode, phases 1+2: judge candidates in global
+        # frontier order per chunk-shard (read-only), OR the verdicts,
+        # commit the admitted hashes — replicating the engine's protocol
+        globally_suppressed: set[bytes] = set()
+        if global_phash_dedup:
+            cands = []
+            for item in selected:
+                if fetch_fails(item["digest"]):
+                    continue
+                page = page_for(cfg, item["url"])
+                pixels, _ = decode_image(page.data)
+                cands.append((item, phash64(pixels)))
+            # selected is already in global frontier order
+            for dshard in range(num_phash_shards):
+                tentative: list[int] = []
+                for item, ph in cands:
+                    if dshard not in _owner_shards(ph, num_phash_shards):
+                        continue
+                    near = any(
+                        hamming64(ph, p) <= phash_radius
+                        for p in global_phash_committed[dshard]
+                    ) or any(
+                        hamming64(ph, p) <= phash_radius for p in tentative
+                    )
+                    if near:
+                        globally_suppressed.add(item["digest"])
+                    else:
+                        tentative.append(ph)
+            for item, ph in cands:
+                if item["digest"] not in globally_suppressed:
+                    for dshard in _owner_shards(ph, num_phash_shards):
+                        global_phash_committed[dshard].append(ph)
+
         new_links: list[tuple[str, int]] = []
         for item in selected:
             shard = item["shard"]
@@ -146,12 +184,18 @@ def oracle_crawl(
             # gating phash comes from the DECODED payload (consumer view)
             pixels, _ = decode_image(page.data)
             ph = phash64(pixels)
-            dup = any(hamming64(ph, p) <= phash_radius for p in phash_seen[shard])
+            if global_phash_dedup:
+                dup = item["digest"] in globally_suppressed
+            else:
+                dup = any(
+                    hamming64(ph, p) <= phash_radius for p in phash_seen[shard]
+                )
             if dup:
                 metrics[shard]["phash_suppressed"] += 1
                 res.fetch_log.append({**_log(item, epoch), "status": "dup_suppressed"})
                 continue
-            phash_seen[shard].append(ph)
+            if not global_phash_dedup:
+                phash_seen[shard].append(ph)
             metrics[shard]["fetched"] += 1
             res.fetch_log.append({**_log(item, epoch), "status": "fetched"})
             res.payload.append(
@@ -184,6 +228,11 @@ def oracle_crawl(
     res.metrics = metrics
     res.epochs = epoch
     return res
+
+
+def _owner_shards(ph: int, num_shards: int) -> set[int]:
+    hu = ph & 0xFFFFFFFFFFFFFFFF
+    return {((hu >> (16 * j)) & 0xFFFF) % num_shards for j in range(4)}
 
 
 def _log(item: dict, epoch: int) -> dict:

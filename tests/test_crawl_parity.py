@@ -143,3 +143,39 @@ def test_hot_host_skew_contained(ray_session, tmp_path):
 def test_fetch_errors_exercised(oracle):
     # the synthetic web injects ~7.7% fetch failures; they must show up
     assert any(r["status"] == "fetch_error" for r in oracle.fetch_log)
+
+
+def test_global_phash_dedup_parity_and_cross_host(ray_session, tmp_path):
+    """Global (chunk-sharded) phash tier: oracle parity holds, and
+    cross-HOST near-duplicates — invisible to the per-host-shard gate —
+    are suppressed."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=6, pages_per_host=10, cross_host_dup=True)
+    o = oracle_crawl(web, seed_urls(web), max_epochs=40, num_shards=3,
+                     global_phash_dedup=True, num_phash_shards=4)
+    cfg = CrawlConfig(
+        web=web, out_dir=str(tmp_path / "g"), num_shards=3, max_epochs=40,
+        global_phash_dedup=True, num_phash_shards=4,
+        collect_parity_outputs=True,
+    )
+    stats = run_crawl(cfg, seed_urls(web))
+    assert _sort_log(o.fetch_log) == _sort_log(stats.fetch_log)
+    assert {s: sorted(v) for s, v in o.seen.items()} == {
+        s: sorted(v) for s, v in stats.seen.items()
+    }
+    # cross-host suppression actually happened: at least one /p/2 page of a
+    # host != h0 was suppressed
+    xhost_sup = [
+        r for r in stats.fetch_log
+        if r["status"] == "dup_suppressed" and r["url"].endswith("/p/2")
+        and not r["url"].startswith("http://h0.")
+    ]
+    assert xhost_sup, "expected cross-host near-dups to be suppressed"
+
+    # the per-host-shard gate CANNOT catch these (control)
+    o_local = oracle_crawl(web, seed_urls(web), max_epochs=40, num_shards=3)
+    local_sup = {
+        r["url"] for r in o_local.fetch_log if r["status"] == "dup_suppressed"
+    }
+    assert any(r["url"] not in local_sup for r in xhost_sup)

@@ -97,3 +97,35 @@ def test_graceful_stop_then_resume(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         a[["image_id", "caption", "phash"]], b[["image_id", "caption", "phash"]]
     )
+
+
+def test_resume_with_global_phash_tier(ray_session, tmp_path):
+    """Kill/resume with the global dedup tier: the dedup shards' committed
+    indexes restore from their checkpoints and the final output matches an
+    uninterrupted run."""
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=5, pages_per_host=10, cross_host_dup=True)
+
+    def cfg_for(out, max_epochs):
+        return CrawlConfig(
+            web=web, out_dir=out, num_shards=2, max_epochs=max_epochs,
+            saving_period=3, global_phash_dedup=True, num_phash_shards=3,
+            collect_parity_outputs=True,
+        )
+
+    full = run_crawl(cfg_for(str(tmp_path / "f"), 50), seed_urls(web))
+    run_crawl(cfg_for(str(tmp_path / "p"), 4), seed_urls(web))
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(str(tmp_path / "p"), "checkpoints", "epoch=3"))
+    resumed = run_crawl(cfg_for(str(tmp_path / "p"), 50), seed_urls(web), resume=True)
+    assert resumed.epochs == full.epochs
+    assert {s: sorted(v) for s, v in full.seen.items()} == {
+        s: sorted(v) for s, v in resumed.seen.items()
+    }
+    for s in range(2):
+        for k in ("fetched", "phash_suppressed", "fetch_errors"):
+            assert full.metrics[s][k] == resumed.metrics[s][k]
