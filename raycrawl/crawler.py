@@ -89,6 +89,9 @@ class CrawlConfig:
     # the per-host-shard gate
     global_phash_dedup: bool = False
     num_phash_shards: int = 4
+    # external frontier queue: per-host in-memory heap capped at this many
+    # items, the rest in parquet spill segments (None = all in memory)
+    frontier_spill_threshold: int | None = None
     # pull per-row fetch logs + exact seen sets back to the driver at the
     # end (oracle-parity testing only — expensive, not part of the job)
     collect_parity_outputs: bool = False
@@ -120,17 +123,25 @@ def _seed_tables(cfg: CrawlConfig, seeds: list[str]):
 
 def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
     ckpt = os.path.join(cfg.out_dir, "checkpoints")
+    def spill_dir(s):
+        if cfg.frontier_spill_threshold is None:
+            return None
+        return os.path.join(cfg.out_dir, "spill", f"shard={s}")
+
     if restore_epoch is None:
         Actor = ray.remote(num_cpus=cfg.shard_num_cpus)(FrontierShard)
         return [
             Actor.remote(s, cfg.epoch_seconds, cfg.expected_urls, cfg.phash_radius,
-                         cfg.burst, cfg.keep_fetch_log)
+                         cfg.burst, cfg.keep_fetch_log,
+                         cfg.frontier_spill_threshold, spill_dir(s))
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place
     RestActor = ray.remote(num_cpus=cfg.shard_num_cpus)(_RestoredShard)
     return [
-        RestActor.remote(ckpt, restore_epoch, s, cfg.expected_urls, cfg.phash_radius)
+        RestActor.remote(ckpt, restore_epoch, s, cfg.expected_urls,
+                         cfg.phash_radius, cfg.frontier_spill_threshold,
+                         spill_dir(s))
         for s in range(cfg.num_shards)
     ]
 
@@ -142,8 +153,12 @@ class _RestoredPhashShard(PhashDedupShard):
 
 
 class _RestoredShard(FrontierShard):
-    def __init__(self, ckpt_dir, epoch, shard_id, expected_urls, phash_radius):
-        restored = FrontierShard.restore(ckpt_dir, epoch, shard_id, expected_urls, phash_radius)
+    def __init__(self, ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
+                 spill_threshold=None, spill_dir=None):
+        restored = FrontierShard.restore(
+            ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
+            spill_threshold, spill_dir,
+        )
         self.__dict__.update(restored.__dict__)
 
 

@@ -62,6 +62,32 @@ def _shard_of_host_cached(host: str, num_shards: int) -> int:
         v = _SHARD_CACHE[key] = shard_of_host(host, num_shards)
     return v
 
+def _items_table(items: list[tuple], host: str) -> pa.Table:
+    return pa.table(
+        {
+            "url": [i[4] for i in items],
+            "url_hash": [i[3] for i in items],
+            "priority": pa.array([-i[0] for i in items], pa.int32()),
+            "depth": pa.array([i[1] for i in items], pa.int32()),
+            "discovered_at": pa.array([i[2] for i in items], pa.int64()),
+            "host": [host] * len(items),
+        }
+    )
+
+
+def _table_items(t: pa.Table) -> list[tuple]:
+    return [
+        (-p, d, da, dg, u)
+        for u, dg, p, d, da in zip(
+            t["url"].to_pylist(),
+            t["url_hash"].to_pylist(),
+            t["priority"].to_pylist(),
+            t["depth"].to_pylist(),
+            t["discovered_at"].to_pylist(),
+        )
+    ]
+
+
 POP_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -84,8 +110,21 @@ class FrontierShard:
         phash_radius: int = 2,
         burst: float = 8.0,
         log_enabled: bool = True,
+        spill_threshold: int | None = None,
+        spill_dir: str | None = None,
     ):
         self.shard_id = shard_id
+        # external per-host queue: when a host's in-memory heap exceeds
+        # spill_threshold, the WORST half spills to parquet segments and the
+        # heap keeps only the best items. Invariant: every in-memory item
+        # sorts strictly before every spilled item of its host
+        # (spill_floor), so pop order is unchanged — the 10^10-URL
+        # frontier's memory is bounded by hosts × spill_threshold.
+        self.spill_threshold = spill_threshold
+        self.spill_dir = spill_dir
+        self._spill_files: dict[str, list[str]] = {}
+        self._spill_floor: dict[str, tuple] = {}
+        self._spill_seq = 0
         self.log_enabled = log_enabled
         self._log_flushed = 0  # rows already persisted by a checkpoint
         self.epoch_seconds = epoch_seconds
@@ -104,6 +143,7 @@ class FrontierShard:
         self.log: list[dict] = []
         # url → (digest, host, priority, min_depth, discovered_at)
         self.pending: dict[str, tuple] = {}
+        self._spill_overflow: dict[str, list[tuple]] = {}
         self._offer_memo: dict = {}
         self._gate_memo: dict[int, tuple] = {}
         self._gate_buf: dict[int, dict[bytes, tuple]] = {}
@@ -162,11 +202,64 @@ class FrontierShard:
                                  discovered_at, "robots_denied")
                 continue
             self.metrics["accepted"] += 1
-            heapq.heappush(
-                self.host_q.setdefault(host, []),
-                (-pri, depth, discovered_at, digest, url),
-            )
+            self._push(host, (-pri, depth, discovered_at, digest, url))
         self.pending.clear()
+
+    def _push(self, host: str, item: tuple) -> None:
+        floor = self._spill_floor.get(host)
+        if floor is not None and item[:4] >= floor:
+            self._spill_overflow.setdefault(host, []).append(item)
+            self._maybe_flush_overflow(host)
+            return
+        q = self.host_q.setdefault(host, [])
+        heapq.heappush(q, item)
+        if self.spill_threshold and len(q) > 2 * self.spill_threshold:
+            q.sort()
+            keep, worse = q[: self.spill_threshold], q[self.spill_threshold :]
+            self.host_q[host] = keep
+            heapq.heapify(self.host_q[host])
+            f = self._spill_floor.get(host)
+            new_floor = worse[0][:4]
+            self._spill_floor[host] = min(f, new_floor) if f else new_floor
+            self._spill_overflow.setdefault(host, []).extend(worse)
+            self._maybe_flush_overflow(host)
+
+    def _maybe_flush_overflow(self, host: str) -> None:
+        ov = self._spill_overflow.get(host, [])
+        if len(ov) < (self.spill_threshold or 0):
+            return
+        self._write_spill(host, ov)
+        self._spill_overflow[host] = []
+
+    def _write_spill(self, host: str, items: list[tuple]) -> None:
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(
+            self.spill_dir, f"s{self.shard_id}_{self._spill_seq}.parquet"
+        )
+        self._spill_seq += 1
+        pq.write_table(_items_table(items, host), path)
+        self._spill_files.setdefault(host, []).append(path)
+
+    def _reload_spill(self, host: str) -> None:
+        """Heap drained → pull every spilled/overflow item back in-memory
+        (at 10^10 scale: reload only the best segment; documented)."""
+        items = list(self._spill_overflow.pop(host, []))
+        for path in self._spill_files.pop(host, []):
+            t = pq.read_table(path)
+            items.extend(_table_items(t))
+            os.remove(path)
+        self._spill_floor.pop(host, None)
+        q = self.host_q.setdefault(host, [])
+        q.extend(items)
+        heapq.heapify(q)
+        # re-spill if still oversized (keeps the invariant)
+        if self.spill_threshold and len(q) > 2 * self.spill_threshold:
+            q.sort()
+            keep, worse = q[: self.spill_threshold], q[self.spill_threshold :]
+            self.host_q[host] = keep
+            heapq.heapify(self.host_q[host])
+            self._spill_floor[host] = worse[0][:4]
+            self._write_spill(host, worse)
 
     # ----------------------------------------------------------------- pop
     def pop(self, epoch: int) -> int:
@@ -174,6 +267,10 @@ class FrontierShard:
         (frontier order, politeness-constrained); stash them as an Arrow
         table; return the count."""
         self._merge_pending()
+        # refill drained hosts from their spill segments before selection
+        for host in list(self._spill_files.keys() | self._spill_overflow.keys()):
+            if not self.host_q.get(host):
+                self._reload_spill(host)
         self.politeness.refill_all()
         outer: list[tuple] = []
         for host, q in self.host_q.items():
@@ -188,6 +285,11 @@ class FrontierShard:
             item = heapq.heappop(self.host_q[host])
             rows.append((item[4], digest, host, -negpri, depth, disc))
             q = self.host_q[host]
+            if not q and (
+                self._spill_files.get(host) or self._spill_overflow.get(host)
+            ):
+                self._reload_spill(host)  # heap drained mid-epoch
+                q = self.host_q[host]
             if q:
                 heapq.heappush(outer, (*q[0][:4], host))
         rows.sort(key=lambda r: (-r[3], r[4], r[5], r[1]))
@@ -221,7 +323,12 @@ class FrontierShard:
         return t.slice(j * chunk_rows, chunk_rows)
 
     def frontier_size(self) -> int:
-        return sum(len(q) for q in self.host_q.values())
+        n = sum(len(q) for q in self.host_q.values()) + len(self.pending)
+        n += sum(len(v) for v in self._spill_overflow.values())
+        for host, files in self._spill_files.items():
+            for path in files:
+                n += pq.read_metadata(path).num_rows
+        return n
 
     # ---------------------------------------------------------------- gate
     #
@@ -422,6 +529,11 @@ class FrontierShard:
         d = os.path.join(ckpt_dir, f"epoch={epoch}", f"shard={self.shard_id}")
         os.makedirs(d, exist_ok=True)
         items = [it for q in self.host_q.values() for it in q]
+        for ov in self._spill_overflow.values():
+            items.extend(ov)
+        for host, files in self._spill_files.items():
+            for path in files:
+                items.extend(_table_items(pq.read_table(path)))
         pq.write_table(
             pa.table(
                 {
@@ -499,12 +611,15 @@ class FrontierShard:
         shard_id: int,
         expected_urls: int = 1 << 14,
         phash_radius: int = 2,
+        spill_threshold: int | None = None,
+        spill_dir: str | None = None,
     ) -> "FrontierShard":
         d = os.path.join(ckpt_dir, f"epoch={epoch}", f"shard={shard_id}")
         with open(os.path.join(d, "manifest.json")) as f:
             manifest = json.load(f)
         self = cls(shard_id, manifest["epoch_seconds"], expected_urls, phash_radius,
-                   manifest.get("burst", 8.0), manifest.get("log_enabled", True))
+                   manifest.get("burst", 8.0), manifest.get("log_enabled", True),
+                   spill_threshold, spill_dir)
         npz = np.load(os.path.join(d, "sketches.npz"))
         with open(os.path.join(d, "exact_seen.bin"), "rb") as f:
             exact = f.read()
@@ -523,9 +638,7 @@ class FrontierShard:
             front["discovered_at"].to_pylist(),
             front["host"].to_pylist(),
         ):
-            heapq.heappush(
-                self.host_q.setdefault(host, []), (-pri, depth, disc, digest, url)
-            )
+            self._push(host, (-pri, depth, disc, digest, url))
         pend = pq.read_table(os.path.join(d, "pending.parquet"))
         for url, digest, host, pri, depth, disc in zip(
             pend["url"].to_pylist(),

@@ -179,3 +179,21 @@ def test_global_phash_dedup_parity_and_cross_host(ray_session, tmp_path):
         r["url"] for r in o_local.fetch_log if r["status"] == "dup_suppressed"
     }
     assert any(r["url"] not in local_sup for r in xhost_sup)
+
+
+def test_parity_with_frontier_spill(ray_session, tmp_path):
+    """External frontier queue (per-host heap capped at 4 items, rest in
+    parquet spill segments): crawl ordering parity must be unaffected."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=4, pages_per_host=25)
+    o = oracle_crawl(web, seed_urls(web), max_epochs=60, num_shards=2)
+    cfg = CrawlConfig(
+        web=web, out_dir=str(tmp_path / "sp"), num_shards=2, max_epochs=60,
+        frontier_spill_threshold=4, collect_parity_outputs=True,
+    )
+    stats = run_crawl(cfg, seed_urls(web))
+    assert _sort_log(o.fetch_log) == _sort_log(stats.fetch_log)
+    assert {s: sorted(v) for s, v in o.seen.items()} == {
+        s: sorted(v) for s, v in stats.seen.items()
+    }
