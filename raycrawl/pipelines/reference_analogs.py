@@ -262,45 +262,66 @@ def propagate_labels(
     seed_labels: dict[int, str],
     iterations: int = 5,
     margin: int = 2,
+    broadcast_threshold: int = 1_000_000,
 ) -> pd.DataFrame:
     """Label-propagation rounds, Ray-scalable shape: the edge set stays a
-    distributed Dataset for the whole loop; each round broadcasts the
-    (bounded-by-#users) label map, counts votes with a grouped aggregate,
-    and only the tiny (src, label, votes) table reaches the driver where
-    the argmax-with-margin rule (A4) is applied."""
+    distributed Dataset for the whole loop. Each round attaches the
+    neighbours' labels — via a BROADCAST map while the label table fits
+    (≤ ``broadcast_threshold`` entries), via a hash-partitioned
+    ``Dataset.join`` beyond that — then counts votes with a grouped
+    aggregate; only the tiny (src, label, votes) table reaches the driver
+    where the argmax-with-margin rule (A4) is applied. Both paths produce
+    identical votes (tested)."""
     labels: dict[int, str] = dict(seed_labels)
     edges = edges.materialize()  # reused every round — pin once
     for _ in range(iterations):
-        ref = ray.put(dict(labels))
-        seed_ref = ray.put(set(seed_labels))
+        if len(labels) <= broadcast_threshold:
+            ref = ray.put(dict(labels))
+            seed_ref = ray.put(set(seed_labels))
 
-        class AttachVote:
-            def __init__(self, lref, sref):
-                self.labels = ray.get(lref)
-                self.seeds = ray.get(sref)
+            class AttachVote:
+                def __init__(self, lref, sref):
+                    self.labels = ray.get(lref)
+                    self.seeds = ray.get(sref)
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                srcs, labs = [], []
-                for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
-                    if s in self.seeds:  # J7 anti-join guard: seeds never move
-                        continue
-                    lab = self.labels.get(d)
-                    if lab is not None:
-                        srcs.append(s)
-                        labs.append(lab)
-                return pa.table(
-                    {
-                        "src": pa.array(srcs, pa.int64()),
-                        "dst_label": pa.array(labs, pa.string()),
-                    }
-                )
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    srcs, labs = [], []
+                    for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+                        if s in self.seeds:  # J7 guard: seeds never move
+                            continue
+                        lab = self.labels.get(d)
+                        if lab is not None:
+                            srcs.append(s)
+                            labs.append(lab)
+                    return pa.table(
+                        {
+                            "src": pa.array(srcs, pa.int64()),
+                            "dst_label": pa.array(labs, pa.string()),
+                        }
+                    )
 
-        counts = (
-            edges.map_batches(
+            voted = edges.map_batches(
                 AttachVote, fn_constructor_args=(ref, seed_ref),
                 batch_format="pyarrow", concurrency=(1, 8),
             )
-            .groupby(["src", "dst_label"])
+        else:  # label table too big to broadcast → distributed hash join
+            label_ds = ray.data.from_pandas(
+                pd.DataFrame(
+                    {"dst": list(labels), "dst_label": list(labels.values())}
+                )
+            )
+            seeds_set = set(seed_labels)
+            voted = (
+                edges.filter(
+                    lambda r, _s=seeds_set: r["src"] not in _s
+                )  # J7 guard
+                .join(label_ds, join_type="inner", num_partitions=8,
+                      on=("dst",))
+                .select_columns(["src", "dst_label"])
+            )
+
+        counts = (
+            voted.groupby(["src", "dst_label"])
             .aggregate(Count(alias_name="v"))
             .to_pandas()  # bounded: #users × #labels rows
         )

@@ -277,3 +277,38 @@ class TestHLL:
         # HLL with 2^12 registers: relative error ~1.04/sqrt(m) ≈ 1.6%;
         # allow 5% (small-range correction regime at this sf)
         assert abs(est - exact) / exact < 0.05
+
+
+class TestLabelPropJoinPath:
+    def test_join_path_equals_broadcast_path(self, ray_session):
+        """The distributed-join vote attach (used when the label table
+        exceeds broadcast size) must produce identical labels."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from raycrawl.pipelines.reference_analogs import propagate_labels
+
+        ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "props"])
+        edges = sorted(
+            {
+                (u, json.loads(p)["k"] % 150)
+                for u, p in zip(ev["user_id"].to_pylist(), ev["props"].to_pylist())
+            }
+        )
+        eds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        )
+        seeds = {u: f"label{u % 3}" for u in range(9)}
+        a = propagate_labels(eds, seeds)  # broadcast path
+        b = propagate_labels(eds, seeds, broadcast_threshold=0)  # join path
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
