@@ -164,11 +164,32 @@ class SeenSet:
         seen = digest in self
         if not seen:
             self.bloom.add(digest)
-            self.cuckoo.add(digest)
+            if not self.cuckoo.add(digest) or self.cuckoo.size > 0.9 * (
+                self.cuckoo.nbuckets * CuckooFilter.SLOTS
+            ):
+                self._grow_cuckoo(digest)
             if self.exact is not None:
                 self.exact.add(digest)
             self.count += 1
         return seen
+
+    def _grow_cuckoo(self, pending: bytes) -> None:
+        """Rebuild the cuckoo filter at double capacity when it saturates
+        (~95% load or a failed insert). At test scale the exact side table
+        provides the keys; at 10^10 scale pre-size ``expected`` instead —
+        growth there would require replaying the seen log (the checkpointed
+        frontier+seen tables make that possible, but it is a stop-the-shard
+        operation and sizing correctly up front is the intended path)."""
+        if self.exact is None:  # pragma: no cover - production sizing path
+            raise RuntimeError(
+                "cuckoo filter saturated and no exact table to rebuild from; "
+                "size SeenSet(expected=...) for the planned URL volume"
+            )
+        new = CuckooFilter(max(64, 2 * self.cuckoo.nbuckets * CuckooFilter.SLOTS))
+        for k in self.exact:
+            new.add(k)
+        new.add(pending)
+        self.cuckoo = new
 
     def state(self) -> dict:
         """Checkpointable state (numpy arrays + exact digests)."""

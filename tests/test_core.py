@@ -234,3 +234,16 @@ class TestFetchRetries:
         )
         assert out["fetch_ok"][0].as_py() is True  # retry succeeded
         assert w.retries == 1
+
+
+class TestSeenSetGrowth:
+    def test_cuckoo_auto_grows_past_expected(self):
+        from raycrawl.core.sketches import SeenSet
+        from raycrawl.core.urltools import url_sha1
+
+        s = SeenSet(expected=32)  # deliberately undersized
+        keys = [url_sha1(f"http://g/{i}") for i in range(1000)]
+        assert not any(s.check_and_add(k) for k in keys)
+        assert all(k in s for k in keys)
+        assert s.count == 1000
+        assert s.cuckoo.nbuckets * 4 >= 1000  # grew past the initial sizing
