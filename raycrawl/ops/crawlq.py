@@ -76,9 +76,10 @@ def crawl_frontier_metrics(sf_dir: str):
             dict(
                 shard=m["shard"],
                 epoch=m["epoch"],
-                **{k: m["metrics"][k] for k in
+                **{k: m["metrics"].get(k, 0) for k in
                    ("offered", "accepted", "fetched", "robots_denied",
-                    "phash_suppressed", "seen_count", "robots_fetches")},
+                    "phash_suppressed", "fetch_errors", "seen_count",
+                    "bloom_cuckoo_false_positives", "robots_fetches")},
             )
         )
     return pd.DataFrame(rows)
