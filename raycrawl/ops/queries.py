@@ -567,3 +567,144 @@ def weighted_priority_support(sf_dir: str):
         .reset_index()
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape — predicate-pushdown filter + global sum (the simplest
+# "prune at the read" demonstration: only 3 columns leave storage and the
+# row filter is applied per batch, vectorized)
+@register(
+    "forecast_revenue_change",
+    sql="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(sf_dir: str):
+    ds = table(sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_quantity"])
+
+    def fsum(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+            ),
+            pc.less(t["l_quantity"], pa.scalar(24.0)),
+        )
+        f = t.filter(mask)
+        rev_c = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(f["l_extendedprice"], f["l_discount"]),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        # per-batch partial: one row per batch reaches the global sum
+        return pa.table(
+            {
+                "rev_c": pa.array([pc.sum(rev_c).as_py() or 0], pa.int64()),
+                "n": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(fsum, batch_format="pyarrow").aggregate(
+        Sum("rev_c", alias_name="rev_c"), Sum("n", alias_name="n")
+    )
+    return pd.DataFrame(
+        [{"revenue": (agg["rev_c"] or 0) / 100.0, "n": int(agg["n"] or 0)}]
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape — multi-table join chain (region→nation→customer→orders→
+# lineitem): broadcast the small dimension chain, Dataset.join the facts
+@register(
+    "regional_revenue",
+    sql="""
+    SELECT r_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name
+    """,
+)
+def regional_revenue(sf_dir: str):
+    # dimension chain (region⋈nation⋈customer) is small → broadcast dict
+    # custkey→region_name; lineitem⋈orders is the large-large hash join
+    nation = table(sf_dir, "nation").to_pandas()
+    region = table(sf_dir, "region").to_pandas()
+    cust = table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    n2r = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
+        )
+    )
+    c2r = dict(zip(cust["c_custkey"], cust["c_nationkey"].map(n2r)))
+    ref = ray.put(c2r)
+
+    orders = table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_cents(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_c": pc.cast(
+                    pc.round(pc.multiply(rev, pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    joined = li.map_batches(rev_cents, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    class AttachRegion:
+        def __init__(self, ref):
+            self.c2r = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "r_name": pa.array(
+                        [self.c2r[c] for c in t["o_custkey"].to_pylist()],
+                        pa.string(),
+                    ),
+                    "rev_c": t["rev_c"],
+                }
+            )
+
+    agg = (
+        joined.map_batches(AttachRegion, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("r_name")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t["r_name"],
+                "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()),
+                                     pa.scalar(100.0)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
