@@ -55,7 +55,9 @@ class RobotsCache:
     """Synthetic robots.txt decisions, cached per host.
 
     Deterministic rules: a host whose SHA-1 first byte is ≡ 0 (mod 3)
-    disallows paths starting with ``/private``. ``fetches`` counts how many
+    disallows paths starting with ``/private``; a host whose SHA-1 second
+    byte is ≡ 0 (mod 5) declares a ``Crawl-delay`` that caps its fetch
+    rate below the default token-bucket rate. ``fetches`` counts how many
     times a robots file was (synthetically) fetched — proving the cache is
     consulted once per host per actor, the analog of loading the abbreviation
     dictionary once (``Cansin_Location_Detection.py:54-66``).
@@ -63,32 +65,47 @@ class RobotsCache:
 
     def __init__(self) -> None:
         self.rules: dict[str, tuple[str, ...]] = {}
+        self.delays: dict[str, float | None] = {}
         self.fetches = 0
 
     @staticmethod
-    def _fetch_rules(host: str) -> tuple[str, ...]:
+    def _fetch_rules(host: str) -> tuple[tuple[str, ...], float | None]:
         h = hashlib.sha1(host.encode()).digest()
-        return ("/private",) if h[0] % 3 == 0 else ()
+        disallow = ("/private",) if h[0] % 3 == 0 else ()
+        # Crawl-delay: seconds between requests → rate = 1/delay
+        delay = float(2 + h[1] % 4) if h[1] % 5 == 0 else None
+        return disallow, delay
+
+    def _ensure(self, host: str) -> None:
+        if host not in self.rules:
+            self.rules[host], self.delays[host] = self._fetch_rules(host)
+            self.fetches += 1
 
     def allowed(self, host: str, path: str) -> bool:
-        if host not in self.rules:
-            self.rules[host] = self._fetch_rules(host)
-            self.fetches += 1
+        self._ensure(host)
         return not any(path.startswith(p) for p in self.rules[host])
+
+    def crawl_delay(self, host: str) -> float | None:
+        self._ensure(host)
+        return self.delays[host]
 
 
 class HostPoliteness:
     """Bundle of per-host token buckets for one frontier shard."""
 
-    def __init__(self, epoch_seconds: float = 2.0, burst: float = 8.0):
+    def __init__(self, epoch_seconds: float = 2.0, burst: float = 8.0,
+                 rate_fn=None):
         self.epoch_seconds = epoch_seconds
         self.burst = burst
+        # rate_fn(host) -> tokens/sec override (e.g. robots Crawl-delay cap)
+        self.rate_fn = rate_fn or host_rate
         self.buckets: dict[str, TokenBucket] = {}
 
     def bucket(self, host: str) -> TokenBucket:
         b = self.buckets.get(host)
         if b is None:
-            b = self.buckets[host] = TokenBucket(rate=host_rate(host), burst=self.burst)
+            b = self.buckets[host] = TokenBucket(rate=self.rate_fn(host),
+                                                 burst=self.burst)
         return b
 
     def refill_all(self) -> None:

@@ -25,6 +25,12 @@ from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode, urljoin
 
 _DEFAULT_PORT = {"http": "80", "https": "443"}
 
+# tracking parameters stripped during canonicalization (they never change
+# page content, only analytics attribution — keeping them would make the
+# URL-seen set treat every campaign link as a distinct page)
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_KEYS = {"gclid", "fbclid", "mc_cid", "mc_eid"}
+
 
 def canonicalize_url(url: str, base: str | None = None) -> str:
     """Return the canonical form of ``url`` (optionally joined to ``base``)."""
@@ -48,7 +54,13 @@ def canonicalize_url(url: str, base: str | None = None) -> str:
             continue
         segs.append(seg)
     path = "/" + "/".join(segs)
-    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    pairs = [
+        (k, v)
+        for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        if k not in _TRACKING_KEYS
+        and not any(k.startswith(p) for p in _TRACKING_PREFIXES)
+    ]
+    query = urlencode(sorted(pairs))
     return urlunsplit((scheme, netloc, path, query, ""))
 
 

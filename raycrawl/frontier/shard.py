@@ -131,8 +131,11 @@ class FrontierShard:
         self.expected_urls = expected_urls
         self.burst = burst
         self.seen = SeenSet(expected_urls)
-        self.politeness = HostPoliteness(epoch_seconds, burst)
         self.robots = RobotsCache()
+        # politeness rate honors robots Crawl-delay when declared
+        self.politeness = HostPoliteness(
+            epoch_seconds, burst, rate_fn=self._effective_rate
+        )
         self.phash = PhashIndex(phash_radius)
         # host → heap of (negpri, depth, discovered_at, digest, url)
         self.host_q: dict[str, list[tuple]] = {}
@@ -148,6 +151,13 @@ class FrontierShard:
         self._gate_memo: dict[int, tuple] = {}
         self._gate_buf: dict[int, dict[bytes, tuple]] = {}
         self._popped: pa.Table | None = None
+
+    def _effective_rate(self, host: str) -> float:
+        from ..core.politeness import host_rate
+
+        delay = self.robots.crawl_delay(host)
+        rate = host_rate(host)
+        return min(rate, 1.0 / delay) if delay else rate
 
     # ------------------------------------------------------------- enqueue
     def offer(
@@ -592,6 +602,7 @@ class FrontierShard:
             metrics=self.get_metrics(),
             tokens={h: b.tokens for h, b in self.politeness.buckets.items()},
             robots={h: list(r) for h, r in self.robots.rules.items()},
+            robots_delays={h: d for h, d in self.robots.delays.items()},
             seen_count=self.seen.count,
             epoch_seconds=self.epoch_seconds,
         )
@@ -649,11 +660,14 @@ class FrontierShard:
             pend["discovered_at"].to_pylist(),
         ):
             self.pending[url] = (digest, host, pri, depth, disc)
+        self.robots.rules = {h: tuple(r) for h, r in manifest["robots"].items()}
+        self.robots.delays = dict(manifest.get("robots_delays", {}))
+        for h in self.robots.rules:
+            self.robots.delays.setdefault(h, None)
+        self.robots.fetches = manifest["metrics"]["robots_fetches"]
         for h, tok in manifest["tokens"].items():
             b = self.politeness.bucket(h)
             b.tokens = tok
-        self.robots.rules = {h: tuple(r) for h, r in manifest["robots"].items()}
-        self.robots.fetches = manifest["metrics"]["robots_fetches"]
         self.metrics = {
             k: manifest["metrics"].get(k, 0)
             for k in ("offered", "accepted", "fetched", "robots_denied",

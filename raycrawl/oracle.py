@@ -118,10 +118,15 @@ def oracle_crawl(
     for s in seeds:
         enqueue(canonicalize_url(s), 0, 0)
 
+    def eff_rate(h: str) -> float:
+        delay = robots.crawl_delay(h)
+        r = host_rate(h)
+        return min(r, 1.0 / delay) if delay else r
+
     epoch = 0
     while epoch < max_epochs and frontier:
         for h in tokens:
-            tokens[h] = min(burst, tokens[h] + host_rate(h) * epoch_seconds)
+            tokens[h] = min(burst, tokens[h] + eff_rate(h) * epoch_seconds)
         frontier.sort(key=order_key)
         selected: list[dict] = []
         remaining: list[dict] = []

@@ -247,3 +247,33 @@ class TestSeenSetGrowth:
         assert all(k in s for k in keys)
         assert s.count == 1000
         assert s.cuckoo.nbuckets * 4 >= 1000  # grew past the initial sizing
+
+
+class TestCrawlDelayAndTracking:
+    def test_robots_crawl_delay_caps_rate(self):
+        from raycrawl.core.politeness import RobotsCache, host_rate
+        from raycrawl.frontier.shard import FrontierShard
+
+        rc = RobotsCache()
+        delayed = [
+            f"h{k}.web.test" for k in range(40)
+            if rc.crawl_delay(f"h{k}.web.test") is not None
+        ]
+        assert delayed, "expected some hosts to declare Crawl-delay"
+        s = FrontierShard(0)
+        h = delayed[0]
+        eff = s._effective_rate(h)
+        assert eff <= host_rate(h)
+        assert eff == min(host_rate(h), 1.0 / rc.crawl_delay(h))
+
+    def test_tracking_params_stripped(self):
+        from raycrawl.core.urltools import canonicalize_url
+
+        assert (
+            canonicalize_url("http://a.b/x?utm_source=tw&id=3&gclid=zz&utm_campaign=c")
+            == "http://a.b/x?id=3"
+        )
+        # equivalence class: with/without tracking params → same seen-key
+        assert canonicalize_url("http://a.b/x?id=3&fbclid=123") == canonicalize_url(
+            "http://a.b/x?id=3"
+        )
