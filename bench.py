@@ -168,7 +168,7 @@ def crawl_scaling_run():
                     min_dim=192, max_dim=320)
     cfg = CrawlConfig(
         web=web, out_dir=f"/tmp/raycrawl_scaling_{NUM_CPUS}", num_shards=8,
-        max_epochs=60, epoch_seconds=60.0, saving_period=30, burst=64.0,
+        max_epochs=60, epoch_seconds=120.0, saving_period=30, burst=64.0,
         expected_urls=1 << 17, keep_bytes_in_payload=False, keep_fetch_log=False,
     )
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
