@@ -312,3 +312,19 @@ class TestLabelPropJoinPath:
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
+
+
+class TestImagePhashGroups:
+    def test_injected_pairs_collapse(self, ray_session):
+        """image_phash_neardup_groups: docs 2k/2k+1 share a base image →
+        group count ≈ n/2 and the overwhelming majority of groups are
+        pairs (pHash on small random images occasionally collides across
+        bases or splits a noisy pair — a handful of 1s/3s/4s is expected)."""
+        from raycrawl.ops.crawlq import image_phash_neardup_groups
+
+        out = image_phash_neardup_groups(SF)
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+        assert abs(len(out) - n_docs // 2) <= max(5, n_docs // 40)
+        assert (out["group_size"] == 2).mean() > 0.9
