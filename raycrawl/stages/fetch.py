@@ -3,16 +3,16 @@
 These are the per-record transform stages of the crawl pipeline, all
 Arrow-in/Arrow-out (``batch_format="pyarrow"``):
 
-* ``FetchWorker`` — actor-pool stage (callable class: per-actor setup in
-  ``__init__``, per-batch work in ``__call__``) that "fetches" each popped
-  URL. In this sandbox the fetch is the deterministic synthetic web
-  (``page_for``); in production it would be an async HTTP client pool —
-  which is exactly why it is an actor pool (connection reuse), the analog
-  of the reference's single `tweepy.Client` (``pages/Crawler.py:162-192``).
-* ``DecodePhash`` — actor-pool stage decoding payload bytes and computing
+* ``FetchWorker`` — callable class (per-process setup once, per-batch
+  work in ``__call__``; see the cache note below) that "fetches" each
+  popped URL with an in-task retry budget for transient failures. In this
+  sandbox the fetch is the deterministic synthetic web (``page_for``); in
+  production it holds the async HTTP client pool, the analog of the
+  reference's single `tweepy.Client` (``pages/Crawler.py:162-192``).
+* ``DecodePhash`` — callable class decoding payload bytes and computing
   the 64-bit perceptual hash of the DECODED pixels (the gating/near-dup
   key). Separate from fetch because fetch is IO-bound and decode is
-  CPU-bound: they want independent pool sizes.
+  CPU-bound.
 * ``ExplodeLinks`` — stateless task: one row per outlink, canonicalized
   against the page URL (link-extraction analog of the reference's
   ``RT @user:`` parsing, ``Stance_Detection.py:63-84``), keyed with

@@ -197,3 +197,24 @@ def test_parity_with_frontier_spill(ray_session, tmp_path):
     assert {s: sorted(v) for s, v in o.seen.items()} == {
         s: sorted(v) for s, v in stats.seen.items()
     }
+
+
+def test_engine_self_determinism(ray_session, tmp_path):
+    """Two independent engine runs on the same config produce identical
+    payload tables (beyond oracle parity: no hidden scheduling
+    sensitivity)."""
+    from raycrawl.crawler import CrawlConfig, run_crawl, read_payload
+
+    web = WebConfig(n_hosts=4, pages_per_host=10)
+
+    def run(out):
+        cfg = CrawlConfig(web=web, out_dir=out, num_shards=2, max_epochs=30)
+        run_crawl(cfg, seed_urls(web))
+        df = read_payload(out).to_pandas()
+        return df.sort_values("image_id").reset_index(drop=True)
+
+    import pandas as pd
+
+    a = run(str(tmp_path / "a"))
+    b = run(str(tmp_path / "b"))
+    pd.testing.assert_frame_equal(a, b)
