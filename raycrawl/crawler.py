@@ -489,11 +489,16 @@ def _checkpoint_all(actors, ckpt_dir: str, epoch: int, dedup_actors=None) -> Non
         json.dump({"epoch": epoch, "shards": len(actors)}, f)
 
 
-def read_payload(out_dir: str):
+def read_payload(out_dir: str, columns: list[str] | None = None):
     """The crawl's output payload as a Dataset (all epochs), with near-dup
     suppressed rows filtered out via the (tiny) suppressed sidecars —
-    broadcast once, applied as a vectorized anti-filter per batch."""
-    ds = lancelike.read_ray_dataset(os.path.join(out_dir, "payload"))
+    broadcast once, applied as a vectorized anti-filter per batch.
+    ``columns`` prunes at the read (url_hash is fetched internally for the
+    suppression filter and dropped again if not requested)."""
+    want = columns
+    if columns is not None and "url_hash" not in columns:
+        columns = list(columns) + ["url_hash"]
+    ds = lancelike.read_ray_dataset(os.path.join(out_dir, "payload"), columns)
     sup_dir = os.path.join(out_dir, "suppressed")
     suppressed: set[bytes] = set()
     if os.path.isdir(sup_dir):
@@ -505,13 +510,17 @@ def read_payload(out_dir: str):
                     _pq.read_table(os.path.join(sup_dir, f))["url_hash"].to_pylist()
                 )
     if not suppressed:
+        if want is not None and "url_hash" not in want:
+            ds = ds.drop_columns(["url_hash"])
         return ds
     ref = ray.put(suppressed)
+    drop_hash = want is not None and "url_hash" not in want
 
     def drop_suppressed(t: pa.Table) -> pa.Table:
         sup = ray.get(ref)
         mask = pa.array([d not in sup for d in t["url_hash"].to_pylist()])
-        return t.filter(mask)
+        t = t.filter(mask)
+        return t.drop_columns(["url_hash"]) if drop_hash else t
 
     return ds.map_batches(drop_suppressed, batch_format="pyarrow")
 

@@ -47,13 +47,14 @@ def read_table(uri: str) -> pa.Table:
     return pa.concat_tables([pq.read_table(f) for f in files])
 
 
-def read_ray_dataset(uri: str):
-    """The same table as a ray.data.Dataset (streaming read)."""
+def read_ray_dataset(uri: str, columns: list[str] | None = None):
+    """The same table as a ray.data.Dataset (streaming read, with column
+    pruning pushed to the format reader)."""
     import ray.data
 
     if HAVE_LANCE:  # pragma: no cover
-        return ray.data.read_lance(uri)
-    return ray.data.read_parquet(uri)
+        return ray.data.read_lance(uri, columns=columns)
+    return ray.data.read_parquet(uri, columns=columns)
 
 
 def write_ray_dataset(ds, uri: str) -> None:
