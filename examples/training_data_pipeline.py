@@ -1,0 +1,65 @@
+"""Training-data curation walkthrough: the dedup → quality → featurize →
+similarity chain a 100 TB corpus pipeline runs, on the documents table.
+
+    python examples/training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from raycrawl.ops.dedup import (
+        exact_dedup_by_hash,
+        minhash_lsh_candidates,
+        simhash_dedup_groups,
+    )
+    from raycrawl.ops.textops import doc_quality_scores, langid_confusion
+    from raycrawl.ops.scoring import tfidf_top_terms
+    from raycrawl.ops.similarity import ann_bruteforce_topk
+
+    exact = exact_dedup_by_hash(sf_dir).to_pandas()
+    print(f"[dedup/exact] {len(exact)} distinct docs "
+          f"(max group {exact['group_size'].max()})")
+
+    near = minhash_lsh_candidates(sf_dir).to_pandas()
+    print(f"[dedup/minhash-lsh] {len(near)} verified near-dup pairs "
+          f"(Jaccard ≥ 0.5)")
+
+    sim = simhash_dedup_groups(sf_dir).to_pandas()
+    print(f"[dedup/simhash] {len(sim)} simhash groups")
+
+    q = doc_quality_scores(sf_dir).to_pandas()
+    keep = q[(q["n_tokens"] >= 10) & (q["stopword_ratio"] < 0.5)]
+    print(f"[quality] {len(keep)}/{len(q)} docs pass the length/stopword gate")
+
+    lid = langid_confusion(sf_dir).to_pandas()
+    agree = lid[lid["lang"] == lid["predicted"]]["n"].sum() / lid["n"].sum()
+    print(f"[lang-id] heuristic agrees with the lang column on "
+          f"{agree:.0%} of docs")
+
+    tf = tfidf_top_terms(sf_dir).to_pandas()
+    print(f"[tf-idf] top terms computed for {len(tf)} docs; "
+          f"most common top term: {tf['top_term'].mode().iloc[0]!r}")
+
+    ann = ann_bruteforce_topk(sf_dir).to_pandas()
+    print(f"[similarity] top-{ann['rank'].max()} neighbours for "
+          f"{ann['qid'].nunique()} query vectors")
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

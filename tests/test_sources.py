@@ -36,3 +36,19 @@ def test_read_csv_tree(ray_session, tmp_path):
     ds = read_csv_tree(str(d))
     assert ds.count() == 3
     assert sorted(r["x"] for r in ds.take_all()) == [1, 2, 3]
+
+
+def test_lancelike_table_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from raycrawl.io import lancelike
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    uri = str(tmp_path / "tbl")
+    lancelike.write_table(t, uri)
+    back = lancelike.read_table(uri)
+    assert back.equals(t)
+    import json, os
+
+    m = json.load(open(os.path.join(uri, "_manifest.json")))
+    assert m["rows"] == 3
