@@ -62,10 +62,6 @@ from .frontier.phash_shard import PhashDedupShard, owner_shards
 from .stages.fetch import fetch_batch, decode_batch
 from .io import lancelike
 
-PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                "url", "url_hash", "shard", "epoch"]
-
-
 @dataclass
 class CrawlConfig:
     web: WebConfig = field(default_factory=WebConfig)
