@@ -366,8 +366,12 @@ def run_crawl(
             _checkpoint_all(actors, ckpt_dir, epoch, dedup_actors)
         epoch += 1
 
-    _checkpoint_all(actors, ckpt_dir, epoch - 1 if epoch > start_epoch else start_epoch,
-                    dedup_actors)
+    # final checkpoint labels the LAST EXECUTED epoch. If nothing ran this
+    # session (stop fired immediately / frontier already empty), label
+    # start_epoch - 1 so stop/resume cycles keep contiguous epoch numbering
+    # (_checkpoint_all is a no-op when that is < 0).
+    _checkpoint_all(actors, ckpt_dir, epoch - 1 if epoch > start_epoch
+                    else start_epoch - 1, dedup_actors)
     stats.epochs = epoch
     stats.metrics = ray.get([a.get_metrics.remote() for a in actors])
     stats.payload_rows = sum(m["fetched"] for m in stats.metrics)
@@ -485,49 +489,114 @@ def _checkpoint_all(actors, ckpt_dir: str, epoch: int, dedup_actors=None) -> Non
         json.dump({"epoch": epoch, "shards": len(actors)}, f)
 
 
-def read_payload(out_dir: str, columns: list[str] | None = None):
-    """The crawl's output payload as a Dataset (all epochs), with near-dup
-    suppressed rows filtered out via the (tiny) suppressed sidecars —
-    broadcast once, applied as a vectorized anti-filter per batch.
-    ``columns`` prunes at the read (url_hash is fetched internally for the
-    suppression filter and dropped again if not requested)."""
-    want = columns
-    if columns is not None and "url_hash" not in columns:
-        columns = list(columns) + ["url_hash"]
-    ds = lancelike.read_ray_dataset(os.path.join(out_dir, "payload"), columns)
-    sup_dir = os.path.join(out_dir, "suppressed")
-    suppressed: set[bytes] = set()
-    if os.path.isdir(sup_dir):
-        import pyarrow.parquet as _pq
+# Above this many total suppressed digests, read_payload switches from one
+# global broadcast set to per-epoch filtering: a suppressed digest in epoch
+# K's sidecar can only refer to payload rows written in epoch K (the gate
+# runs per epoch over that epoch's submissions), so each epoch directory is
+# read as its own Dataset carrying only ITS sidecar — the broadcast is then
+# bounded by per-epoch suppression (≈ the politeness budget), never the
+# whole crawl's history. Measured crossover: the union of per-epoch reads
+# costs ~1 extra read task per epoch, worth paying once the global set
+# stops being "tiny" (the 10^10-URL regime).
+SUPPRESSED_BROADCAST_MAX = 1_000_000
 
-        for f in sorted(os.listdir(sup_dir)):
-            if f.endswith(".parquet"):
-                suppressed.update(
-                    _pq.read_table(os.path.join(sup_dir, f))["url_hash"].to_pylist()
-                )
-    if not suppressed:
-        if want is not None and "url_hash" not in want:
-            ds = ds.drop_columns(["url_hash"])
-        return ds
-    ref = ray.put(suppressed)
-    drop_hash = want is not None and "url_hash" not in want
+
+def _suppression_filter(sup_list: list[bytes], drop_hash: bool):
+    """Vectorized anti-filter: keep rows whose url_hash is NOT suppressed."""
+    import pyarrow.compute as pc
+
+    ref = ray.put(pa.array(sup_list, pa.binary()))
 
     def drop_suppressed(t: pa.Table) -> pa.Table:
-        sup = ray.get(ref)
-        mask = pa.array([d not in sup for d in t["url_hash"].to_pylist()])
+        mask = pc.invert(pc.is_in(t["url_hash"], value_set=ray.get(ref)))
         t = t.filter(mask)
         return t.drop_columns(["url_hash"]) if drop_hash else t
 
-    return ds.map_batches(drop_suppressed, batch_format="pyarrow")
+    return drop_suppressed
 
 
-def collect_fetch_log(actors_or_stats, out_dir: str | None = None) -> list[dict]:
-    """Merge per-shard fetch logs (from live actors) into oracle log order."""
-    if out_dir is not None:
-        raise NotImplementedError
-    logs: list[dict] = []
-    for a in actors_or_stats:
-        logs.extend(ray.get(a.get_log.remote()))
+def read_payload(out_dir: str, columns: list[str] | None = None):
+    """The crawl's output payload as a Dataset (all epochs), with near-dup
+    suppressed rows filtered out via the suppressed sidecars — a vectorized
+    ``pc.is_in`` anti-filter per batch. Small suppression sets are broadcast
+    once globally; past ``SUPPRESSED_BROADCAST_MAX`` digests the filter runs
+    per epoch directory (each epoch's sidecar only names that epoch's rows).
+    ``columns`` prunes at the read (url_hash is fetched internally for the
+    suppression filter and dropped again if not requested)."""
+    import pyarrow.parquet as _pq
+
+    want = columns
+    if columns is not None and "url_hash" not in columns:
+        columns = list(columns) + ["url_hash"]
+    payload_dir = os.path.join(out_dir, "payload")
+    sup_dir = os.path.join(out_dir, "suppressed")
+    per_epoch: dict[int, list[bytes]] = {}
+    if os.path.isdir(sup_dir):
+        for f in sorted(os.listdir(sup_dir)):
+            if f.endswith(".parquet"):
+                ep = int(f.split("=")[1].split(".")[0])
+                col = _pq.read_table(os.path.join(sup_dir, f))["url_hash"]
+                if len(col):
+                    per_epoch[ep] = col.to_pylist()
+    total = sum(len(v) for v in per_epoch.values())
+    drop_hash = want is not None and "url_hash" not in want
+    if total == 0:
+        ds = lancelike.read_ray_dataset(payload_dir, columns)
+        if drop_hash:
+            ds = ds.drop_columns(["url_hash"])
+        return ds
+    if total <= SUPPRESSED_BROADCAST_MAX:
+        ds = lancelike.read_ray_dataset(payload_dir, columns)
+        fn = _suppression_filter([d for v in per_epoch.values() for d in v],
+                                 drop_hash)
+        return ds.map_batches(fn, batch_format="pyarrow")
+    # at-scale path: one Dataset per epoch dir, each with only its own
+    # (bounded) sidecar broadcast; epochs without suppression skip the filter
+    parts = []
+    for d in sorted(os.listdir(payload_dir),
+                    key=lambda x: int(x.split("=")[1])):
+        ep = int(d.split("=")[1])
+        ds = lancelike.read_ray_dataset(os.path.join(payload_dir, d), columns)
+        if ep in per_epoch:
+            ds = ds.map_batches(
+                _suppression_filter(per_epoch[ep], drop_hash),
+                batch_format="pyarrow",
+            )
+        elif drop_hash:
+            ds = ds.drop_columns(["url_hash"])
+        parts.append(ds)
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
+def _log_sorted(logs: list[dict]) -> list[dict]:
     logs.sort(key=lambda r: (r["epoch"], -r["priority"], r["depth"],
                              r["discovered_at"], r["url_hash"]))
     return logs
+
+
+def collect_fetch_log(actors_or_stats=None, out_dir: str | None = None) -> list[dict]:
+    """Merge per-shard fetch logs into oracle log order — either from live
+    shard actors, or offline from the checkpoint tree (the per-shard
+    ``fetch_log_increment.parquet`` files, non-overlapping by construction:
+    each checkpoint persists only rows since the previous one)."""
+    if out_dir is not None:
+        last = latest_checkpoint_epoch(out_dir)
+        if last is None:
+            return []
+        ckpt = os.path.join(out_dir, "checkpoints")
+        logs: list[dict] = []
+        for ed in sorted(
+            (x for x in os.listdir(ckpt) if x.startswith("epoch=")),
+            key=lambda x: int(x.split("=")[1]),
+        ):
+            if int(ed.split("=")[1]) > last:
+                continue
+            for sd in sorted(os.listdir(os.path.join(ckpt, ed))):
+                lp = os.path.join(ckpt, ed, sd, "fetch_log_increment.parquet")
+                if sd.startswith("shard=") and os.path.exists(lp):
+                    logs.extend(pq.read_table(lp).to_pylist())
+        return _log_sorted(logs)
+    logs = []
+    for a in actors_or_stats:
+        logs.extend(ray.get(a.get_log.remote()))
+    return _log_sorted(logs)

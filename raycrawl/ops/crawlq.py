@@ -8,6 +8,7 @@ the workload scales with sf like every other query.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pyarrow.parquet as pq
@@ -30,7 +31,10 @@ def _crawl_out_dir(sf_dir: str) -> str:
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     n_hosts = 8
     web = WebConfig(n_hosts=n_hosts, pages_per_host=max(4, n_docs // n_hosts))
-    out = f"/tmp/raycrawl_q/{abs(hash(sf_dir)) % (1 << 32):x}"
+    # stable digest (Python str hash is PYTHONHASHSEED-randomized) + pid so
+    # re-runs reuse the same dir and concurrent processes cannot collide
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_q/{tag}-{os.getpid()}"
     cfg = CrawlConfig(
         web=web,
         out_dir=out,
@@ -46,11 +50,19 @@ def _crawl_out_dir(sf_dir: str) -> str:
 @register("crawl_payload", sql=None)
 def crawl_payload(sf_dir: str):
     """The flagship output: fetched image+caption payload rows
-    (input_hint schema minus raw bytes, plus lineage columns)."""
+    (input_hint schema minus raw bytes, plus lineage columns).
+
+    Built on ``crawler.read_payload`` so the near-dup-suppressed sidecar
+    anti-filter applies (suppressed pages emit no payload row — oracle.py
+    contract item 5) and the read is column-pruned (``bytes`` never leaves
+    storage)."""
+    from ..crawler import read_payload
+
     out = _crawl_out_dir(sf_dir)
-    return (
-        ray.data.read_parquet(os.path.join(out, "payload"))
-        .drop_columns(["bytes", "url_hash"])
+    return read_payload(
+        out,
+        columns=["image_id", "w", "h", "fmt", "caption", "phash",
+                 "url", "shard", "epoch"],
     )
 
 

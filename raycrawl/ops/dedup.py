@@ -81,11 +81,37 @@ def _shingles(text: str) -> set[int]:
     return out
 
 
+_P61 = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61 - 1
+
+
+def _shl_mod_p61(t: np.ndarray, k: int) -> np.ndarray:
+    """(t << k) mod (2^61 - 1) for t < 2^61 — a 61-bit rotate (2^61 ≡ 1)."""
+    ku = np.uint64(k)
+    return (((t & (_P61 >> ku)) << ku) + (t >> (np.uint64(61) - ku))) % _P61
+
+
+def _mulmod_p61(x: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Element-wise (x * a) mod (2^61 - 1) WITHOUT 64-bit wraparound: split
+    both operands into 32-bit halves (each partial product fits uint64) and
+    fold with 2^32 ≡ <<32 and 2^64 ≡ 8 mod the Mersenne prime."""
+    x = x % _P61
+    a = a % _P61
+    m32 = np.uint64(0xFFFFFFFF)
+    xl, xh = x & m32, x >> np.uint64(32)
+    al, ah = a & m32, a >> np.uint64(32)
+    t0 = (xl * al) % _P61
+    mid = ((xh * al) % _P61 + (xl * ah) % _P61) % _P61
+    t1 = _shl_mod_p61(mid, 32)
+    t2 = _shl_mod_p61((xh * ah) % _P61, 3)  # ·2^64 ≡ ·2^3
+    return (t0 + t1 + t2) % _P61
+
+
 class MinHasher:
     """Stateful stage: the 64 hash-permutation parameters are built once per
-    actor (ST1 pattern), applied vectorized per batch."""
+    actor (ST1 pattern), applied vectorized per batch. The permutation is a
+    true universal hash mod 2^61 - 1 (overflow-safe modular multiply)."""
 
-    P = (1 << 61) - 1
+    P = int(_P61)
 
     def __init__(self, seed: int = 7):
         rng = np.random.Generator(np.random.PCG64(seed))
@@ -96,7 +122,7 @@ class MinHasher:
         if not shingles:
             return np.zeros(N_HASHES, dtype=np.uint64)
         x = np.array(sorted(shingles), dtype=np.uint64)[:, None]  # (n,1)
-        hv = (x * self.a[None, :] + self.b[None, :]) % self.P  # (n,64)
+        hv = (_mulmod_p61(x, self.a[None, :]) + self.b[None, :]) % _P61
         return hv.min(axis=0)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -112,6 +138,14 @@ class MinHasher:
         return pd.DataFrame(rows)
 
 
+# Band-row count below which the bucket-counting / pair-expansion steps run
+# driver-side (value_counts on the tiny (band, band_hash) projection beats
+# Ray's shuffle fixed costs); above it, the distributed groupby path — same
+# semantics, tested for path equivalence — takes over. Module-level so tests
+# and large deployments can tune it.
+LSH_DRIVER_PATH_MAX_BAND_ROWS = 1_000_000
+
+
 @register("minhash_lsh_candidates", sql=None)
 def minhash_lsh_candidates(sf_dir: str):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket, verified
@@ -122,32 +156,32 @@ def minhash_lsh_candidates(sf_dir: str):
     # Almost every LSH bucket is a singleton; pairing work only exists in
     # buckets with ≥2 members. Find those bucket keys first and broadcast
     # them as a filter before the (now tiny) pair-expansion groupby — the
-    # pair shuffle then moves only multi-member buckets. The key-counting
-    # step itself is adaptive: below ~1M band rows a driver-side
-    # value_counts beats Ray's shuffle fixed costs; above it, the
-    # distributed groupby (same semantics) takes over.
+    # pair shuffle then moves only multi-member buckets.
     bands = bands.materialize()  # (band, band_hash, doc_id) rows
     n_band_rows = bands.count()
-    if n_band_rows <= 1_000_000:
+    driver_path = n_band_rows <= LSH_DRIVER_PATH_MAX_BAND_ROWS
+    if driver_path:
         bdf = bands.select_columns(["band", "band_hash"]).to_pandas()
         vc = bdf.value_counts(["band", "band_hash"])
-        multi_keys = set(vc[vc >= 2].index)
-    else:  # pragma: no cover - exercised only at large scale
+        multi = vc[vc >= 2].index
+        multi_keys = {f"{b}:{h}" for b, h in multi}
+    else:
         multi = (
             bands.groupby(["band", "band_hash"])
             .aggregate(Count(alias_name="n"))
             .filter(expr="n >= 2")
             .to_pandas()
         )
-        multi_keys = set(zip(multi["band"], multi["band_hash"]))
+        multi_keys = {
+            f"{b}:{h}" for b, h in zip(multi["band"], multi["band_hash"])
+        }
     keys_ref = ray.put(multi_keys)
 
     def keep_multi(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized membership: composite string key + pandas isin
         keys = ray.get(keys_ref)
-        mask = [
-            (b, h) in keys for b, h in zip(df["band"], df["band_hash"])
-        ]
-        return df[mask]
+        key = df["band"].astype(str) + ":" + df["band_hash"]
+        return df[key.isin(keys)]
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())
@@ -159,7 +193,7 @@ def minhash_lsh_candidates(sf_dir: str):
         return pd.DataFrame(out)
 
     multi_rows = bands.map_batches(keep_multi, batch_format="pandas")
-    if n_band_rows <= 1_000_000:
+    if driver_path:
         # multi-member-bucket rows are tiny → expand + cross-band dedup on
         # the driver (the distributed path below is identical in semantics)
         mdf = multi_rows.to_pandas()
@@ -172,14 +206,16 @@ def minhash_lsh_candidates(sf_dir: str):
         cand = pd.DataFrame(
             sorted(seen_pairs), columns=["a", "b"]
         ) if seen_pairs else pd.DataFrame({"a": [], "b": []})
-    else:  # pragma: no cover - exercised only at large scale
+    else:
+        # distributed: per-bucket pair expansion, then a (a, b)-keyed
+        # groupby dedups pairs that met in several bands
         pairs = (
             multi_rows.groupby(["band", "band_hash"])
             .map_groups(bucket_pairs, batch_format="pandas")
             .groupby(["a", "b"])
             .map_groups(lambda g: g.head(1), batch_format="pandas")
         )
-        cand = pairs.to_pandas()
+        cand = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     # verify candidates with exact Jaccard. Only the texts of candidate
     # docs are loaded and broadcast (candidate set is small by
     # construction — never the full corpus).

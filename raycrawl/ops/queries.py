@@ -465,15 +465,15 @@ def customers_without_urgent_orders(sf_dir: str):
     urgent = table(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
         expr="o_orderpriority == '1-URGENT'"
     )
-    custkeys = set(urgent.unique("o_custkey"))
-    ref = ray.put(custkeys)
+    custkeys = urgent.unique("o_custkey")
+    ref = ray.put(pa.array(custkeys))
 
     class AntiFilter:
         def __init__(self, ref):
-            self.keys = ray.get(ref)
+            self.keys = ray.get(ref)  # Arrow value_set, fetched once per actor
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k not in self.keys for k in t["c_custkey"].to_pylist()])
+            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys))
             return t.filter(mask)
 
     return (

@@ -58,7 +58,7 @@ def asof_last_purchase(sf_dir: str):
     "user_sessions_30m",
     sql="""
     WITH g AS (
-      SELECT user_id,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
@@ -69,6 +69,7 @@ def asof_last_purchase(sf_dir: str):
     s AS (
       SELECT user_id,
              SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM (SELECT * FROM g)),
     sizes AS (

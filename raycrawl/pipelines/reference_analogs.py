@@ -95,20 +95,12 @@ def dump_flatten_route_counts(sf_dir: str):
             }
         )
 
-    out = (
+    return (
         ds.map_batches(build_dump, batch_format="pyarrow")
         .map_batches(flatten, batch_format="pyarrow")
         .groupby(["ref_type", "lang"])
         .aggregate(Count(alias_name="n"))
     )
-
-    # dead-letter rows carry lang=NULL; fold them to match the oracle's
-    # (ref_type, lang) grouping where lang comes from the source row
-    def fix_error_lang(t: pa.Table) -> pa.Table:
-        return t
-
-    _ = fix_error_lang
-    return out
 
 
 # --------------------------------------------------------------------------
