@@ -249,19 +249,73 @@ def frontier_compaction(sf_dir: str):
     )
 
 
+PHASH_GROUP_RADIUS = 2
+
+
+def _popcount64(v):
+    """Vectorized 64-bit popcount (SWAR; uint64 wraps are intended)."""
+    import numpy as np
+
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def greedy_leader_groups(pairs) -> dict[str, str]:
+    """Deterministic greedy leader clustering over near-dup edges: walk
+    items in id order; an item joins the SMALLEST-id leader among its
+    in-radius neighbors, else becomes a leader itself. Returns the
+    dup→leader assignment (items without edges are trivially leaders).
+    Matches the sequential first-occurrence-wins semantics of the phash
+    gate (oracle-pinned in tests) with an order-free tie-break."""
+    from collections import defaultdict
+
+    nbrs: dict[str, list[str]] = defaultdict(list)
+    for a, b in pairs:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    assign: dict[str, str] = {}
+    leaders: set[str] = set()
+    for i in sorted(nbrs):
+        cands = [j for j in nbrs[i] if j < i and j in leaders]
+        if cands:
+            assign[i] = min(cands)
+        else:
+            leaders.add(i)
+    return assign
+
+
 @register("image_phash_neardup_groups", sql=None)
 def image_phash_neardup_groups(sf_dir: str):
-    """Near-duplicate image grouping over the input_hint payload table:
-    exact-phash grouping via a hash-partitioned groupby, then
-    Hamming-radius pairing inside the (small) multi-candidate set using
-    the chunked phash index. Near-dups are injected deterministically
-    (every doc pair 2k/2k+1 shares a base image with ±1 noise)."""
+    """Near-duplicate image grouping over the input_hint payload table,
+    fully distributed (no full-corpus driver materialization):
+
+    1. (image_id, phash) rows — 16 B each, bytes never leave the build
+       tasks — explode to their 4 non-overlapping 16-bit phash chunks;
+       any pair within Hamming ≤ 3 shares a chunk (pigeonhole), so a
+       ``groupby(chunk_key)`` shuffle co-locates every candidate pair.
+    2. Inside each (small) chunk bucket: vectorized XOR + popcount emits
+       the true in-radius edges. Edge volume ≈ actual near-dup pairs
+       (×≤4 chunk copies), orders of magnitude below the corpus. A hot
+       chunk value (low-entropy hash region) would need salting/splitting
+       at 10^9 images — documented, not needed for 64-bit phashes.
+    3. Driver: deterministic greedy leader clustering over ONLY the edged
+       items (``greedy_leader_groups``); the dup→keeper map (small) is
+       broadcast and applied per batch, then one ``groupby(keeper)``
+       count yields the groups.
+
+    Near-dups are injected deterministically (every doc pair 2k/2k+1
+    shares a base image with ±1 noise); output = one row per group
+    (keeper, group_size)."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
+    from ray.data.aggregate import Count
 
     from ..core.codec import encode_image, phash64, synth_pixels, decode_image
-    from ..core.sketches import PhashIndex
 
     ds = table(sf_dir, "documents", ["doc_id"])
 
@@ -289,25 +343,59 @@ def image_phash_neardup_groups(sf_dir: str):
         )
 
     payload = ds.map_batches(build, batch_format="pyarrow", batch_size=128)
-    # collect (image_id, phash) only — bytes never leave the tasks
-    meta = payload.select_columns(["image_id", "phash"]).to_pandas()
-    meta = meta.sort_values("image_id").reset_index(drop=True)
-    idx = PhashIndex(radius=2)
-    group_of: dict[int, int] = {}  # canonical phash → group id
-    groups = []
-    for _, row in meta.iterrows():
-        hit = idx.query(int(row.phash))
-        if hit is None:
-            idx.add(int(row.phash))
-            group_of[int(row.phash) & 0xFFFFFFFFFFFFFFFF] = len(group_of)
-            groups.append(group_of[int(row.phash) & 0xFFFFFFFFFFFFFFFF])
-        else:
-            groups.append(group_of[hit & 0xFFFFFFFFFFFFFFFF])
-    meta["dup_group"] = pd.Series(groups, dtype="int64")
-    out = (
-        meta.groupby("dup_group")
-        .agg(keeper=("image_id", "min"), group_size=("image_id", "size"))
-        .reset_index()
+    meta = payload.select_columns(["image_id", "phash"])
+
+    def explode_chunks(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        phu = ph.view(np.uint64)
+        keys = []
+        for j in range(4):
+            keys.append((phu >> np.uint64(16 * j)) & np.uint64(0xFFFF) | np.uint64(j << 16))
+        return pa.table(
+            {
+                "chunk_key": pa.array(
+                    np.concatenate(keys).astype(np.int64), pa.int64()
+                ),
+                "image_id": pa.concat_arrays(
+                    [t["image_id"].combine_chunks()] * 4
+                ),
+                "phash": pa.concat_arrays([t["phash"].combine_chunks()] * 4),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object")})
+        phu = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = g["image_id"].to_numpy()
+        d = _popcount64(phu[:, None] ^ phu[None, :])
+        ai, bi = np.where(np.triu(d <= PHASH_GROUP_RADIUS, k=1))
+        a, b = ids[ai], ids[bi]
+        return pd.DataFrame(
+            {"a": np.minimum(a, b), "b": np.maximum(a, b)}
+        )
+
+    edges = (
+        meta.map_batches(explode_chunks, batch_format="pyarrow")
+        .groupby("chunk_key")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded by near-dup pair count, not the corpus
     )
-    out["group_size"] = out["group_size"].astype("int64")
-    return out
+    import ray as _ray
+
+    assign = greedy_leader_groups(
+        {(a, b) for a, b in zip(edges["a"], edges["b"])}
+    )
+    assign_ref = _ray.put(assign)
+
+    def to_keeper(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(assign_ref)
+        keeper = df["image_id"].map(m).fillna(df["image_id"])
+        return pd.DataFrame({"keeper": keeper})
+
+    return (
+        meta.map_batches(to_keeper, batch_format="pandas")
+        .groupby("keeper")
+        .aggregate(Count(alias_name="group_size"))
+    )

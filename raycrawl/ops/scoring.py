@@ -229,3 +229,131 @@ def model_score_embeddings(sf_dir: str):
         ModelScorer, fn_constructor_args=(model_path,), batch_format="pandas",
         batch_size=100, concurrency=(1, 8),
     )
+
+
+# --------------------------------------------------------------------------
+# ST1 with a pickled sklearn-API estimator: the reference serves a pickled
+# sklearn model from a worker process (Random_Forest_Classifier.py:61-74,
+# micro-batches of 100). Here a deterministically-FITTED classifier is
+# pickled to disk and loaded ONCE per actor via pickle.load — the exact
+# pluggable-model contract: the actor only assumes the sklearn estimator
+# API (``predict_proba``), so any pickled sklearn classifier drops in.
+# sklearn itself is not shipped in this sandbox, so the default model is
+# the bundled ``SimpleLogit`` (same fit/predict_proba surface); when
+# sklearn IS importable, ``LogisticRegression`` is used instead. The SQL
+# oracle replays the fitted coefficients (binary predict_proba ==
+# sigmoid(x·coef + intercept)).
+try:  # pragma: no cover - import probe
+    from sklearn.linear_model import LogisticRegression  # type: ignore
+
+    HAVE_SKLEARN = True
+except ImportError:
+    LogisticRegression = None
+    HAVE_SKLEARN = False
+
+
+class SimpleLogit:
+    """Minimal sklearn-compatible binary logistic regression (fit /
+    predict_proba / predict, coef_ / intercept_), deterministic full-batch
+    gradient descent in float64 — the pickle-an-estimator stand-in when
+    sklearn is absent."""
+
+    def __init__(self, lr: float = 0.5, n_iter: int = 300):
+        self.lr = lr
+        self.n_iter = n_iter
+
+    def fit(self, x: np.ndarray, y: np.ndarray) -> "SimpleLogit":
+        n, d = x.shape
+        w = np.zeros(d)
+        b = 0.0
+        for _ in range(self.n_iter):
+            z = x @ w + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - y
+            w -= self.lr * (x.T @ g) / n
+            b -= self.lr * float(g.mean())
+        self.coef_ = w[None, :]
+        self.intercept_ = np.array([b])
+        return self
+
+    def predict_proba(self, x: np.ndarray) -> np.ndarray:
+        z = x @ self.coef_[0] + self.intercept_[0]
+        p = 1.0 / (1.0 + np.exp(-z))
+        return np.column_stack([1.0 - p, p])
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return (self.predict_proba(x)[:, 1] > 0.5).astype(int)
+
+
+def _fit_estimator():
+    """Deterministic fit: fixed synthetic training set, fixed seed."""
+    rng = np.random.Generator(np.random.PCG64(42))
+    x = rng.standard_normal((256, 64))
+    w_true = rng.standard_normal(64)
+    y = (x @ w_true + 0.1 * rng.standard_normal(256) > 0).astype(float)
+    if HAVE_SKLEARN:  # pragma: no cover - sklearn absent in this sandbox
+        clf = LogisticRegression(max_iter=500, random_state=0)
+        clf.fit(x, y.astype(int))
+        return clf
+    return SimpleLogit().fit(x, y)
+
+
+def pickled_model_path() -> str:
+    """Pickle the fitted estimator once per machine; return the path."""
+    import os
+    import pickle
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "raycrawl_pickled_clf.pkl")
+    if not os.path.exists(path):
+        with open(path, "wb") as f:
+            pickle.dump(_fit_estimator(), f)
+    return path
+
+
+_CLF = _fit_estimator()
+_CLF_COEF_SQL = "[" + ", ".join(repr(float(c)) for c in _CLF.coef_[0]) + "]"
+_CLF_ICPT = repr(float(_CLF.intercept_[0]))
+
+
+@register(
+    "pickled_estimator_scores",
+    sql=f"""
+    SELECT vec_id,
+           ROUND(1.0 / (1.0 + exp(-(list_inner_product(
+                 CAST(embedding AS DOUBLE[]), CAST({_CLF_COEF_SQL} AS DOUBLE[]))
+                 + {_CLF_ICPT}))), 6) AS score,
+           CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]),
+                     CAST({_CLF_COEF_SQL} AS DOUBLE[])) + {_CLF_ICPT} > 0
+                THEN 1 ELSE 0 END AS label
+    FROM embeddings
+    """,
+)
+def pickled_estimator_scores(sf_dir: str):
+    path = pickled_model_path()
+
+    class EstimatorScorer:
+        """Actor: pickle.load ONCE in __init__, sklearn predict API per
+        batch — any pickled sklearn classifier drops in via ``path``."""
+
+        def __init__(self, path: str):
+            import pickle
+
+            with open(path, "rb") as f:
+                self.clf = pickle.load(f)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            proba = self.clf.predict_proba(x)[:, 1]
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"],
+                    "score": np.round(proba, 6),
+                    "label": (proba > 0.5).astype("int32"),
+                }
+            )
+
+    return table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        EstimatorScorer, fn_constructor_args=(path,), batch_format="pandas",
+        batch_size=100, concurrency=(1, 8),
+    )

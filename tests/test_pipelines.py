@@ -322,7 +322,7 @@ class TestImagePhashGroups:
         bases or splits a noisy pair — a handful of 1s/3s/4s is expected)."""
         from raycrawl.ops.crawlq import image_phash_neardup_groups
 
-        out = image_phash_neardup_groups(SF)
+        out = image_phash_neardup_groups(SF).to_pandas()
         import pyarrow.parquet as pq
 
         n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows

@@ -137,3 +137,136 @@ def test_minhash_lsh_distributed_branch_equivalent(ray_session, monkeypatch):
         dist.sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_phash_neardup_groups_matches_sequential_oracle(ray_session):
+    """The distributed chunk-bucketed edge discovery + greedy leader
+    clustering must reproduce the sequential oracle exactly: walk all
+    images in id order, each joins the smallest-id leader within Hamming
+    radius 2 (full pairwise scan), else becomes a leader."""
+    import numpy as np
+
+    from raycrawl.core.codec import decode_image, encode_image, phash64, synth_pixels
+    from raycrawl.ops.crawlq import (
+        PHASH_GROUP_RADIUS,
+        _popcount64,
+        image_phash_neardup_groups,
+    )
+
+    got = image_phash_neardup_groups(SF).to_pandas()
+
+    # sequential oracle over the identical deterministic payload
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    ids, phs = [], []
+    for doc_id in range(n):
+        base_seed = doc_id // 2
+        w, h = 40 + base_seed % 17, 40 + base_seed % 13
+        px = synth_pixels(base_seed, w, h)
+        if doc_id % 2 == 1:
+            rng = np.random.Generator(np.random.PCG64(doc_id))
+            px = np.clip(
+                px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+            ).astype(np.uint8)
+        ids.append(f"img-{doc_id:08d}")
+        phs.append(phash64(decode_image(encode_image(px, "png"))[0]))
+    phu = np.array(phs, dtype=np.int64).view(np.uint64)
+    leaders: list[int] = []
+    keeper_of: dict[str, str] = {}
+    for i in np.argsort(np.array(ids)):
+        if leaders:
+            d = _popcount64(phu[leaders] ^ phu[i])
+            hit = [leaders[k] for k in np.where(d <= PHASH_GROUP_RADIUS)[0]]
+        else:
+            hit = []
+        if hit:
+            keeper_of[ids[i]] = ids[min(hit, key=lambda j: ids[j])]
+        else:
+            leaders.append(int(i))
+            keeper_of[ids[i]] = ids[i]
+    from collections import Counter
+
+    want = Counter(keeper_of.values())
+    assert dict(zip(got["keeper"], got["group_size"])) == dict(want)
+    # the injected 2k/2k+1 near-dups must actually collapse
+    assert (got["group_size"] >= 2).sum() > 0
+
+
+def test_lancelike_lance_branch_contract(monkeypatch, tmp_path):
+    """With a (mock) lance module present, every lancelike entry point must
+    route through the Lance API — proving the HAVE_LANCE branch round-trips
+    so a real lance install is a zero-code swap."""
+    import pyarrow as pa
+
+    from raycrawl.io import lancelike
+
+    class FakeLanceDataset:
+        def __init__(self, table):
+            self._t = table
+
+        def to_table(self):
+            return self._t
+
+    class FakeLance:
+        def __init__(self):
+            self.store = {}
+
+        def write_dataset(self, table, uri, mode="create"):
+            assert mode in ("create", "overwrite", "append")
+            self.store[uri] = table
+
+        def dataset(self, uri):
+            return FakeLanceDataset(self.store[uri])
+
+    fake = FakeLance()
+    monkeypatch.setattr(lancelike, "lance", fake)
+    monkeypatch.setattr(lancelike, "HAVE_LANCE", True)
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    uri = str(tmp_path / "tbl.lance")
+    lancelike.write_table(t, uri)
+    assert lancelike.read_table(uri).equals(t)
+
+    # ray-dataset surfaces dispatch to lance read/write entry points
+    calls = {}
+
+    def fake_read_lance(uri, columns=None):
+        calls["read"] = (uri, tuple(columns or ()))
+        return "DS"
+
+    import ray.data
+
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance, raising=False)
+    assert lancelike.read_ray_dataset(uri, ["a"]) == "DS"
+    assert calls["read"] == (uri, ("a",))
+
+    class FakeDS:
+        def write_lance(self, uri):
+            calls["write"] = uri
+
+    lancelike.write_ray_dataset(FakeDS(), uri)
+    assert calls["write"] == uri
+
+
+def test_pickled_estimator_scorer_loads_via_pickle(ray_session):
+    """The pluggable-model actor must score exactly what the pickled
+    estimator's own predict_proba produces (sklearn API contract)."""
+    import pickle
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.scoring import pickled_estimator_scores, pickled_model_path
+
+    got = pickled_estimator_scores(SF).to_pandas().sort_values("vec_id")
+    with open(pickled_model_path(), "rb") as f:
+        clf = pickle.load(f)
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(emb["vec_id"].to_numpy())
+    x = np.stack(emb["embedding"].to_numpy(zero_copy_only=False)[order]).astype(
+        np.float64
+    )
+    want = clf.predict_proba(x)[:, 1]
+    assert np.allclose(got["score"].to_numpy(), np.round(want, 6))
+    assert (got["label"].to_numpy() == (want > 0.5)).all()
