@@ -72,10 +72,14 @@ class CrawlConfig:
     max_epochs: int = 100
     saving_period: int = 10
     expected_urls: int = 1 << 14
-    batch_size: int = 128  # max rows per chunk/block (adaptive below this)
+    batch_size: int = 128  # max rows per UDF batch (blocks may be larger)
     shard_num_cpus: float = 0.0  # control-plane actors: no CPU reservation
     keep_bytes_in_payload: bool = True
     burst: float = 8.0  # politeness burst (tokens) per host
+    # Ray Data blocks per CPU slot per epoch: 1 = one perfectly-packed
+    # wave of equal tasks (lowest overhead); 2-4 = finer granularity that
+    # rides out noisy-neighbor slowdowns at ~8 ms/task extra cost
+    blocks_per_cpu: int = 1
     # per-row fetch log (parity/lineage detail). True keeps rows in actor
     # memory and flushes increments at each checkpoint; False records only
     # the aggregate lineage metrics (the at-scale default)
@@ -103,6 +107,9 @@ class CrawlStats:
     fetch_log: list[dict] = field(default_factory=list)
     seen: dict[int, set[bytes]] = field(default_factory=dict)
     last_pipeline_stats: str = ""  # ds.stats() of the final epoch pipeline
+    # wall seconds per driver-loop phase, summed over epochs (where the
+    # fixed per-epoch cost lives — the scaling-efficiency lever)
+    phase_seconds: dict[str, float] = field(default_factory=dict)
 
 
 def _seed_tables(cfg: CrawlConfig, seeds: list[str]):
@@ -250,11 +257,27 @@ def run_crawl(
     os.makedirs(suppressed_dir, exist_ok=True)
     errors_dir = os.path.join(cfg.out_dir, "errors")
     os.makedirs(errors_dir, exist_ok=True)  # dead-letter sidecars
+    import time as _time
+
+    phases = stats.phase_seconds
+    profile = bool(os.environ.get("RAYCRAWL_PROFILE"))
+
+    def _mark(key: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        phases[key] = phases.get(key, 0.0) + (t1 - t0)
+        if profile:
+            phases.setdefault("_epoch_log", []).append((epoch, key, round(t1 - t0, 3)))
+        return t1
+
     epoch = start_epoch
     while epoch < cfg.max_epochs:
         if should_stop is not None and should_stop():
             break  # graceful stop: fall through to the final checkpoint
+        t = _time.perf_counter()
         counts = ray.get([a.pop.remote(epoch) for a in actors])
+        t = _mark("pop", t)
+        if profile:
+            phases["_epoch_log"].append((epoch, "rows", sum(counts)))
         if sum(counts) == 0:
             if sum(ray.get([a.frontier_size.remote() for a in actors])) == 0:
                 break
@@ -264,36 +287,54 @@ def run_crawl(
         # ONE linear, shuffle-free pipeline per epoch. Each shard's pop
         # table is sliced into chunks — one Ray Data block each — so fetch
         # parallelism is (popped rows / chunk), independent of shard count.
-        # Chunk size adapts to the epoch: ~4 blocks per CPU slot, clamped to
-        # [4, batch_size] so big epochs amortize per-task overhead while
-        # small (discovery-tail) epochs still parallelize. Decode tasks
-        # stream (digest, phash, outlinks) meta to the shard actors
-        # (gate_submit, tiny + idempotent); payload bytes flow straight to
-        # parquet without ever crossing a shuffle.
+        # Chunk size adapts to the epoch: ONE block per CPU slot (measured
+        # optimum — 2-4 blocks/cpu pays ~8 ms/task overhead with no
+        # straggler benefit, while a fixed small cap quantizes the epoch
+        # into waves whose last wave runs nearly empty). The cap bounds
+        # per-task heap: with payload bytes in flight a block stays ≤ ~256
+        # rows (≈ 35 MB at 130 KB/row); metadata-only runs allow larger
+        # blocks. Decode tasks stream (digest, phash, outlinks) meta to
+        # the shard actors (gate_submit, tiny + idempotent); payload bytes
+        # flow straight to parquet without ever crossing a shuffle.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        chunk = max(4, min(cfg.batch_size, -(-sum(counts) // (ncpu * 4))))
-        chunk_counts = ray.get([a.n_pop_chunks.remote(chunk) for a in actors])
-        refs = [
-            a.take_popped_chunk.remote(j, chunk)
-            for a, nc in zip(actors, chunk_counts)
-            for j in range(nc)
+        block_cap = 256 if keep_bytes else 4096
+        total = sum(counts)
+        target = max(
+            4, min(block_cap, -(-total // (ncpu * cfg.blocks_per_cpu)))
+        )
+        # per-shard part counts from the pop counts already in hand (no
+        # extra RPC round); every part is an equal slice of its shard
+        parts = [
+            min(c, max(1, round(c / target), -(-c // block_cap))) if c else 0
+            for c in counts
         ]
+        refs = [
+            a.take_popped_part.remote(j, p)
+            for a, p in zip(actors, parts)
+            for j in range(p)
+        ]
+        t = _mark("chunks", t)
         ds = ray.data.from_arrow_refs(refs)
+        # per-UDF-call batches stay ≤ cfg.batch_size (bounds synthesis /
+        # decode heap) even when the block itself is larger
+        bsz = min(target, cfg.batch_size)
         pipeline = ds.map_batches(
             fetch_batch,
             fn_kwargs={"web_cfg": cfg.web},
             batch_format="pyarrow",
-            batch_size=chunk,
+            batch_size=bsz,
         ).map_batches(
             _make_decode_submit(actors, epoch, keep_bytes),
             batch_format="pyarrow",
-            batch_size=chunk,
+            batch_size=bsz,
         )
         # payload sink: Lance when the library is present, parquet fallback
         lancelike.write_ray_dataset(
             pipeline, os.path.join(payload_dir, f"epoch={epoch}")
         )
+        t = _mark("pipeline", t)
         stats.last_pipeline_stats = pipeline.stats()
+        t = _mark("stats", t)
 
         # ordered phash gate + frontier merge (meta only; offers routed as
         # object refs between actors, never materialized on the driver)
@@ -341,6 +382,7 @@ def run_crawl(
             finals = ray.get(
                 [a.gate_finalize.remote(epoch, num_shards) for a in actors]
             )
+        t = _mark("gate", t)
         suppressed = [d for _, sup, _, _ in finals for d in sup]
         pq.write_table(
             pa.table({"url_hash": pa.array(suppressed, pa.binary())}),
@@ -361,9 +403,11 @@ def run_crawl(
         if offer_refs:
             ray.get(offer_refs)
         stats.fetched += sum(counts)
+        t = _mark("offers", t)
 
         if (epoch + 1) % cfg.saving_period == 0:
             _checkpoint_all(actors, ckpt_dir, epoch, dedup_actors)
+            t = _mark("checkpoint", t)
         epoch += 1
 
     # final checkpoint labels the LAST EXECUTED epoch. If nothing ran this

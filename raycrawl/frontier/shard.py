@@ -332,6 +332,17 @@ class FrontierShard:
         t = self.take_popped()
         return t.slice(j * chunk_rows, chunk_rows)
 
+    def take_popped_part(self, j: int, n_parts: int) -> pa.Table:
+        """Equal-size partition ``j`` of ``n_parts`` of the pop table (±1
+        row). Equal slices — unlike fixed-size chunks with a small
+        remainder block — keep every Ray Data task the same weight, so an
+        epoch wave has no built-in straggler."""
+        t = self.take_popped()
+        n = t.num_rows
+        lo = (n * j) // n_parts
+        hi = (n * (j + 1)) // n_parts
+        return t.slice(lo, hi - lo)
+
     def frontier_size(self) -> int:
         n = sum(len(q) for q in self.host_q.values()) + len(self.pending)
         n += sum(len(v) for v in self._spill_overflow.values())
