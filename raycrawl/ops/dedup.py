@@ -254,34 +254,71 @@ def minhash_lsh_candidates(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# SimHash — 64-bit vectorized; groups sharing a simhash are near-dups
-@register("simhash_dedup_groups", sql=None)
+# SimHash — 64-bit, vectorized per batch; groups sharing a simhash are
+# near-dups. Token hash = little-endian first-8-bytes of md5 (identical to
+# DuckDB's md5_number_upper), so the SQL oracle replays the exact bits:
+# bit i of the simhash is set iff a strict majority of token occurrences
+# have bit i set.
+def simhash_token_hash(tok: str) -> int:
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+@register(
+    "simhash_dedup_groups",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    th AS (SELECT doc_id, md5_number_upper(term) AS h FROM toks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY 1),
+    bits AS (
+      SELECT doc_id, b.i, SUM(CAST((h >> b.i) & 1 AS BIGINT)) AS ones
+      FROM th, (SELECT unnest(range(64)) AS i) b GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT bits.doc_id,
+             SUM(CASE WHEN 2 * ones > n
+                      THEN CAST(CAST(1 AS UBIGINT) << CAST(i AS INTEGER)
+                                AS HUGEINT)
+                      ELSE 0 END) AS hu
+      FROM bits JOIN cnt USING (doc_id) GROUP BY 1
+    )
+    SELECT CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                     THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+                AS BIGINT) AS simhash,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           count(*) AS group_size
+    FROM sim GROUP BY 1
+    """,
+)
 def simhash_dedup_groups(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
 
     class SimHash:
         def __init__(self):
-            self.cache: dict[str, np.ndarray] = {}
-
-        def _tok_vec(self, tok: str) -> np.ndarray:
-            v = self.cache.get(tok)
-            if v is None:
-                h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
-                bits = np.unpackbits(
-                    np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-                ).astype(np.int32)
-                v = self.cache[tok] = bits * 2 - 1
-            return v
+            self.cache: dict[str, int] = {}  # token → uint64 hash, per actor
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cache = self.cache
             hashes = []
             for text in df["text"]:
-                acc = np.zeros(64, dtype=np.int32)
-                for tok in text.split():
-                    acc += self._tok_vec(tok)
-                bits = (acc > 0).astype(np.uint8)
-                h = int.from_bytes(np.packbits(bits).tobytes(), "big")
-                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                toks = text.split()
+                hs = np.empty(len(toks), dtype=np.uint64)
+                for k, tok in enumerate(toks):
+                    h = cache.get(tok)
+                    if h is None:
+                        h = cache[tok] = simhash_token_hash(tok)
+                    hs[k] = h
+                # vectorized per-bit occurrence counts (n_tok × 64)
+                ones = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).sum(
+                    axis=0
+                )
+                bits = (2 * ones > len(toks)).astype(np.uint64)
+                hu = int((bits << _BIT_IDX).sum(dtype=np.uint64))
+                hashes.append(hu - (1 << 64) if hu >= (1 << 63) else hu)
             return pd.DataFrame({"doc_id": df["doc_id"], "simhash": hashes})
 
     return (
@@ -293,8 +330,29 @@ def simhash_dedup_groups(sf_dir: str):
 
 # --------------------------------------------------------------------------
 # n-gram (character trigram) Jaccard near-dup between doc pairs of the same
-# n_chars bucket — a cheap blocked pairwise verifier
-@register("ngram_jaccard_neardups", sql=None)
+# n_chars bucket — a cheap blocked pairwise verifier. SQL oracle builds the
+# same distinct-trigram sets and replays the blocked pairwise Jaccard.
+@register(
+    "ngram_jaccard_neardups",
+    sql="""
+    WITH grams AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN length(text) < 3 THEN [text]
+                  ELSE list_distinct([substr(text, i, 3)
+                                      for i in range(1, length(text) - 1)])
+             END AS g
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           ROUND(CAST(length(list_intersect(a.g, b.g)) AS DOUBLE) /
+                 GREATEST(1, length(list_distinct(list_concat(a.g, b.g)))), 6)
+             AS jaccard
+    FROM grams a JOIN grams b
+      ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    WHERE CAST(length(list_intersect(a.g, b.g)) AS DOUBLE) /
+          GREATEST(1, length(list_distinct(list_concat(a.g, b.g)))) >= 0.6
+    """,
+)
 def ngram_jaccard_neardups(sf_dir: str, threshold: float = 0.6):
     ds = table(sf_dir, "documents", ["doc_id", "text", "n_chars"])
 

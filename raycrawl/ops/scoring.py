@@ -117,9 +117,38 @@ def age_stub_decades(sf_dir: str):
 # M16 — TF-IDF featurizer. Vocabulary + document frequencies are fit ONCE
 # (two-pass: a distributed df aggregation, then broadcast) — explicitly not
 # replicating the reference's per-batch refit (Random_Forest_Classifier.py:47-51).
-# rows-only (log-weighted floats are not robustly SQL-hashable); pytest
-# checks against a sequential python oracle.
-@register("tfidf_top_terms", sql=None)
+# SQL oracle replays the full fit: df per term, top-26 vocabulary by
+# (df DESC, term ASC), idf = ln((1+N)/(1+df)) + 1, per-doc argmax of
+# tf·idf with (score DESC, term ASC) tie-break, round(6) on both sides.
+@register(
+    "tfidf_top_terms",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    vocab AS (
+      SELECT term, ln((1 + n_docs) / (1 + df)) + 1.0 AS idf
+      FROM df, n ORDER BY df DESC, term ASC LIMIT 26
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf * v.idf AS score
+      FROM tf JOIN vocab v USING (term)
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS r
+      FROM scored
+    )
+    SELECT d.doc_id,
+           COALESCE(r.term, '') AS top_term,
+           ROUND(COALESCE(r.score, 0.0), 6) AS tfidf
+    FROM documents d LEFT JOIN (SELECT * FROM ranked WHERE r = 1) r USING (doc_id)
+    """,
+)
 def tfidf_top_terms(sf_dir: str, max_features: int = 26):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
 

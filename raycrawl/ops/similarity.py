@@ -95,14 +95,60 @@ def ann_bruteforce_topk(sf_dir: str):
     return scored.groupby("qid").map_groups(topk, batch_format="pandas")
 
 
-@register("ann_lsh_topk", sql=None)
-def ann_lsh_topk(sf_dir: str, n_planes: int = 8):
-    """LSH-bucketed ANN (scale path): random-hyperplane bucket per vector,
-    search only the query's bucket. Approximate — the pytest suite checks
-    recall against the brute-force baseline, the driver checks row shape."""
+N_PLANES = 8
+_EMB_DIM = 64
+
+
+def _lsh_planes(n_planes: int = N_PLANES, dim: int = _EMB_DIM) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(13))
+    return rng.standard_normal((n_planes, dim))
+
+
+def _planes_sql_values() -> str:
+    rows = [
+        f"({k}, CAST([{', '.join(repr(float(x)) for x in row)}] AS DOUBLE[]))"
+        for k, row in enumerate(_lsh_planes())
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "ann_lsh_topk",
+    # the SQL oracle replays the hyperplane signatures exactly: the fixed
+    # seeded plane matrix is embedded as literals, the bucket key is the
+    # concatenated sign string, search touches only the query's bucket
+    sql=f"""
+    WITH p(k, plane) AS (VALUES {_planes_sql_values()}),
+    sigs AS (
+      SELECT e.vec_id, e.embedding,
+             string_agg(CASE WHEN list_inner_product(
+                               CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+                        THEN '1' ELSE '0' END, '' ORDER BY p.k) AS sig
+      FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, sig AS qsig FROM sigs
+          WHERE vec_id IN {tuple(QUERY_IDS)}),
+    scored AS (
+      SELECT q.qid, s.vec_id,
+             ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(s.embedding AS DOUBLE[])), 4)
+               AS cosine
+      FROM q JOIN sigs s ON s.sig = q.qsig AND s.vec_id != q.qid),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(sf_dir: str, n_planes: int = N_PLANES):
+    """LSH-bucketed ANN (scale path): random-hyperplane bucket per vector,
+    search only the query's bucket. The pytest suite checks recall against
+    the brute-force baseline; the SQL oracle replays the buckets exactly."""
     q, qids = _load_queries(sf_dir)
-    planes = rng.standard_normal((n_planes, q.shape[1]))
+    planes = _lsh_planes(n_planes, q.shape[1])
     qsig = ((q @ planes.T) > 0).astype(np.uint8)
     qsig_keys = ["".join(map(str, row)) for row in qsig]
     ref = ray.put((q, qids, planes, qsig_keys))
@@ -149,3 +195,152 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 8):
         return g
 
     return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+
+
+N_PROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    # SQL oracle recomputes the coarse quantizer (per-label centroid =
+    # position-wise mean, rounded to 6 decimals on both sides so
+    # summation-order jitter cannot shift an assignment), assigns every
+    # vector to its argmax-cosine centroid, probes the query's top-2
+    # centroid buckets and ranks candidates by rounded cosine
+    sql=f"""
+    WITH dims AS (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i),
+    cent AS (
+      SELECT label, i,
+             ROUND(AVG(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS c
+      FROM embeddings, dims GROUP BY label, i
+    ),
+    cents AS (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+    asn AS (
+      SELECT vec_id, label FROM (
+        SELECT e.vec_id, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.label
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c) WHERE r = 1
+    ),
+    probe AS (
+      SELECT qid, label FROM (
+        SELECT e.vec_id AS qid, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.label
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id IN {tuple(QUERY_IDS)}) WHERE r <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 4)
+               AS cosine
+      FROM probe p
+      JOIN asn a ON a.label = p.label AND a.vec_id != p.qid
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings e ON e.vec_id = a.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(sf_dir: str, nprobe: int = N_PROBE):
+    """IVF ANN (the 100-TB scale path): a coarse quantizer (per-label
+    centroid — one training pass over the corpus) buckets every vector
+    into an inverted file; a query probes only its ``nprobe``
+    nearest-centroid buckets. Centroids are trained DISTRIBUTED — per-batch
+    partial sums, then a tiny driver-side reduce — and broadcast once; the
+    candidate scan is a streamed vectorized filter per batch. At web scale
+    the bucket assignment becomes the partitioning key so each probe reads
+    only its buckets' partitions."""
+    ds = table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    # 1. train: distributed per-label partial sums → tiny driver reduce
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"label": [], "s": [], "n": []}
+        for lab, g in df.groupby("label"):
+            s = np.stack(g["embedding"].to_numpy()).astype(np.float64).sum(axis=0)
+            rows["label"].append(lab)
+            rows["s"].append(s.tolist())
+            rows["n"].append(len(g))
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    labels_sorted = sorted(parts["label"].unique())
+    cent = np.stack(
+        [
+            np.round(
+                np.sum(np.stack(parts[parts["label"] == lab]["s"].to_numpy()),
+                       axis=0)
+                / parts[parts["label"] == lab]["n"].sum(),
+                6,
+            )
+            for lab in labels_sorted
+        ]
+    )
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    # 2. probe lists for the query vectors (queries are normalized)
+    q, qids = _load_queries(sf_dir)
+    qsims = q @ cent_n.T
+    probes = {
+        qid: {labels_sorted[j]
+              for j in np.argsort(-qsims[qi], kind="stable")[:nprobe]}
+        for qi, qid in enumerate(qids)
+    }
+    ref = ray.put((q, qids, cent_n, np.array(labels_sorted), probes))
+
+    # 3. streamed candidate scan: assign each batch vector to its centroid,
+    #    keep only vectors landing in a probed bucket
+    class IVFScore:
+        def __init__(self, ref):
+            self.q, self.qids, self.cent_n, self.labels, self.probes = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = self.labels[np.argmax(mn @ self.cent_n.T, axis=1)]
+            ids = df["vec_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(assign, list(self.probes[qid])) & (ids != qid)
+                if mask.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "qid": qid,
+                                "vec_id": ids[mask].astype("int64"),
+                                "cosine": np.round(self.q[qi] @ mn[mask].T, 4),
+                            }
+                        )
+                    )
+            if not out:
+                return pd.DataFrame(
+                    {"qid": pd.Series([], dtype="int64"),
+                     "vec_id": pd.Series([], dtype="int64"),
+                     "cosine": pd.Series([], dtype="float64")}
+                )
+            return pd.concat(out, ignore_index=True)
+
+    scored = ds.map_batches(
+        IVFScore, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+    def ivf_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return scored.groupby("qid").map_groups(ivf_topk, batch_format="pandas")

@@ -279,8 +279,36 @@ def langid_confusion(sf_dir: str):
 
 # --------------------------------------------------------------------------
 # document fingerprinting — 64-bit FNV-1a rolling hash of the normalized
-# text (whitespace-collapapsed, lowercased); dedup key analog of M3/M4+D1
-@register("doc_fingerprints", sql=None)  # non-SQL: custom 64-bit hash
+# text (whitespace-collapsed, lowercased); dedup key analog of M3/M4+D1.
+# SQL oracle replays the byte-fold with HUGEINT mod-2^64 arithmetic via
+# list_reduce (ord == utf-8 byte on this ASCII corpus, keeping the two
+# sides bit-identical).
+@register(
+    "doc_fingerprints",
+    sql="""
+    WITH norm AS (
+      SELECT doc_id,
+             array_to_string(string_split_regex(lower(text), '\\s+'), ' ') AS s
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                            [CAST(ord(substr(s, i, 1)) AS HUGEINT)
+                             for i in range(1, length(s) + 1)]),
+               (acc, x) -> (xor(acc, x) * 1099511628211) %
+                           CAST(18446744073709551616 AS HUGEINT)
+             ) AS h
+      FROM norm
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN h >= CAST(1 AS HUGEINT) << 63
+                     THEN h - (CAST(1 AS HUGEINT) << 64) ELSE h END AS BIGINT)
+             AS fingerprint
+    FROM fp
+    """,
+)
 def doc_fingerprints(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
 

@@ -183,6 +183,26 @@ class TestDedupRecall:
             if (r.qid, r.vec_id) in exact_scores:
                 assert abs(exact_scores[(r.qid, r.vec_id)] - r.cosine) < 1e-9
 
+    def test_ann_ivf_scores_consistent_and_nonempty(self, ray_session):
+        """IVF probe results: every returned score equals the brute-force
+        cosine for that pair, each query returns results, and results come
+        only from the query's probed buckets (≤ TOP_K rows per query)."""
+        from raycrawl.ops.similarity import (
+            QUERY_IDS,
+            TOP_K,
+            ann_bruteforce_topk,
+            ann_ivf_topk,
+        )
+
+        exact = ann_bruteforce_topk(SF).to_pandas()
+        approx = ann_ivf_topk(SF).to_pandas()
+        exact_scores = {(r.qid, r.vec_id): r.cosine for r in exact.itertuples()}
+        assert set(approx["qid"]) == set(QUERY_IDS)
+        assert approx.groupby("qid").size().max() <= TOP_K
+        for r in approx.itertuples():
+            if (r.qid, r.vec_id) in exact_scores:
+                assert abs(exact_scores[(r.qid, r.vec_id)] - r.cosine) < 1e-9
+
 
 class TestFrontierCompaction:
     def test_min_depth_merge_and_resharding(self, ray_session):
@@ -243,25 +263,44 @@ class TestScoringOracles:
             assert abs(got.loc[doc_id, "tfidf"] - round(ranked[0][0], 6)) < 1e-9
 
     def test_simhash_token_order_invariance(self):
-        # simhash is a sum over token vectors → permutation-invariant
-        import hashlib
-
-        import numpy as np
+        # simhash is a per-bit majority over token hashes → permutation-
+        # invariant; sequential python oracle mirrors the engine's bits
+        from raycrawl.ops.dedup import simhash_token_hash
 
         def simhash(text: str) -> int:
-            acc = np.zeros(64, dtype=np.int32)
-            for tok in text.split():
-                h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
-                bits = np.unpackbits(
-                    np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-                ).astype(np.int32)
-                acc += bits * 2 - 1
-            b = (acc > 0).astype(np.uint8)
-            v = int.from_bytes(np.packbits(b).tobytes(), "big")
-            return v - (1 << 64) if v >= (1 << 63) else v
+            toks = text.split()
+            hu = 0
+            for i in range(64):
+                ones = sum((simhash_token_hash(t) >> i) & 1 for t in toks)
+                if 2 * ones > len(toks):
+                    hu |= 1 << i
+            return hu - (1 << 64) if hu >= (1 << 63) else hu
 
         assert simhash("alpha beta gamma") == simhash("gamma alpha beta")
         assert simhash("alpha beta") != simhash("delta epsilon zeta")
+
+    def test_simhash_engine_matches_python_oracle(self, ray_session):
+        from raycrawl.ops.dedup import simhash_dedup_groups, simhash_token_hash
+        import pyarrow.parquet as pq
+
+        got = simhash_dedup_groups(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        groups = {}
+        for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            toks = text.split()
+            hu = 0
+            for i in range(64):
+                ones = sum((simhash_token_hash(t) >> i) & 1 for t in toks)
+                if 2 * ones > len(toks):
+                    hu |= 1 << i
+            sh = hu - (1 << 64) if hu >= (1 << 63) else hu
+            groups.setdefault(sh, []).append(doc_id)
+        want = {
+            sh: (min(ids), len(ids)) for sh, ids in groups.items()
+        }
+        assert {
+            r.simhash: (r.keeper, r.group_size) for r in got.itertuples()
+        } == want
 
 
 class TestHLL:
