@@ -146,35 +146,88 @@ class MinHasher:
 LSH_DRIVER_PATH_MAX_BAND_ROWS = 1_000_000
 
 
+_MINHASHER: "MinHasher | None" = None
+
+
+def minhash_bands(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-pool banding stage: the MinHasher's permutation parameters are
+    built once per WORKER PROCESS (module cache — same pattern as the
+    crawl's fetch stage) instead of spinning an actor pool per query."""
+    global _MINHASHER
+    if _MINHASHER is None:
+        _MINHASHER = MinHasher()
+    return _MINHASHER(df)
+
+
+def _verify_pairs(cand: pd.DataFrame, docs: dict) -> pd.DataFrame:
+    keep_a, keep_b, jac = [], [], []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa, sb = _shingles(docs[a]), _shingles(docs[b])
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= 0.5:
+            keep_a.append(a)
+            keep_b.append(b)
+            jac.append(round(j, 6))
+    return pd.DataFrame(
+        {"a": pd.Series(keep_a, dtype="int64"),
+         "b": pd.Series(keep_b, dtype="int64"),
+         "jaccard": pd.Series(jac, dtype="float64")}
+    )
+
+
 @register("minhash_lsh_candidates", sql=None)
 def minhash_lsh_candidates(sf_dir: str):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket, verified
-    by exact shingle-Jaccard ≥ 0.5, deduplicated across bands."""
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 8))
+    by exact shingle-Jaccard ≥ 0.5, deduplicated across bands.
 
-    # Almost every LSH bucket is a singleton; pairing work only exists in
-    # buckets with ≥2 members. Find those bucket keys first and broadcast
-    # them as a filter before the (now tiny) pair-expansion groupby — the
-    # pair shuffle then moves only multi-member buckets.
+    Almost every LSH bucket is a singleton; pairing work only exists in
+    buckets with ≥2 members. Below ``LSH_DRIVER_PATH_MAX_BAND_ROWS`` the
+    tiny (band, band_hash, doc_id) projection is pulled once to the driver
+    and pair expansion + verification run there (one Ray execution total);
+    above it the distributed path runs the same semantics as groupby
+    shuffles (equivalence-tested)."""
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(minhash_bands, batch_format="pandas")
+
     bands = bands.materialize()  # (band, band_hash, doc_id) rows
     n_band_rows = bands.count()
-    driver_path = n_band_rows <= LSH_DRIVER_PATH_MAX_BAND_ROWS
-    if driver_path:
-        bdf = bands.select_columns(["band", "band_hash"]).to_pandas()
+    if n_band_rows <= LSH_DRIVER_PATH_MAX_BAND_ROWS:
+        # driver path: band rows are ~40 B each — one to_pandas, then
+        # pure-pandas bucket counting, pair expansion and Jaccard verify
+        bdf = bands.to_pandas()
         vc = bdf.value_counts(["band", "band_hash"])
         multi = vc[vc >= 2].index
-        multi_keys = {f"{b}:{h}" for b, h in multi}
-    else:
-        multi = (
-            bands.groupby(["band", "band_hash"])
-            .aggregate(Count(alias_name="n"))
-            .filter(expr="n >= 2")
+        key = pd.MultiIndex.from_frame(bdf[["band", "band_hash"]])
+        mdf = bdf[key.isin(multi)]
+        seen_pairs: set[tuple] = set()
+        for _, g in mdf.groupby(["band", "band_hash"]):
+            ids = sorted(g["doc_id"].unique())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    seen_pairs.add((ids[i], ids[j]))
+        cand = pd.DataFrame(
+            sorted(seen_pairs), columns=["a", "b"]
+        ) if seen_pairs else pd.DataFrame({"a": [], "b": []})
+        cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
+        if not cand_ids:
+            return _verify_pairs(cand, {})
+        docs_df = (
+            table(sf_dir, "documents", ["doc_id", "text"])
+            .filter(expr=f"doc_id in {cand_ids}")
             .to_pandas()
         )
-        multi_keys = {
-            f"{b}:{h}" for b, h in zip(multi["band"], multi["band_hash"])
-        }
+        return _verify_pairs(cand, dict(zip(docs_df["doc_id"], docs_df["text"])))
+
+    # distributed path (the 100-TB shape): bucket-key filter broadcast,
+    # per-bucket pair expansion, (a, b)-keyed cross-band dedup, then a
+    # distributed verify over the candidate pairs
+    multi = (
+        bands.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n >= 2")
+        .to_pandas()
+    )
+    multi_keys = {f"{b}:{h}" for b, h in zip(multi["band"], multi["band_hash"])}
     keys_ref = ray.put(multi_keys)
 
     def keep_multi(df: pd.DataFrame) -> pd.DataFrame:
@@ -192,39 +245,17 @@ def minhash_lsh_candidates(sf_dir: str):
                 out["b"].append(ids[j])
         return pd.DataFrame(out)
 
-    multi_rows = bands.map_batches(keep_multi, batch_format="pandas")
-    if driver_path:
-        # multi-member-bucket rows are tiny → expand + cross-band dedup on
-        # the driver (the distributed path below is identical in semantics)
-        mdf = multi_rows.to_pandas()
-        seen_pairs: set[tuple] = set()
-        for _, g in mdf.groupby(["band", "band_hash"]):
-            ids = sorted(g["doc_id"].unique())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    seen_pairs.add((ids[i], ids[j]))
-        cand = pd.DataFrame(
-            sorted(seen_pairs), columns=["a", "b"]
-        ) if seen_pairs else pd.DataFrame({"a": [], "b": []})
-    else:
-        # distributed: per-bucket pair expansion, then a (a, b)-keyed
-        # groupby dedups pairs that met in several bands
-        pairs = (
-            multi_rows.groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .groupby(["a", "b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
-        )
-        cand = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
-    # verify candidates with exact Jaccard. Only the texts of candidate
-    # docs are loaded and broadcast (candidate set is small by
-    # construction — never the full corpus).
+    pairs = (
+        bands.map_batches(keep_multi, batch_format="pandas")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    cand = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
     if not cand_ids:
-        return pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
+        return _verify_pairs(cand, {})
     docs_df = (
         table(sf_dir, "documents", ["doc_id", "text"])
         .filter(expr=f"doc_id in {cand_ids}")
@@ -232,25 +263,11 @@ def minhash_lsh_candidates(sf_dir: str):
     )
     docs = dict(zip(docs_df["doc_id"], docs_df["text"]))
     ref = ray.put(docs)
-    pairs = ray.data.from_pandas(cand)
 
-    class Verify:
-        def __init__(self, ref):
-            self.docs = ray.get(ref)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        return _verify_pairs(df, ray.get(ref))
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep_a, keep_b, jac = [], [], []
-            for a, b in zip(df["a"], df["b"]):
-                sa, sb = _shingles(self.docs[a]), _shingles(self.docs[b])
-                j = len(sa & sb) / max(1, len(sa | sb))
-                if j >= 0.5:
-                    keep_a.append(a)
-                    keep_b.append(b)
-                    jac.append(round(j, 6))
-            return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
-
-    return pairs.map_batches(Verify, fn_constructor_args=(ref,),
-                             batch_format="pandas", concurrency=(1, 8))
+    return ray.data.from_pandas(cand).map_batches(verify, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -296,36 +313,35 @@ _BIT_IDX = np.arange(64, dtype=np.uint64)
 )
 def simhash_dedup_groups(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
-
-    class SimHash:
-        def __init__(self):
-            self.cache: dict[str, int] = {}  # token → uint64 hash, per actor
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cache = self.cache
-            hashes = []
-            for text in df["text"]:
-                toks = text.split()
-                hs = np.empty(len(toks), dtype=np.uint64)
-                for k, tok in enumerate(toks):
-                    h = cache.get(tok)
-                    if h is None:
-                        h = cache[tok] = simhash_token_hash(tok)
-                    hs[k] = h
-                # vectorized per-bit occurrence counts (n_tok × 64)
-                ones = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).sum(
-                    axis=0
-                )
-                bits = (2 * ones > len(toks)).astype(np.uint64)
-                hu = int((bits << _BIT_IDX).sum(dtype=np.uint64))
-                hashes.append(hu - (1 << 64) if hu >= (1 << 63) else hu)
-            return pd.DataFrame({"doc_id": df["doc_id"], "simhash": hashes})
-
     return (
-        ds.map_batches(SimHash, batch_format="pandas", concurrency=(1, 8))
+        ds.map_batches(simhash_batch, batch_format="pandas")
         .groupby("simhash")
         .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="group_size"))
     )
+
+
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}  # per worker process
+
+
+def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-pool simhash stage; the token-hash cache lives per worker
+    process (module cache) — no per-query actor-pool spin-up."""
+    cache = _SIMHASH_TOKEN_CACHE
+    hashes = []
+    for text in df["text"]:
+        toks = text.split()
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for k, tok in enumerate(toks):
+            h = cache.get(tok)
+            if h is None:
+                h = cache[tok] = simhash_token_hash(tok)
+            hs[k] = h
+        # vectorized per-bit occurrence counts (n_tok × 64)
+        ones = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).sum(axis=0)
+        bits = (2 * ones > len(toks)).astype(np.uint64)
+        hu = int((bits << _BIT_IDX).sum(dtype=np.uint64))
+        hashes.append(hu - (1 << 64) if hu >= (1 << 63) else hu)
+    return pd.DataFrame({"doc_id": df["doc_id"], "simhash": hashes})
 
 
 # --------------------------------------------------------------------------

@@ -158,7 +158,7 @@ class TestDedupRecall:
 
         from raycrawl.ops.dedup import _shingles, minhash_lsh_candidates
 
-        got = minhash_lsh_candidates(SF).to_pandas()
+        got = minhash_lsh_candidates(SF)  # driver path → DataFrame
         found = {(a, b) for a, b in zip(got["a"], got["b"])}
 
         docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])

@@ -128,7 +128,7 @@ def test_minhash_lsh_distributed_branch_equivalent(ray_session, monkeypatch):
     return the same verified pair set as the driver-side branch."""
     import raycrawl.ops.dedup as dedup
 
-    base = dedup.minhash_lsh_candidates(SF).to_pandas()
+    base = dedup.minhash_lsh_candidates(SF)  # driver path → DataFrame
     monkeypatch.setattr(dedup, "LSH_DRIVER_PATH_MAX_BAND_ROWS", 0)
     dist = dedup.minhash_lsh_candidates(SF).to_pandas()
     key = ["a", "b"]
