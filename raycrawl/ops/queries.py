@@ -190,10 +190,22 @@ def top_revenue_orders(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
+
+    # top-k without a global sort: each aggregate block keeps its local
+    # top-10 (vectorized select), the ≤10×blocks survivors merge on the
+    # driver — no all-to-all exchange for a LIMIT 10
+    def local_top(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("rev_c", "descending"), ("l_orderkey", "ascending")],
+        )
+        return t.take(order[:10])
+
     top = (
-        rev.sort([("rev_c"), ("l_orderkey")], descending=[True, False])
-        .limit(10)
+        rev.map_batches(local_top, batch_format="pyarrow")
         .to_pandas()
+        .sort_values(["rev_c", "l_orderkey"], ascending=[False, True])
+        .head(10)
     )
     keys = set(top["l_orderkey"])
     pri = (

@@ -58,31 +58,31 @@ def ann_bruteforce_topk(sf_dir: str):
     q, qids = _load_queries(sf_dir)
     ref = ray.put((q, qids))
 
-    class Score:
-        def __init__(self, ref):
-            self.q, self.qids = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            sims = self.q @ m.T  # (nq, batch)
-            out = []
-            ids = df["vec_id"].to_numpy()
-            for qi, qid in enumerate(self.qids):
-                keep = ids != qid
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "qid": qid,
-                            "vec_id": ids[keep].astype("int64"),
-                            "cosine": np.round(sims[qi][keep], 4),
-                        }
-                    )
+    # task pool, not an actor pool: the broadcast query matrix is fetched
+    # per batch via ray.get (a local plasma lookup after the first fetch on
+    # each worker) — per-query actor spin-up costs more than it saves here
+    def score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        qm, qids_ = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qm @ m.T  # (nq, batch)
+        out = []
+        ids = df["vec_id"].to_numpy()
+        for qi, qid in enumerate(qids_):
+            keep = ids != qid
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": qid,
+                        "vec_id": ids[keep].astype("int64"),
+                        "cosine": np.round(sims[qi][keep], 4),
+                    }
                 )
-            return pd.concat(out, ignore_index=True)
+            )
+        return pd.concat(out, ignore_index=True)
 
     scored = table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        Score, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 8)
+        score, fn_kwargs={"ref": ref}, batch_format="pandas"
     )
 
     # per-query top-k: sort within the (tiny) per-qid groups
