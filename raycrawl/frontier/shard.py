@@ -122,7 +122,10 @@ class FrontierShard:
         # frontier's memory is bounded by hosts × spill_threshold.
         self.spill_threshold = spill_threshold
         self.spill_dir = spill_dir
-        self._spill_files: dict[str, list[str]] = {}
+        # host → [(path, min_key)] — min_key (the file's best item key)
+        # lets _reload_spill skip segments that cannot contain the next
+        # in-order items
+        self._spill_files: dict[str, list[tuple[str, tuple]]] = {}
         self._spill_floor: dict[str, tuple] = {}
         self._spill_seq = 0
         self.log_enabled = log_enabled
@@ -248,28 +251,57 @@ class FrontierShard:
         )
         self._spill_seq += 1
         pq.write_table(_items_table(items, host), path)
-        self._spill_files.setdefault(host, []).append(path)
+        self._spill_files.setdefault(host, []).append(
+            (path, min(it[:4] for it in items))
+        )
 
     def _reload_spill(self, host: str) -> None:
-        """Heap drained → pull every spilled/overflow item back in-memory
-        (at 10^10 scale: reload only the best segment; documented)."""
+        """Heap drained → refill from spill, reading only the segments that
+        can contain the next in-order items: segments are consumed in
+        min-key order, and reading stops once the next unread segment's
+        min key is ≥ the key of the ``spill_threshold``-th best item in
+        hand (that segment's items could never enter the kept prefix).
+        Unread segments stay on disk untouched — at 10^10-URL scale a
+        drained host touches O(1) segments, not its whole spill history.
+        The order invariant (in-memory heap holds a strict prefix of the
+        host's frontier order; floor ≤ everything on disk) is re-enforced
+        below by pushing any kept item ≥ the unread-segment floor back to
+        overflow."""
         items = list(self._spill_overflow.pop(host, []))
-        for path in self._spill_files.pop(host, []):
-            t = pq.read_table(path)
-            items.extend(_table_items(t))
+        items.extend(self.host_q.get(host, ()))  # usually empty (drained)
+        files = sorted(self._spill_files.pop(host, []), key=lambda f: f[1])
+        remaining: list[tuple[str, tuple]] = []
+        thr = self.spill_threshold or 0
+        for i, (path, mk) in enumerate(files):
+            if thr and len(items) > thr:
+                items.sort()
+                if mk >= items[thr][:4]:  # file can't reach the kept prefix
+                    remaining = files[i:]
+                    break
+            items.extend(_table_items(pq.read_table(path)))
             os.remove(path)
         self._spill_floor.pop(host, None)
-        q = self.host_q.setdefault(host, [])
-        q.extend(items)
-        heapq.heapify(q)
-        # re-spill if still oversized (keeps the invariant)
-        if self.spill_threshold and len(q) > 2 * self.spill_threshold:
-            q.sort()
-            keep, worse = q[: self.spill_threshold], q[self.spill_threshold :]
-            self.host_q[host] = keep
-            heapq.heapify(self.host_q[host])
-            self._spill_floor[host] = worse[0][:4]
-            self._write_spill(host, worse)
+        items.sort()
+        if thr and len(items) > 2 * thr:
+            keep, worse = items[:thr], items[thr:]
+        else:
+            keep, worse = items, []
+        floor_r = remaining[0][1] if remaining else None
+        if floor_r is not None:
+            # nothing ≥ the unread-segment floor may stay in memory
+            worse = [it for it in keep if it[:4] >= floor_r] + worse
+            keep = [it for it in keep if it[:4] < floor_r]
+        self.host_q[host] = keep
+        heapq.heapify(self.host_q[host])
+        floors = [f for f in (floor_r,) if f is not None]
+        if worse:
+            floors.append(min(it[:4] for it in worse))
+            self._spill_overflow.setdefault(host, []).extend(worse)
+            self._maybe_flush_overflow(host)
+        if floors:
+            self._spill_floor[host] = min(floors)
+        if remaining:
+            self._spill_files.setdefault(host, []).extend(remaining)
 
     # ----------------------------------------------------------------- pop
     def pop(self, epoch: int) -> int:
@@ -347,7 +379,7 @@ class FrontierShard:
         n = sum(len(q) for q in self.host_q.values()) + len(self.pending)
         n += sum(len(v) for v in self._spill_overflow.values())
         for host, files in self._spill_files.items():
-            for path in files:
+            for path, _mk in files:
                 n += pq.read_metadata(path).num_rows
         return n
 
@@ -553,7 +585,7 @@ class FrontierShard:
         for ov in self._spill_overflow.values():
             items.extend(ov)
         for host, files in self._spill_files.items():
-            for path in files:
+            for path, _mk in files:
                 items.extend(_table_items(pq.read_table(path)))
         pq.write_table(
             pa.table(

@@ -270,3 +270,42 @@ def test_pickled_estimator_scorer_loads_via_pickle(ray_session):
     want = clf.predict_proba(x)[:, 1]
     assert np.allclose(got["score"].to_numpy(), np.round(want, 6))
     assert (got["label"].to_numpy() == (want > 0.5)).all()
+
+
+def test_spill_partial_reload_preserves_exact_order(tmp_path):
+    """The segment-skipping _reload_spill must drain a heavily-spilled host
+    in EXACTLY the global frontier order, while leaving not-yet-needed
+    segments on disk (the O(1)-segments-per-reload property)."""
+    import hashlib
+
+    from raycrawl.frontier.shard import FrontierShard
+
+    shard = FrontierShard(0, epoch_seconds=2.0, burst=8.0, log_enabled=False,
+                          spill_threshold=4, spill_dir=str(tmp_path / "spill"))
+    host = "h0.web.test"
+    shard.robots.rules[host] = ()
+    shard.robots.delays[host] = None
+    items = []
+    for i in range(200):
+        digest = hashlib.sha1(f"u{i}".encode()).digest()
+        item = (-(i * 37 % 11), i % 5, i % 7, digest, f"http://{host}/p/{i}")
+        items.append(item)
+        shard._push(host, item)
+
+    want = [it[4] for it in sorted(items)]
+    got = []
+    saw_partial = False
+    epoch = 0
+    while True:
+        n = shard.pop(epoch)
+        if n == 0:
+            if shard.frontier_size() == 0:
+                break
+            epoch += 1
+            continue
+        got.extend(shard.take_popped()["url"].to_pylist())
+        if shard._spill_files.get(host) and shard.host_q.get(host):
+            saw_partial = True  # segments remained on disk mid-drain
+        epoch += 1
+    assert got == want
+    assert saw_partial, "expected reloads to leave unread segments on disk"
