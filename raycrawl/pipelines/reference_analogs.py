@@ -332,7 +332,57 @@ def propagate_labels(
     ).sort_values("user_id").reset_index(drop=True)
 
 
-@register("label_propagation", sql=None)
+def _label_prop_sql(iterations: int = 5, margin: int = 2) -> str:
+    """SQL oracle for the propagation rounds: because rounds are
+    synchronous (votes read the PREVIOUS round's labels), the fixed-round
+    unrolled form equals the engine's early-stopping loop — a converged
+    round is the identity. Each round: votes = edges ⋈ labels (seeds never
+    revote), winner per src by (v DESC, label ASC) with margin rule, next
+    labels = seeds ∪ winners ∪ carried-over non-winners."""
+    parts = [
+        """edges AS (
+      SELECT DISTINCT user_id AS src,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS dst
+      FROM events
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    ),
+    seeds(u, lab) AS (
+      SELECT u, 'label' || CAST(u % 3 AS VARCHAR) FROM range(9) t(u)
+    ),
+    l0 AS (SELECT u, lab FROM seeds)"""
+    ]
+    for i in range(iterations):
+        parts.append(f"""votes{i} AS (
+      SELECT e.src, l.lab AS dst_label, count(*) AS v
+      FROM edges e JOIN l{i} l ON l.u = e.dst
+      WHERE e.src NOT IN (SELECT u FROM seeds)
+      GROUP BY e.src, l.lab
+    ),
+    win{i} AS (
+      SELECT src AS u, dst_label AS lab FROM (
+        SELECT src, dst_label, v,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY v DESC, dst_label) AS r,
+               COUNT(*) OVER (PARTITION BY src) AS n,
+               LEAD(v) OVER (PARTITION BY src
+                             ORDER BY v DESC, dst_label) AS v2
+        FROM votes{i})
+      WHERE r = 1 AND (n = 1 OR v - v2 >= {margin})
+    ),
+    l{i + 1} AS (
+      SELECT u, lab FROM seeds
+      UNION ALL SELECT u, lab FROM win{i}
+      UNION ALL SELECT u, lab FROM l{i}
+        WHERE u NOT IN (SELECT u FROM seeds)
+          AND u NOT IN (SELECT u FROM win{i})
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT u AS user_id, lab AS label FROM l{iterations}"
+    )
+
+
+@register("label_propagation", sql=_label_prop_sql())
 def label_propagation(sf_dir: str):
     ds = table(sf_dir, "events", ["user_id", "props"])
 
