@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "minhash_lsh_candidates",
     "simhash_dedup_groups",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "tfidf_top_terms",
+    "pickled_estimator_scores",
     "image_feature_extract",
     "audio_feature_extract",
 ]
