@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--num-cpus", type=int, default=None)
     c.add_argument("--no-bytes", action="store_true",
                    help="drop payload bytes from the sink")
+    c.add_argument("--global-phash-dedup", action="store_true",
+                   help="corpus-wide (cross-host) near-dup suppression tier")
+    c.add_argument("--phash-shards", type=int, default=4)
+    c.add_argument("--spill-threshold", type=int, default=None,
+                   help="per-host in-memory frontier cap; rest spills to parquet")
+    c.add_argument("--blocks-per-cpu", type=int, default=1,
+                   help="Ray Data blocks per CPU slot per epoch")
+    c.add_argument("--no-fetch-log", action="store_true",
+                   help="aggregate lineage metrics only (the at-scale default)")
 
     args = p.parse_args(argv)
 
@@ -67,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
         burst=args.burst,
         saving_period=args.saving_period,
         keep_bytes_in_payload=not args.no_bytes,
+        global_phash_dedup=args.global_phash_dedup,
+        num_phash_shards=args.phash_shards,
+        frontier_spill_threshold=args.spill_threshold,
+        blocks_per_cpu=args.blocks_per_cpu,
+        keep_fetch_log=not args.no_fetch_log,
     )
     import signal
 
@@ -86,6 +100,10 @@ def main(argv: list[str] | None = None) -> int:
                 "payload_rows": stats.payload_rows,
                 "out_dir": stats.out_dir,
                 "metrics": stats.metrics,
+                "phase_seconds": {
+                    k: round(v, 3) for k, v in stats.phase_seconds.items()
+                    if not k.startswith("_")
+                },
             }
         )
     )

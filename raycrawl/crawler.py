@@ -406,7 +406,7 @@ def run_crawl(
         t = _mark("offers", t)
 
         if (epoch + 1) % cfg.saving_period == 0:
-            _checkpoint_all(actors, ckpt_dir, epoch, dedup_actors)
+            _checkpoint_all(actors, ckpt_dir, epoch, dedup_actors, phases)
             t = _mark("checkpoint", t)
         epoch += 1
 
@@ -415,7 +415,7 @@ def run_crawl(
     # start_epoch - 1 so stop/resume cycles keep contiguous epoch numbering
     # (_checkpoint_all is a no-op when that is < 0).
     _checkpoint_all(actors, ckpt_dir, epoch - 1 if epoch > start_epoch
-                    else start_epoch - 1, dedup_actors)
+                    else start_epoch - 1, dedup_actors, phases)
     stats.epochs = epoch
     stats.metrics = ray.get([a.get_metrics.remote() for a in actors])
     stats.payload_rows = sum(m["fetched"] for m in stats.metrics)
@@ -521,7 +521,8 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
     return decode_submit
 
 
-def _checkpoint_all(actors, ckpt_dir: str, epoch: int, dedup_actors=None) -> None:
+def _checkpoint_all(actors, ckpt_dir: str, epoch: int, dedup_actors=None,
+                    phases: dict | None = None) -> None:
     if epoch < 0:
         return
     ray.get([a.checkpoint.remote(ckpt_dir, epoch) for a in actors])
@@ -529,6 +530,16 @@ def _checkpoint_all(actors, ckpt_dir: str, epoch: int, dedup_actors=None) -> Non
         ray.get([d.checkpoint.remote(ckpt_dir, epoch) for d in dedup_actors])
     d = os.path.join(ckpt_dir, f"epoch={epoch}")
     os.makedirs(d, exist_ok=True)
+    if phases is not None:
+        # run-level lineage: cumulative driver-loop phase seconds alongside
+        # the per-shard manifests
+        with open(os.path.join(d, "driver_manifest.json"), "w") as f:
+            json.dump(
+                {"epoch": epoch,
+                 "phase_seconds": {k: round(v, 3) for k, v in phases.items()
+                                   if not k.startswith("_")}},
+                f,
+            )
     with open(os.path.join(d, "COMPLETE"), "w") as f:
         json.dump({"epoch": epoch, "shards": len(actors)}, f)
 
