@@ -29,7 +29,7 @@ def _crawl_out_dir(sf_dir: str) -> str:
     from ..crawler import CrawlConfig, run_crawl
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    n_hosts = 8
+    n_hosts = 16
     web = WebConfig(n_hosts=n_hosts, pages_per_host=max(4, n_docs // n_hosts))
     # stable digest (Python str hash is PYTHONHASHSEED-randomized) + pid so
     # re-runs reuse the same dir and concurrent processes cannot collide
@@ -41,6 +41,7 @@ def _crawl_out_dir(sf_dir: str) -> str:
         num_shards=4,
         max_epochs=60,
         epoch_seconds=8.0,  # larger virtual epochs → fewer, denser epochs
+        burst=16.0,  # denser politeness budget → fewer epochs to exhaustion
     )
     run_crawl(cfg, seed_urls(web))
     _CRAWL_CACHE[sf_dir] = out
