@@ -21,15 +21,55 @@ QUERY_IDS = (0, 1, 2)  # deterministic query vectors: the first three rows
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, list[int]]:
-    df = (
-        table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .filter(expr=f"vec_id in {list(QUERY_IDS)}")
-        .to_pandas()
-        .sort_values("vec_id")
+    """The 3 query vectors — a driver-side pyarrow filtered read (row-group
+    pruned): launching a Ray pipeline to fetch 3 rows costs more than the
+    read itself. The corpus scan stays a streamed Dataset."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(list(QUERY_IDS)),
     )
+    df = t.to_pandas().sort_values("vec_id")
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return q, df["vec_id"].tolist()
+
+
+
+def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block top-K per query — the survivors (≤ K × blocks rows) merge
+    on the driver; no groupby shuffle for a LIMIT-K."""
+    if not len(df):
+        return df
+    return (
+        df.sort_values(["qid", "cosine", "vec_id"], ascending=[True, False, True])
+        .groupby("qid", sort=False)
+        .head(TOP_K)
+    )
+
+
+def _finish_topk(scored) -> pd.DataFrame:
+    pdf = scored.map_batches(_local_topk, batch_format="pandas").to_pandas()
+    out = []
+    for qid, g in pdf.groupby("qid"):
+        g = (
+            g.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(TOP_K)
+            .reset_index(drop=True)
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        out.append(g)
+    if not out:
+        return pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    return pd.concat(out, ignore_index=True)
 
 
 @register(
@@ -84,15 +124,7 @@ def ann_bruteforce_topk(sf_dir: str):
     scored = table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         score, fn_kwargs={"ref": ref}, batch_format="pandas"
     )
-
-    # per-query top-k: sort within the (tiny) per-qid groups
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
-
-    return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+    return _finish_topk(scored)
 
 
 N_PLANES = 8
@@ -153,48 +185,38 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = N_PLANES):
     qsig_keys = ["".join(map(str, row)) for row in qsig]
     ref = ray.put((q, qids, planes, qsig_keys))
 
-    class BucketScore:
-        def __init__(self, ref):
-            self.q, self.qids, self.planes, self.qkeys = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sig = ((m @ self.planes.T) > 0).astype(np.uint8)
-            keys = np.array(["".join(map(str, r)) for r in sig])
-            ids = df["vec_id"].to_numpy()
-            out = []
-            for qi, (qid, qk) in enumerate(zip(self.qids, self.qkeys)):
-                mask = (keys == qk) & (ids != qid)
-                if mask.any():
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "qid": qid,
-                                "vec_id": ids[mask].astype("int64"),
-                                "cosine": np.round(self.q[qi] @ mn[mask].T, 4),
-                            }
-                        )
+    def bucket_score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        qm, qids_, planes_, qkeys = ray.get(ref)  # local plasma lookup
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sig = ((m @ planes_.T) > 0).astype(np.uint8)
+        keys = np.array(["".join(map(str, r)) for r in sig])
+        ids = df["vec_id"].to_numpy()
+        out = []
+        for qi, (qid, qk) in enumerate(zip(qids_, qkeys)):
+            mask = (keys == qk) & (ids != qid)
+            if mask.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid,
+                            "vec_id": ids[mask].astype("int64"),
+                            "cosine": np.round(qm[qi] @ mn[mask].T, 4),
+                        }
                     )
-            if not out:
-                return pd.DataFrame(
-                    {"qid": pd.Series([], dtype="int64"),
-                     "vec_id": pd.Series([], dtype="int64"),
-                     "cosine": pd.Series([], dtype="float64")}
                 )
-            return pd.concat(out, ignore_index=True)
+        if not out:
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
 
     scored = table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        BucketScore, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 8)
+        bucket_score, fn_kwargs={"ref": ref}, batch_format="pandas"
     )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
-
-    return scored.groupby("qid").map_groups(topk, batch_format="pandas")
+    return _finish_topk(scored)
 
 
 N_PROBE = 2
@@ -301,46 +323,35 @@ def ann_ivf_topk(sf_dir: str, nprobe: int = N_PROBE):
     ref = ray.put((q, qids, cent_n, np.array(labels_sorted), probes))
 
     # 3. streamed candidate scan: assign each batch vector to its centroid,
-    #    keep only vectors landing in a probed bucket
-    class IVFScore:
-        def __init__(self, ref):
-            self.q, self.qids, self.cent_n, self.labels, self.probes = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            assign = self.labels[np.argmax(mn @ self.cent_n.T, axis=1)]
-            ids = df["vec_id"].to_numpy()
-            out = []
-            for qi, qid in enumerate(self.qids):
-                mask = np.isin(assign, list(self.probes[qid])) & (ids != qid)
-                if mask.any():
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "qid": qid,
-                                "vec_id": ids[mask].astype("int64"),
-                                "cosine": np.round(self.q[qi] @ mn[mask].T, 4),
-                            }
-                        )
+    #    keep only vectors landing in a probed bucket (task pool; broadcast
+    #    state fetched per batch — a local plasma lookup)
+    def ivf_score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        qm, qids_, cent_n_, labels_, probes_ = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = labels_[np.argmax(mn @ cent_n_.T, axis=1)]
+        ids = df["vec_id"].to_numpy()
+        out = []
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(assign, list(probes_[qid])) & (ids != qid)
+            if mask.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid,
+                            "vec_id": ids[mask].astype("int64"),
+                            "cosine": np.round(qm[qi] @ mn[mask].T, 4),
+                        }
                     )
-            if not out:
-                return pd.DataFrame(
-                    {"qid": pd.Series([], dtype="int64"),
-                     "vec_id": pd.Series([], dtype="int64"),
-                     "cosine": pd.Series([], dtype="float64")}
                 )
-            return pd.concat(out, ignore_index=True)
+        if not out:
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
 
-    scored = ds.map_batches(
-        IVFScore, fn_constructor_args=(ref,), batch_format="pandas",
-        concurrency=(1, 8),
-    )
-
-    def ivf_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
-
-    return scored.groupby("qid").map_groups(ivf_topk, batch_format="pandas")
+    scored = ds.map_batches(ivf_score, fn_kwargs={"ref": ref},
+                            batch_format="pandas")
+    return _finish_topk(scored)

@@ -175,8 +175,8 @@ class TestDedupRecall:
     def test_ann_lsh_subset_of_bruteforce_space(self, ray_session):
         from raycrawl.ops.similarity import ann_bruteforce_topk, ann_lsh_topk
 
-        exact = ann_bruteforce_topk(SF).to_pandas()
-        approx = ann_lsh_topk(SF).to_pandas()
+        exact = ann_bruteforce_topk(SF)  # local-topk path → DataFrame
+        approx = ann_lsh_topk(SF)
         # LSH scores must agree with exact scores for the pairs it returns
         exact_scores = {(r.qid, r.vec_id): r.cosine for r in exact.itertuples()}
         for r in approx.itertuples():
@@ -194,8 +194,8 @@ class TestDedupRecall:
             ann_ivf_topk,
         )
 
-        exact = ann_bruteforce_topk(SF).to_pandas()
-        approx = ann_ivf_topk(SF).to_pandas()
+        exact = ann_bruteforce_topk(SF)  # local-topk path → DataFrame
+        approx = ann_ivf_topk(SF)
         exact_scores = {(r.qid, r.vec_id): r.cosine for r in exact.itertuples()}
         assert set(approx["qid"]) == set(QUERY_IDS)
         assert approx.groupby("qid").size().max() <= TOP_K
