@@ -161,13 +161,21 @@ def tfidf_top_terms(sf_dir: str, max_features: int = 26):
             c.update(set(t.split()))
         return pd.DataFrame({"term": list(c), "df": list(c.values())})
 
+    import os
+
+    import pyarrow.parquet as _pq
+
     dfs = (
         ds.map_batches(partial_df, batch_format="pandas")
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
         .to_pandas()  # vocabulary-sized — small
     )
-    n_docs = ds.count()
+    # corpus size from parquet metadata (a driver-side fact of the input;
+    # no extra Ray execution)
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
     dfs = dfs.sort_values(["df", "term"], ascending=[False, True]).head(max_features)
     vocab = {
         t: float(np.log((1 + n_docs) / (1 + d)) + 1.0)
@@ -175,32 +183,31 @@ def tfidf_top_terms(sf_dir: str, max_features: int = 26):
     }
     ref = ray.put(vocab)
 
-    class TfIdf:
-        def __init__(self, ref):
-            self.idf = ray.get(ref)  # fit once per actor
+    # task pool: the fitted idf table is broadcast once and fetched per
+    # batch (local plasma lookup) — still fit-ONCE, no per-batch refit
+    def tfidf_score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        from collections import Counter
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            from collections import Counter
-
-            top_terms, scores = [], []
-            for t in df["text"]:
-                tf = Counter(w for w in t.split() if w in self.idf)
-                if not tf:
-                    top_terms.append("")
-                    scores.append(0.0)
-                    continue
-                ranked = sorted(
-                    ((cnt * self.idf[w], w) for w, cnt in tf.items()),
-                    key=lambda x: (-x[0], x[1]),
-                )
-                top_terms.append(ranked[0][1])
-                scores.append(round(ranked[0][0], 6))
-            return pd.DataFrame(
-                {"doc_id": df["doc_id"], "top_term": top_terms, "tfidf": scores}
+        idf = ray.get(ref)
+        top_terms, scores = [], []
+        for t in df["text"]:
+            tf = Counter(w for w in t.split() if w in idf)
+            if not tf:
+                top_terms.append("")
+                scores.append(0.0)
+                continue
+            ranked = sorted(
+                ((cnt * idf[w], w) for w, cnt in tf.items()),
+                key=lambda x: (-x[0], x[1]),
             )
+            top_terms.append(ranked[0][1])
+            scores.append(round(ranked[0][0], 6))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "top_term": top_terms, "tfidf": scores}
+        )
 
-    return ds.map_batches(TfIdf, fn_constructor_args=(ref,), batch_format="pandas",
-                          concurrency=(1, 8))
+    return ds.map_batches(tfidf_score, fn_kwargs={"ref": ref},
+                          batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
