@@ -134,3 +134,117 @@ def hll_distinct_users(sf_dir: str):
     return pd.DataFrame(
         [{"metric": "hll_distinct_user_ids", "estimate": round(hll_estimate(merged), 1)}]
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters over document tokens, two-pass-exact: pass 1
+# runs an MG(k) summary per batch (a token with overall frequency ≥ N/k is
+# frequent in at least one batch by averaging, so the union of per-batch
+# summaries is a candidate superset); pass 2 recounts ONLY the candidates
+# exactly (broadcast set + per-batch partial counts → tiny groupby). The
+# result — the exact top-N tokens — is therefore SQL-verifiable even
+# though the discovery pass is a streaming sketch.
+MG_K = 256
+HH_TOP_N = 10
+
+
+def _mg_summary(counter_texts, k: int) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for text in counter_texts:
+        for tok in text.split():
+            if tok in counts:
+                counts[tok] += 1
+            elif len(counts) < k:
+                counts[tok] = 1
+            else:  # decrement-all step
+                for key in list(counts):
+                    counts[key] -= 1
+                    if counts[key] == 0:
+                        del counts[key]
+    return counts
+
+
+@register(
+    "heavy_hitter_tokens",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counted AS (SELECT term, count(*) AS n FROM toks GROUP BY term)
+    SELECT term, n FROM counted
+    ORDER BY n DESC, term LIMIT {HH_TOP_N}
+    """,
+)
+def heavy_hitter_tokens(sf_dir: str):
+    import ray
+
+    ds = table(sf_dir, "documents", ["text"])
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        mg = _mg_summary(df["text"], MG_K)
+        return pd.DataFrame({"term": list(mg)})
+
+    candidates = set(
+        ds.map_batches(summarize, batch_format="pandas")
+        .to_pandas()["term"]
+    )
+    cand_ref = ray.put(candidates)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        for text in df["text"]:
+            for tok in text.split():
+                if tok in cand:
+                    counts[tok] = counts.get(tok, 0) + 1
+        return pd.DataFrame({"term": list(counts), "n": list(counts.values())})
+
+    from ray.data.aggregate import Sum
+
+    def batch_token_total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [sum(len(t.split()) for t in df["text"])]})
+
+    total_tokens = int(
+        ds.map_batches(batch_token_total, batch_format="pandas")
+        .sum("n")
+    )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = (
+        exact.sort_values(["n", "term"], ascending=[False, True])
+        .head(HH_TOP_N)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    # completeness guard: the candidate superset provably contains every
+    # token with freq ≥ total/MG_K; if the Nth hitter sits below that
+    # threshold the sketch may have missed a peer — fall back to the full
+    # exact aggregate (never triggered on realistic Zipfian token data)
+    if len(out) < HH_TOP_N or out["n"].iloc[-1] * MG_K < total_tokens:
+        def all_counts(df: pd.DataFrame) -> pd.DataFrame:
+            counts: dict[str, int] = {}
+            for text in df["text"]:
+                for tok in text.split():
+                    counts[tok] = counts.get(tok, 0) + 1
+            return pd.DataFrame(
+                {"term": list(counts), "n": list(counts.values())}
+            )
+
+        exact = (
+            ds.map_batches(all_counts, batch_format="pandas")
+            .groupby("term")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        out = (
+            exact.sort_values(["n", "term"], ascending=[False, True])
+            .head(HH_TOP_N)
+            .reset_index(drop=True)
+        )
+        out["n"] = out["n"].astype("int64")
+    return out

@@ -122,3 +122,37 @@ def running_event_index(sf_dir: str):
         ).astype({"prior_events": "int64"})
 
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SLIDING event-time window: per event, the count of the same user's
+# events with ts in [ts − 30 min, ts] (value-range frame, ties included —
+# exactly SQL's RANGE BETWEEN ... PRECEDING AND CURRENT ROW). Vectorized
+# per group with two searchsorted passes; the partition key is the same
+# user_id used by every other temporal operator.
+@register(
+    "sliding_window_counts",
+    sql="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n_in_window
+    FROM events
+    """,
+)
+def sliding_window_counts(sf_dir: str):
+    import numpy as np
+
+    ds = table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - gap.to_timedelta64(), side="left")
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "n_in_window": (hi - lo).astype("int64")}
+        )
+
+    return ds.groupby("user_id").map_groups(window, batch_format="pandas")

@@ -309,3 +309,25 @@ def test_spill_partial_reload_preserves_exact_order(tmp_path):
         epoch += 1
     assert got == want
     assert saw_partial, "expected reloads to leave unread segments on disk"
+
+
+def test_heavy_hitters_sketch_and_fallback_agree(ray_session, monkeypatch):
+    """Misra-Gries discovery + exact recount must produce the exact top-N;
+    with a degenerate sketch size (k=1) the completeness guard fires and
+    the fallback full aggregate returns the identical result."""
+    import raycrawl.ops.sketches_ops as so
+
+    base = so.heavy_hitter_tokens(SF)
+    monkeypatch.setattr(so, "MG_K", 1)
+    degenerate = so.heavy_hitter_tokens(SF)
+    pd.testing.assert_frame_equal(base, degenerate)
+    # sanity: counts are descending with term tie-break
+    assert list(base["n"]) == sorted(base["n"], reverse=True)
+
+
+def test_mg_summary_keeps_frequent_items():
+    from raycrawl.ops.sketches_ops import _mg_summary
+
+    texts = ["a a a b c"] * 50 + ["x y z w v u t s r q"] * 5
+    mg = _mg_summary(texts, k=4)
+    assert "a" in mg  # freq 150 of 300 tokens — guaranteed survivor
