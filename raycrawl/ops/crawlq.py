@@ -103,7 +103,9 @@ def crawl_frontier_metrics(sf_dir: str):
 
 def _payload_images(sf_dir: str) -> ray.data.Dataset:
     """Deterministic image payload table derived from documents (one image
-    per doc, seeded by doc_id) — input_hint shape without running a crawl."""
+    per doc, seeded by doc_id) — input_hint shape without running a crawl.
+    Returned LAZY so each consumer pipelines build→consume (a materialized
+    cache was measured slower: the barrier costs more than the rebuild)."""
     import pyarrow as pa
 
     from ..core.codec import encode_image, phash64, synth_pixels
