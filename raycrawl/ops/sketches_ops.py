@@ -93,8 +93,10 @@ def event_value_quantiles(sf_dir: str):
 
 # --------------------------------------------------------------------------
 # HyperLogLog distinct count: one 2^12-register sketch per batch, merged in
-# a tiny reduce — the mergeable-sketch pattern (rows-only: approximate;
-# pytest bounds the error against the exact count)
+# a tiny reduce — the mergeable-sketch pattern. The value hash is the
+# little-endian first-8-bytes of md5 (== DuckDB's md5_number_upper), so
+# the SQL oracle can replay the registers and the estimator bit-for-bit;
+# pytest additionally bounds the estimate's error against the exact count.
 HLL_P = 12
 HLL_M = 1 << HLL_P
 
@@ -102,7 +104,7 @@ HLL_M = 1 << HLL_P
 def _hll_sketch(values) -> np.ndarray:
     regs = np.zeros(HLL_M, dtype=np.uint8)
     for v in values:
-        h = int.from_bytes(hashlib.sha1(str(v).encode()).digest()[:8], "big")
+        h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
         idx = h & (HLL_M - 1)
         w = h >> HLL_P
         rank = (64 - HLL_P) - w.bit_length() + 1
@@ -120,7 +122,41 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-@register("hll_distinct_users", sql=None)
+@register(
+    "hll_distinct_users",
+    # replay of the sketch itself: register updates depend only on the
+    # DISTINCT values, so the oracle hashes distinct user_ids, rebuilds
+    # the max-rank registers and applies the identical estimator
+    # (incl. the small-range linear-counting correction)
+    sql=f"""
+    WITH h AS (
+      SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    r AS (
+      SELECT CAST(h & {HLL_M - 1} AS BIGINT) AS idx,
+             CAST(CASE WHEN (h >> {HLL_P}) = 0 THEN {64 - HLL_P} + 1
+                  ELSE {64 - HLL_P} - length(bin(h >> {HLL_P})) + 1 END
+                  AS BIGINT) AS rank
+      FROM h
+    ),
+    regs AS (SELECT idx, MAX(rank) AS r FROM r GROUP BY idx),
+    allregs AS (
+      SELECT i.idx, COALESCE(regs.r, 0) AS r
+      FROM (SELECT unnest(range({HLL_M})) AS idx) i LEFT JOIN regs USING (idx)
+    ),
+    s AS (SELECT SUM(POWER(2.0, -r)) AS ssum,
+                 SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros FROM allregs),
+    e AS (SELECT (0.7213 / (1 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M} / ssum
+                   AS est,
+                 zeros FROM s)
+    SELECT 'hll_distinct_user_ids' AS metric,
+           ROUND(CASE WHEN est <= 2.5 * {HLL_M} AND zeros > 0
+                      THEN {HLL_M} * LN({HLL_M}.0 / zeros) ELSE est END, 1)
+             AS estimate
+    FROM e
+    """,
+)
 def hll_distinct_users(sf_dir: str):
     ds = table(sf_dir, "events", ["user_id"])
 
