@@ -76,3 +76,43 @@ def top2_events_per_user(sf_dir: str):
         return g[["user_id", "event_id", "value", "rnk"]]
 
     return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-threshold sampling — the scalable sampling primitive
+# (a seeded reservoir needs coordinated state; hashing needs none): keep a
+# row iff its key hash falls under rate × 2^64. Stable across runs,
+# cluster sizes and partitionings; the same filter works as a progressive
+# sample (rate r1 ⊂ rate r2 for r1 < r2). Hash = little-endian md5[:8]
+# (== DuckDB md5_number_upper) so the oracle replays the exact sample.
+SAMPLE_RATE = 0.1
+_SAMPLE_THRESHOLD = int(SAMPLE_RATE * (1 << 64))
+
+
+@register(
+    "hash_sample_docs",
+    sql=f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) < {_SAMPLE_THRESHOLD}
+    """,
+)
+def hash_sample_docs(sf_dir: str):
+    import hashlib
+
+    import pyarrow as pa
+
+    ds = table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(d).encode()).digest()[:8], "little"
+                ) < _SAMPLE_THRESHOLD
+                for d in t["doc_id"].to_pylist()
+            ]
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

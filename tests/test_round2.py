@@ -331,3 +331,31 @@ def test_mg_summary_keeps_frequent_items():
     texts = ["a a a b c"] * 50 + ["x y z w v u t s r q"] * 5
     mg = _mg_summary(texts, k=4)
     assert "a" in mg  # freq 150 of 300 tokens — guaranteed survivor
+
+
+def test_resume_with_frontier_spill(ray_session, tmp_path):
+    """Checkpoint/restore while the external frontier queue holds spill
+    segments: the resumed run's payload must equal an uninterrupted one."""
+    from raycrawl.crawler import CrawlConfig, run_crawl, read_payload
+
+    web = WebConfig(n_hosts=4, pages_per_host=25)
+
+    def cfg(out, max_epochs=60):
+        return CrawlConfig(web=web, out_dir=out, num_shards=2,
+                           max_epochs=max_epochs, saving_period=4,
+                           frontier_spill_threshold=4)
+
+    full_out = str(tmp_path / "full")
+    run_crawl(cfg(full_out), seed_urls(web))
+    a = read_payload(full_out).to_pandas()
+
+    part_out = str(tmp_path / "part")
+    run_crawl(cfg(part_out, max_epochs=6), seed_urls(web))
+    run_crawl(cfg(part_out), seed_urls(web), resume=True)
+    b = read_payload(part_out).to_pandas()
+
+    key = ["image_id", "epoch", "caption", "phash"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True),
+    )
