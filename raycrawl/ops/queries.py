@@ -246,18 +246,16 @@ def customers_per_region(sf_dir: str):
     )
     ref = ray.put(nk_to_region)
 
-    class AttachRegion:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vals = [self.lookup[k] for k in t["c_nationkey"].to_pylist()]
-            return t.append_column("r_name", pa.array(vals, pa.string()))
+    # task pool: broadcast lookup fetched per batch (local plasma lookup)
+    def attach_region(t: pa.Table, *, ref) -> pa.Table:
+        lookup = ray.get(ref)
+        vals = [lookup[k] for k in t["c_nationkey"].to_pylist()]
+        return t.append_column("r_name", pa.array(vals, pa.string()))
 
     return (
         table(sf_dir, "customer", ["c_nationkey"])
-        .map_batches(AttachRegion, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     concurrency=(1, 2))
+        .map_batches(attach_region, fn_kwargs={"ref": ref},
+                     batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n"))
     )
@@ -480,18 +478,15 @@ def customers_without_urgent_orders(sf_dir: str):
     custkeys = urgent.unique("o_custkey")
     ref = ray.put(pa.array(custkeys))
 
-    class AntiFilter:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)  # Arrow value_set, fetched once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys))
-            return t.filter(mask)
+    # task pool: the broadcast value_set is a local plasma lookup per batch
+    def anti_filter(t: pa.Table, *, ref) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=ray.get(ref)))
+        return t.filter(mask)
 
     return (
         table(sf_dir, "customer", ["c_custkey"])
-        .map_batches(AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     concurrency=(1, 2))
+        .map_batches(anti_filter, fn_kwargs={"ref": ref},
+                     batch_format="pyarrow")
     )
 
 
@@ -688,24 +683,21 @@ def regional_revenue(sf_dir: str):
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    class AttachRegion:
-        def __init__(self, ref):
-            self.c2r = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "r_name": pa.array(
-                        [self.c2r[c] for c in t["o_custkey"].to_pylist()],
-                        pa.string(),
-                    ),
-                    "rev_c": t["rev_c"],
-                }
-            )
+    def attach_region(t: pa.Table, *, ref) -> pa.Table:
+        c2r = ray.get(ref)
+        return pa.table(
+            {
+                "r_name": pa.array(
+                    [c2r[c] for c in t["o_custkey"].to_pylist()],
+                    pa.string(),
+                ),
+                "rev_c": t["rev_c"],
+            }
+        )
 
     agg = (
-        joined.map_batches(AttachRegion, fn_constructor_args=(ref,),
-                           batch_format="pyarrow", concurrency=(1, 8))
+        joined.map_batches(attach_region, fn_kwargs={"ref": ref},
+                           batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )

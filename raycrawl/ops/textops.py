@@ -193,31 +193,33 @@ def token_count_stats(sf_dir: str):
 )
 def doc_quality_scores(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
-    stop = set(STOPWORDS)
+    return ds.map_batches(_quality_score_batch, batch_format="pandas")
 
-    class Scorer:
-        """Stateful scorer pattern (ST1): state built once per actor."""
 
-        def __init__(self):
-            import re
+_WS_RE = None
+_STOP_SET = frozenset(STOPWORDS)
 
-            self.ws = re.compile(r"\s+")
-            self.stop = stop
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            toks = df["text"].str.strip().str.split(self.ws)
-            n_tokens = toks.map(len)
-            n_stop = toks.map(lambda ws: sum(w in self.stop for w in ws))
-            return pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"],
-                    "n_chars_actual": df["text"].str.len().astype("int64"),
-                    "n_tokens": n_tokens.astype("int64"),
-                    "stopword_ratio": (n_stop / n_tokens).round(6),
-                }
-            )
+def _quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-pool quality scorer; the compiled pattern is a per-worker
+    module cache (state this light does not justify an actor pool — the
+    heavy-state ST1 pattern lives in the model scorers)."""
+    global _WS_RE
+    if _WS_RE is None:
+        import re
 
-    return ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 8))
+        _WS_RE = re.compile(r"\s+")
+    toks = df["text"].str.strip().str.split(_WS_RE)
+    n_tokens = toks.map(len)
+    n_stop = toks.map(lambda ws: sum(w in _STOP_SET for w in ws))
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_chars_actual": df["text"].str.len().astype("int64"),
+            "n_tokens": n_tokens.astype("int64"),
+            "stopword_ratio": (n_stop / n_tokens).round(6),
+        }
+    )
 
 
 # --------------------------------------------------------------------------

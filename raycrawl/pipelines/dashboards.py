@@ -94,29 +94,27 @@ def user_stats_table(sf_dir: str):
     ref = ray.put(nmap)
     _HEX = "0123456789abcdef"
 
-    class BuildStats:
-        def __init__(self, ref):
-            self.nmap = ray.get(ref)  # broadcast dimension (ST5/J1)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            stances, decades = [], []
-            for name in df["c_name"]:
-                h = hashlib.md5(name.encode()).hexdigest()
-                stances.append(f"party{_HEX.index(h[0]) % 3}")
-                age = (12 + _HEX.index(h[0]) * 16 + _HEX.index(h[1])) % 73
-                decades.append(age // 10 * 10)
-            return pd.DataFrame(
-                {
-                    "userid": df["c_custkey"],
-                    "username": df["c_name"],
-                    "location": df["c_nationkey"].map(self.nmap),
-                    "stance": stances,
-                    "age_decade": pd.Series(decades, dtype="int64"),
-                    "segment": df["c_mktsegment"],
-                }
-            )
+    # task pool; the broadcast dimension (ST5/J1) is a plasma-local
+    # lookup per batch — no per-query actor spin-up
+    def build_stats(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        nmap = ray.get(ref)
+        stances, decades = [], []
+        for name in df["c_name"]:
+            h = hashlib.md5(name.encode()).hexdigest()
+            stances.append(f"party{_HEX.index(h[0]) % 3}")
+            age = (12 + _HEX.index(h[0]) * 16 + _HEX.index(h[1])) % 73
+            decades.append(age // 10 * 10)
+        return pd.DataFrame(
+            {
+                "userid": df["c_custkey"],
+                "username": df["c_name"],
+                "location": df["c_nationkey"].map(nmap),
+                "stance": stances,
+                "age_decade": pd.Series(decades, dtype="int64"),
+                "segment": df["c_mktsegment"],
+            }
+        )
 
     return table(
         sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
-    ).map_batches(BuildStats, fn_constructor_args=(ref,), batch_format="pandas",
-                  concurrency=(1, 8))
+    ).map_batches(build_stats, fn_kwargs={"ref": ref}, batch_format="pandas")

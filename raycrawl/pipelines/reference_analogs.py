@@ -143,25 +143,17 @@ def gender_dict_vote_counts(sf_dir: str):
     ds = table(sf_dir, "part", ["p_partkey", "p_name"])
     ref = ray.put(NAME_DICT)
 
-    class Vote:
-        def __init__(self, ref):
-            self.names = ray.get(ref)  # loaded once per actor (ST5)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            genders = []
-            for name in df["p_name"]:
-                m = sum(
-                    1 for n, g in self.names if g == "M" and (n in name or name in n)
-                )
-                f = sum(
-                    1 for n, g in self.names if g == "F" and (n in name or name in n)
-                )
-                genders.append("M" if m > f else "F" if f > m else "unknown")
-            return pd.DataFrame({"gender": genders})
+    def vote(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        names = ray.get(ref)  # broadcast dict (ST5), plasma-local per batch
+        genders = []
+        for name in df["p_name"]:
+            m = sum(1 for n, g in names if g == "M" and (n in name or name in n))
+            f = sum(1 for n, g in names if g == "F" and (n in name or name in n))
+            genders.append("M" if m > f else "F" if f > m else "unknown")
+        return pd.DataFrame({"gender": genders})
 
     return (
-        ds.map_batches(Vote, fn_constructor_args=(ref,), batch_format="pandas",
-                       concurrency=(1, 8))
+        ds.map_batches(vote, fn_kwargs={"ref": ref}, batch_format="pandas")
         .groupby("gender")
         .aggregate(Count(alias_name="n"))
     )
@@ -210,33 +202,29 @@ def location_normalize_counts(sf_dir: str):
     abbr_dict = [(f"NATION_{k}", [f"n_{k}"]) for k in range(25)]
     ref = ray.put((nmap, abbr_dict))
 
-    class Normalize:
-        def __init__(self, ref):
-            self.nmap, self.abbr = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for ck, nk in zip(df["c_custkey"], df["c_nationkey"]):
-                name = self.nmap[nk].lower()
-                v = ck % 3
-                loc = name if v == 0 else f"xx{name}yy" if v == 1 else f"n_{nk}"
-                normalized = "undetected"
-                for base, abbrs in self.abbr:  # first-match-wins, dict order
-                    lb = base.lower()
-                    if (
-                        lb in loc
-                        or loc in lb
-                        or any(a in loc or loc in a for a in abbrs)
-                    ):
-                        normalized = base
-                        break
-                out.append(normalized)
-            return pd.DataFrame({"normalized": out})
+    def normalize(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        nmap, abbr = ray.get(ref)
+        out = []
+        for ck, nk in zip(df["c_custkey"], df["c_nationkey"]):
+            name = nmap[nk].lower()
+            v = ck % 3
+            loc = name if v == 0 else f"xx{name}yy" if v == 1 else f"n_{nk}"
+            normalized = "undetected"
+            for base, abbrs in abbr:  # first-match-wins, dict order
+                lb = base.lower()
+                if (
+                    lb in loc
+                    or loc in lb
+                    or any(a in loc or loc in a for a in abbrs)
+                ):
+                    normalized = base
+                    break
+            out.append(normalized)
+        return pd.DataFrame({"normalized": out})
 
     return (
         table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-        .map_batches(Normalize, fn_constructor_args=(ref,), batch_format="pandas",
-                     concurrency=(1, 8))
+        .map_batches(normalize, fn_kwargs={"ref": ref}, batch_format="pandas")
         .groupby("normalized")
         .aggregate(Count(alias_name="n"))
     )
@@ -271,30 +259,27 @@ def propagate_labels(
             ref = ray.put(dict(labels))
             seed_ref = ray.put(set(seed_labels))
 
-            class AttachVote:
-                def __init__(self, lref, sref):
-                    self.labels = ray.get(lref)
-                    self.seeds = ray.get(sref)
-
-                def __call__(self, t: pa.Table) -> pa.Table:
-                    srcs, labs = [], []
-                    for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
-                        if s in self.seeds:  # J7 guard: seeds never move
-                            continue
-                        lab = self.labels.get(d)
-                        if lab is not None:
-                            srcs.append(s)
-                            labs.append(lab)
-                    return pa.table(
-                        {
-                            "src": pa.array(srcs, pa.int64()),
-                            "dst_label": pa.array(labs, pa.string()),
-                        }
-                    )
+            def attach_vote(t: pa.Table, *, lref, sref) -> pa.Table:
+                lab_map = ray.get(lref)  # plasma-local per batch
+                seeds = ray.get(sref)
+                srcs, labs = [], []
+                for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+                    if s in seeds:  # J7 guard: seeds never move
+                        continue
+                    lab = lab_map.get(d)
+                    if lab is not None:
+                        srcs.append(s)
+                        labs.append(lab)
+                return pa.table(
+                    {
+                        "src": pa.array(srcs, pa.int64()),
+                        "dst_label": pa.array(labs, pa.string()),
+                    }
+                )
 
             voted = edges.map_batches(
-                AttachVote, fn_constructor_args=(ref, seed_ref),
-                batch_format="pyarrow", concurrency=(1, 8),
+                attach_vote, fn_kwargs={"lref": ref, "sref": seed_ref},
+                batch_format="pyarrow",
             )
         else:  # label table too big to broadcast → distributed hash join
             label_ds = ray.data.from_pandas(
