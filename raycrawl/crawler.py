@@ -8,8 +8,9 @@ rounds, politeness-sleep. Re-expressed Ray-Data-first:
       pop      — each FrontierShard actor merges its pending link buffer
                  (deterministic sorted-URL, min-depth) then selects its
                  politeness-budgeted, frontier-ordered URL batch, exposed
-                 as batch_size-row chunks (one Ray Data block each, so
-                 fetch parallelism = rows/batch_size, not num_shards)
+                 as EQUAL-SIZE slices (one Ray Data block each, one block
+                 per CPU slot: the epoch runs as a single packed wave of
+                 same-weight fetch tasks, independent of shard count)
       fetch    — ``map_batches(fetch_batch)`` stateless tasks whose
                  per-process state is cached across epochs (see
                  stages/fetch.py — avoids per-epoch actor-pool spin-up)
