@@ -1,0 +1,425 @@
+"""Training-data preparation operators: group-wise normalization,
+stratified sampling, outer-join enrichment, range joins and clustering.
+
+These extend the reference's per-record feature extraction
+(``pages/Preprocess_scripts/Functions.py:37-94`` ``process_tweet``) and
+grouped statistics (``PreprocessDump.py:21-34``) into the operations a
+large-scale training-data pipeline needs. Every op follows the engine's
+scale rules: small state (group stats, band edges, centroids) is reduced
+from per-batch partials and broadcast once via ``ray.put``; the big table
+is only ever streamed through vectorized ``map_batches``; the one
+large-large op (outer-join enrichment) uses ``Dataset.join``'s
+hash-partitioned shuffle. Float outputs are rounded identically on both
+the Ray and SQL sides so summation-order jitter cannot break the driver's
+value-hash compare.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .common import table
+from .queries import register
+
+# --------------------------------------------------------------------------
+# Group-wise z-score normalization (feature scaling per event_type).
+# Canonical two-pass shape: per-batch partial moments -> tiny driver reduce
+# (one row per group) -> broadcast stats -> streamed vectorized normalize.
+# Mean and std are rounded to 6 decimals on BOTH sides before the z
+# computation so parallel-summation jitter cannot shift a z value.
+
+
+@register(
+    "group_zscore_events",
+    sql="""
+    WITH st AS (
+      SELECT event_type,
+             ROUND(SUM(value) / COUNT(*), 6) AS m,
+             ROUND(SQRT(SUM(value * value) / COUNT(*)
+                        - POWER(SUM(value) / COUNT(*), 2)), 6) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, ROUND((e.value - st.m) / st.sd, 4) AS z
+    FROM events e JOIN st USING (event_type)
+    """,
+)
+def group_zscore_events(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        sq = pc.multiply(v, v)
+        t2 = t.append_column("sq", sq)
+        return (
+            pa.TableGroupBy(t2, "event_type")
+            .aggregate([("value", "sum"), ("sq", "sum"), ("value", "count")])
+            .rename_columns(["event_type", "s", "ss", "n"])
+        )
+
+    # driver reduce is one row per (block, group) -> tiny for low-cardinality
+    # group keys (5 event types); at higher cardinality this becomes a small
+    # groupby instead
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("event_type").agg(s=("s", "sum"), ss=("ss", "sum"),
+                                          n=("n", "sum"))
+    stats = {
+        et: (
+            round(r.s / r.n, 6),
+            round(float(np.sqrt(r.ss / r.n - (r.s / r.n) ** 2)), 6),
+        )
+        for et, r in agg.iterrows()
+    }
+    ref = ray.put(stats)
+
+    def normalize(t: pa.Table, *, ref) -> pa.Table:
+        st = ray.get(ref)  # local plasma lookup per batch
+        et = t["event_type"].to_pylist()
+        m = np.array([st[e][0] for e in et])
+        sd = np.array([st[e][1] for e in et])
+        z = np.round((t["value"].to_numpy(zero_copy_only=False) - m) / sd, 4)
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"],
+             "z": pa.array(z, pa.float64())}
+        )
+
+    return ds.map_batches(normalize, fn_kwargs={"ref": ref},
+                          batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling: fixed N docs per lang, chosen by
+# smallest md5 hash (same md5_number_upper convention as hash_sample_docs,
+# setops.py:88). Per-block local top-N per stratum -> the <= N x strata x
+# blocks survivors merge on the driver -- no global sort, no shuffle.
+
+STRATUM_N = 50
+
+
+@register(
+    "stratified_sample_docs",
+    sql=f"""
+    SELECT lang, doc_id, n_chars, CAST(r AS BIGINT) AS rank FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS r
+      FROM documents) WHERE r <= {STRATUM_N}
+    """,
+)
+def stratified_sample_docs(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(h=pd.Series([], dtype="uint64"))
+        df = df.assign(
+            h=np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(str(d).encode()).digest()[:8], "little"
+                    )
+                    for d in df["doc_id"]
+                ),
+                dtype=np.uint64,
+                count=len(df),
+            )
+        )
+        return (
+            df.sort_values(["lang", "h", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(STRATUM_N)
+        )
+
+    pdf = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = []
+    for lang, g in pdf.groupby("lang"):
+        g = g.sort_values(["h", "doc_id"]).head(STRATUM_N).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        out.append(g[["lang", "doc_id", "n_chars", "rank"]])
+    if not out:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "n_chars": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# Left-outer-join enrichment with zero-fill: every customer annotated with
+# its URGENT-order count and spend (0 if none). Unlike the broadcast-set
+# anti-join (customers_without_urgent_orders), both sides here are
+# table-sized at web scale, so this exercises Dataset.join's
+# hash-partitioned LEFT OUTER path; money is summed as integer cents.
+
+
+@register(
+    "customer_urgent_order_stats",
+    sql="""
+    SELECT c_custkey, c_name,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_urgent,
+           CAST(COALESCE(o.spend_c, 0) AS DOUBLE) / 100 AS urgent_spend
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_c
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def customer_urgent_order_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_c": pc.cast(
+                    pc.round(
+                        pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    counts = (
+        table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="spend_c"))
+    )
+    cust = table(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["n"], pa.int64()), 0)
+        spend = pc.fill_null(pc.cast(t["spend_c"], pa.int64()), 0)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "n_urgent": n,
+                "urgent_spend": pc.divide(
+                    pc.cast(spend, pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Range join against a small band table: each part lands in its retail
+# price band. The band table is tiny -> broadcast the edges once and bin
+# with one vectorized searchsorted per batch (a shuffle range-join would
+# move every row for 11 bands of state). The SQL oracle replays the bands
+# as an inline VALUES list joined with the same half-open [lo, hi)
+# semantics.
+
+BAND_EDGES = [900 + 10 * i for i in range(11)]  # [900,910) ... [990,1000)
+
+
+def _bands_sql_values() -> str:
+    return ", ".join(
+        f"({float(lo)}, {float(hi)})"
+        for lo, hi in zip(BAND_EDGES[:-1], BAND_EDGES[1:])
+    )
+
+
+@register(
+    "parts_price_band_stats",
+    sql=f"""
+    WITH bands(lo, hi) AS (VALUES {_bands_sql_values()})
+    SELECT b.lo AS band_lo, b.hi AS band_hi, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_retail
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.lo, b.hi
+    """,
+)
+def parts_price_band_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    edges = np.asarray(BAND_EDGES, dtype=np.float64)
+    ref = ray.put(edges)
+
+    def binify(t: pa.Table, *, ref) -> pa.Table:
+        e = ray.get(ref)
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(e, price, side="right") - 1
+        keep = (idx >= 0) & (idx < len(e) - 1) & (price < e[-1])
+        return pa.table(
+            {
+                "band_lo": pa.array(e[idx[keep]], pa.float64()),
+                "band_hi": pa.array(e[idx[keep] + 1], pa.float64()),
+                "price_c": pa.array(
+                    np.round(price[keep] * 100).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        table(sf_dir, "part", ["p_retailprice"])
+        .map_batches(binify, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+        .groupby(["band_lo", "band_hi"])
+        .aggregate(Count(alias_name="n_parts"), Sum("price_c", alias_name="sum_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "band_lo": t["band_lo"],
+                    "band_hi": t["band_hi"],
+                    "n_parts": t["n_parts"],
+                    "sum_retail": pc.divide(
+                        pc.cast(t["sum_c"], pa.float64()), pa.scalar(100.0)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K-means over the embedding column (Lloyd's, deterministic): init
+# centroids = the first K vectors by vec_id, two assignment passes with one
+# centroid update between them. Assignment + partial sums stream through
+# map_batches against broadcast centroids; the reduce is K x dim doubles on
+# the driver -- the same distributed-train shape as ann_ivf_topk's coarse
+# quantizer. Distances are rounded to 6 decimals before the argmin (ties ->
+# lowest cluster id) and centroids to 6 after each update, so the SQL
+# oracle -- which unrolls both rounds -- lands on identical assignments.
+
+KMEANS_K = 8
+_EMB_DIM = 64
+
+
+@register(
+    "kmeans_embeddings",
+    sql=f"""
+    WITH c0 AS (
+      SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {KMEANS_K}),
+    a1 AS (
+      SELECT vec_id, cl FROM (
+        SELECT e.vec_id, c.cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                              c.cv), 6), c.cl) AS r
+        FROM embeddings e CROSS JOIN c0 c) WHERE r = 1),
+    dims AS (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i),
+    c1 AS (
+      SELECT cl, list(m ORDER BY i) AS cv FROM (
+        SELECT a1.cl, d.i,
+               ROUND(AVG(CAST(e.embedding[CAST(d.i AS INTEGER)] AS DOUBLE)),
+                     6) AS m
+        FROM a1 JOIN embeddings e USING (vec_id), dims d
+        GROUP BY a1.cl, d.i) GROUP BY cl),
+    a2 AS (
+      SELECT vec_id, cl, d FROM (
+        SELECT e.vec_id, c.cl,
+               ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+                 AS d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                              c.cv), 6), c.cl) AS r
+        FROM embeddings e CROSS JOIN c1 c) WHERE r = 1)
+    SELECT CAST(cl AS BIGINT) AS cluster, COUNT(*) AS n,
+           ROUND(SUM(d) / COUNT(*), 4) AS avg_dist
+    FROM a2 GROUP BY cl
+    """,
+)
+def kmeans_embeddings(sf_dir: str):
+    import os
+
+    import pyarrow.dataset as pads
+
+    ds = table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # init: the first K vectors -- a row-group-pruned driver-side read
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < KMEANS_K,
+    )
+    df0 = t.to_pandas().sort_values("vec_id")
+    cent = np.stack(df0["embedding"].to_numpy()).astype(np.float64)
+    cluster_ids = df0["vec_id"].to_numpy().astype(np.int64)
+
+    def _dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # rounded Euclidean distance matrix (batch, K); argmin tie-break =
+        # lowest cluster id via first-minimum argmin over id-ordered columns
+        return np.round(
+            np.sqrt(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)), 6
+        )
+
+    # pass 1: assign against init centroids, emit per-cluster partial sums
+    def partial_sums(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        c, ids = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        assign = ids[np.argmin(_dists(m, c), axis=1)]
+        rows = {"cl": [], "s": [], "n": []}
+        for cl in np.unique(assign):
+            sel = m[assign == cl]
+            rows["cl"].append(int(cl))
+            rows["s"].append(sel.sum(axis=0).tolist())
+            rows["n"].append(len(sel))
+        return pd.DataFrame(rows)
+
+    ref0 = ray.put((cent, cluster_ids))
+    parts = ds.map_batches(
+        partial_sums, fn_kwargs={"ref": ref0}, batch_format="pandas"
+    ).to_pandas()
+    new_ids, new_cent = [], []
+    for cl, g in parts.groupby("cl"):
+        s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+        new_ids.append(int(cl))
+        new_cent.append(np.round(s / g["n"].sum(), 6))
+    cent1 = np.stack(new_cent)
+    ids1 = np.asarray(new_ids, dtype=np.int64)
+
+    # pass 2: assign against updated centroids, emit per-cluster (n, sum d)
+    def partial_stats(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        c, ids = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = _dists(m, c)
+        j = np.argmin(d, axis=1)
+        assign = ids[j]
+        dmin = d[np.arange(len(j)), j]
+        rows = {"cluster": [], "n": [], "sd": []}
+        for cl in np.unique(assign):
+            sel = assign == cl
+            rows["cluster"].append(int(cl))
+            rows["n"].append(int(sel.sum()))
+            rows["sd"].append(float(dmin[sel].sum()))
+        return pd.DataFrame(rows)
+
+    ref1 = ray.put((cent1, ids1))
+    parts2 = ds.map_batches(
+        partial_stats, fn_kwargs={"ref": ref1}, batch_format="pandas"
+    ).to_pandas()
+    out = (
+        parts2.groupby("cluster")
+        .agg(n=("n", "sum"), sd=("sd", "sum"))
+        .reset_index()
+    )
+    out["avg_dist"] = np.round(out["sd"] / out["n"], 4)
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["cluster", "n", "avg_dist"]]
