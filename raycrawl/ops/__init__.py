@@ -15,5 +15,6 @@ from . import temporal  # noqa: F401
 from . import setops  # noqa: F401
 from . import sketches_ops  # noqa: F401
 from . import mlprep  # noqa: F401
+from . import curation  # noqa: F401
 from ..pipelines import reference_analogs  # noqa: F401
 from ..pipelines import dashboards  # noqa: F401

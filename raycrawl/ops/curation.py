@@ -1,0 +1,271 @@
+"""Corpus-curation operators: term masking, token explode, train/eval
+contamination detection, and token-budget sequence packing.
+
+The reference's text cleanup is per-record string surgery
+(``preprocess_text`` / ``remove_new_lines``, ``PreprocessDump.py:84-89``,
+and the regex suite in ``Random_Forest_Classifier.py:14-51``); its fan-out
+is the topic router (``PreprocessDump.py:237-268``). These ops re-express
+those shapes as the curation stages an LLM training-data pipeline runs at
+100 TB: masking is one vectorized Arrow regex kernel per batch, the
+explode is a ``flat_map``-shaped batch transform, contamination checking
+streams the train split against a broadcast eval-shingle set (the J7
+broadcast anti/semi-join pattern), and sequence packing is a distributed
+ordered prefix-sum — bucket totals reduce to the driver (one number per
+bucket), each bucket then computes its local cumsum against its broadcast
+offset, so no global sort and no serial scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .common import table
+from .queries import register
+
+# --------------------------------------------------------------------------
+# Sensitive-term masking (the PII-scrub shape): replace every occurrence of
+# the masked vocabulary with a fixed tag. One vectorized regex kernel per
+# batch; the pattern is compiled by Arrow once per task.
+
+MASK_TERMS = ("customer", "key")
+_MASK_PATTERN = r"\b(customer|key)\b"
+MASK_TAG = "<masked>"
+
+
+@register(
+    "mask_terms_docs",
+    # DuckDB string literals keep backslashes verbatim, so the pattern is
+    # inserted as-is
+    sql=f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_MASK_PATTERN}', '{MASK_TAG}', 'g') AS masked,
+           CAST(len(regexp_extract_all(text, '{_MASK_PATTERN}'))
+                AS BIGINT) AS n_masked
+    FROM documents
+    """,
+)
+def mask_terms_docs(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], _MASK_PATTERN)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "masked": pc.replace_substring_regex(
+                    t["text"], _MASK_PATTERN, MASK_TAG
+                ),
+                "n_masked": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mask, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Token explode: one output row per (doc, position, token) — the flat_map
+# fan-out shape (reference analog: the multi-topic record fan-out, M5/D2).
+# Vectorized: one split kernel per batch, then a list-flatten with a
+# repeated parent index; no per-row Python.
+
+
+@register(
+    "explode_doc_tokens",
+    sql="""
+    SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos,
+           unnest(ws) AS token
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents)
+    """,
+)
+def explode_doc_tokens(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        splits = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+"
+        )
+        lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        pos = np.concatenate([np.arange(1, n + 1) for n in lens]) if len(lens) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(pos.astype(np.int64), pa.int64()),
+                "token": pc.list_flatten(splits),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Train/eval contamination: flag train documents sharing any token
+# 3-shingle with the (small) eval split. The eval shingle set is built
+# once driver-side from the pruned eval read and broadcast via ray.put;
+# the train split streams through a per-batch membership probe — the
+# broadcast semi-join shape (J7). At web scale the eval side stays small
+# by construction (benchmarks), which is exactly why this shape holds.
+
+EVAL_MOD = 20  # doc_id % 20 == 0 -> eval split
+SHINGLE_W = 3
+
+
+def _shingles(tokens: list[str]) -> set[str]:
+    return {
+        " ".join(tokens[i : i + SHINGLE_W])
+        for i in range(len(tokens) - SHINGLE_W + 1)
+    }
+
+
+@register(
+    "benchmark_contamination",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(ws[i:i+{SHINGLE_W - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, len(ws) - {SHINGLE_W - 2})) AS i
+            FROM tok WHERE len(ws) >= {SHINGLE_W})),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    train_sh AS (SELECT DISTINCT doc_id, shingle FROM sh
+                 WHERE doc_id % {EVAL_MOD} != 0)
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM train_sh t JOIN eval_sh e USING (shingle)
+    GROUP BY t.doc_id
+    """,
+)
+def benchmark_contamination(sf_dir: str):
+    import re
+
+    ws_re = re.compile(r"\s+")
+
+    # eval split: small by construction -> pruned driver-side read
+    import duckdb
+
+    eval_txt = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % {EVAL_MOD} = 0"
+    ).fetchall()
+    eval_set: set[str] = set()
+    for (text,) in eval_txt:
+        eval_set |= _shingles(ws_re.split(text.strip()))
+    ref = ray.put(frozenset(eval_set))
+
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def probe(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        ev = ray.get(ref)  # local plasma lookup per batch
+        df = df[df["doc_id"] % EVAL_MOD != 0]
+        rows = {"doc_id": [], "n_shared": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            n = len(_shingles(ws_re.split(text.strip())) & ev)
+            if n:
+                rows["doc_id"].append(doc_id)
+                rows["n_shared"].append(n)
+        return pd.DataFrame(rows).astype(
+            {"doc_id": "int64", "n_shared": "int64"}
+        )
+
+    return ds.map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Token-budget sequence packing: documents in doc_id order are packed into
+# contiguous training chunks of <= PACK_BUDGET tokens (running-total
+# packing, the streaming form of sequence packing). chunk_id =
+# floor(tokens_before / budget) where tokens_before is the global ordered
+# prefix-sum — computed distributed: fixed doc_id-range buckets, per-bucket
+# totals reduced on the driver (one int per bucket), exclusive offsets
+# broadcast back, each bucket then cumsums locally inside map_groups.
+
+PACK_BUDGET = 2000
+PACK_BUCKET = 512  # doc_ids per prefix-sum bucket
+
+
+@register(
+    "pack_documents_to_chunks",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM tk)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(before / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id
+    FROM c
+    """,
+)
+def pack_documents_to_chunks(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        splits = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+"
+        )
+        n = pc.cast(pc.list_value_length(splits), pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n,
+                "bucket": pc.cast(
+                    pc.floor(
+                        pc.divide(
+                            pc.cast(t["doc_id"], pa.float64()),
+                            pa.scalar(float(PACK_BUCKET)),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    tk = ds.map_batches(tokens, batch_format="pyarrow")
+
+    # pass 1: per-bucket totals (per-batch partials -> tiny driver reduce;
+    # bucket count = n_docs / PACK_BUCKET, a scalar per ~512 docs)
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, "bucket")
+            .aggregate([("n_tokens", "sum")])
+            .rename_columns(["bucket", "s"])
+        )
+
+    parts = tk.map_batches(bucket_partial, batch_format="pyarrow").to_pandas()
+    totals = parts.groupby("bucket")["s"].sum().sort_index()
+    offsets = {
+        int(b): int(off)
+        for b, off in zip(totals.index, totals.cumsum().shift(fill_value=0))
+    }
+    ref = ray.put(offsets)
+
+    # pass 2: per-bucket local cumsum against the broadcast offset; the
+    # groupby shuffle moves only (doc_id, n_tokens) pairs
+    def pack(g: pd.DataFrame, *, ref) -> pd.DataFrame:
+        offs = ray.get(ref)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        before = offs[int(g["bucket"].iloc[0])] + (
+            g["n_tokens"].cumsum() - g["n_tokens"]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "chunk_id": (before // PACK_BUDGET).astype("int64"),
+            }
+        )
+
+    return tk.groupby("bucket").map_groups(
+        pack, fn_kwargs={"ref": ref}, batch_format="pandas"
+    )
