@@ -73,11 +73,14 @@ SHINGLE = 3
 
 
 def _shingles(text: str) -> set[int]:
+    # shingle base hash = little-endian md5[:8], the same convention as
+    # hash-threshold sampling (setops.py:88) == DuckDB md5_number_upper —
+    # which is what lets the LSH chain have an exact SQL oracle
     toks = text.split()
     out = set()
     for i in range(max(1, len(toks) - SHINGLE + 1)):
         sh = " ".join(toks[i : i + SHINGLE])
-        out.add(int.from_bytes(hashlib.sha1(sh.encode()).digest()[:8], "big"))
+        out.add(int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "little"))
     return out
 
 
@@ -175,7 +178,53 @@ def _verify_pairs(cand: pd.DataFrame, docs: dict) -> pd.DataFrame:
     )
 
 
-@register("minhash_lsh_candidates", sql=None)
+def _perm_sql_values() -> str:
+    """The 64 seeded permutation parameters as SQL literals, so the oracle
+    replays the exact universal-hash family (a, b < 2^61 - 1 fit BIGINT)."""
+    mh = MinHasher()
+    return ", ".join(
+        f"({k}, {int(a)}, {int(b)})" for k, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+
+
+_MINHASH_SQL = f"""
+    WITH params(k, a, b) AS (VALUES {_perm_sql_values()}),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5_number_upper(array_to_string(ws[i:i+{SHINGLE - 1}], ' ')) AS x
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - {SHINGLE - 1}, 1) + 1))
+                     AS i
+            FROM tok)),
+    sig AS (
+      SELECT s.doc_id, p.k,
+             MIN(((CAST(s.x AS HUGEINT) % 2305843009213693951) * p.a + p.b)
+                 % 2305843009213693951) AS v
+      FROM sh s CROSS JOIN params p GROUP BY s.doc_id, p.k),
+    bands AS (
+      SELECT doc_id, k // {N_HASHES // N_BANDS} AS band,
+             list(v ORDER BY k) AS bsig
+      FROM sig GROUP BY doc_id, band),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+    sets AS (SELECT doc_id, list(DISTINCT x) AS hs FROM sh GROUP BY doc_id)
+    SELECT a, b, jaccard FROM (
+      SELECT p.a, p.b,
+             ROUND(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                   GREATEST(1, len(list_distinct(list_concat(sa.hs, sb.hs)))),
+                   6) AS jaccard
+      FROM pairs p JOIN sets sa ON sa.doc_id = p.a
+                   JOIN sets sb ON sb.doc_id = p.b)
+    WHERE jaccard >= 0.5
+"""
+
+
+@register("minhash_lsh_candidates", sql=_MINHASH_SQL)
 def minhash_lsh_candidates(sf_dir: str):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket, verified
     by exact shingle-Jaccard ≥ 0.5, deduplicated across bands.
