@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "pickled_estimator_scores",
     "image_feature_extract",
     "audio_feature_extract",
+    # round-2 late additions (training-data prep / curation)
+    "kmeans_embeddings",
+    "pack_documents_to_chunks",
+    "benchmark_contamination",
+    "customer_urgent_order_stats",
 ]
 
 

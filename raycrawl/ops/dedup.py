@@ -373,24 +373,39 @@ _SIMHASH_TOKEN_CACHE: dict[str, int] = {}  # per worker process
 
 
 def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """Task-pool simhash stage; the token-hash cache lives per worker
-    process (module cache) — no per-query actor-pool spin-up."""
+    """Task-pool simhash stage, vectorized across the whole batch: md5 runs
+    only on the batch's DISTINCT tokens (vocab << token count; per-worker
+    module cache on top), bit counting is one segmented reduce over the
+    flattened token-hash array — no per-token Python in the hot path."""
     cache = _SIMHASH_TOKEN_CACHE
-    hashes = []
-    for text in df["text"]:
-        toks = text.split()
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for k, tok in enumerate(toks):
+    toks_per_doc = [t.split() for t in df["text"]]
+    ndocs = len(toks_per_doc)
+    lens = np.fromiter(map(len, toks_per_doc), dtype=np.int64, count=ndocs)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    ones = np.zeros((ndocs, 64), dtype=np.int64)
+    nz = lens > 0
+    if len(flat):
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, tok in enumerate(uniq):
             h = cache.get(tok)
             if h is None:
                 h = cache[tok] = simhash_token_hash(tok)
-            hs[k] = h
-        # vectorized per-bit occurrence counts (n_tok × 64)
-        ones = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).sum(axis=0)
-        bits = (2 * ones > len(toks)).astype(np.uint64)
-        hu = int((bits << _BIT_IDX).sum(dtype=np.uint64))
-        hashes.append(hu - (1 << 64) if hu >= (1 << 63) else hu)
-    return pd.DataFrame({"doc_id": df["doc_id"], "simhash": hashes})
+            uh[i] = h
+        hs = uh[inv]
+        bits = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        # empty docs contribute no rows, so consecutive nonzero segments
+        # are adjacent in `flat` and reduceat over their starts is exact
+        starts = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        ones[nz] = np.add.reduceat(bits, starts[nz], axis=0)
+    maj = (2 * ones > lens[:, None]).astype(np.uint64)
+    hu = (maj << _BIT_IDX[None, :]).sum(axis=1, dtype=np.uint64)
+    return pd.DataFrame({"doc_id": df["doc_id"],
+                         "simhash": hu.view(np.int64)})
 
 
 # --------------------------------------------------------------------------

@@ -159,6 +159,8 @@ def stratified_sample_docs(sf_dir: str):
 # table-sized at web scale, so this exercises Dataset.join's
 # hash-partitioned LEFT OUTER path; money is summed as integer cents.
 
+OUTER_JOIN_BROADCAST_MAX = 1_000_000  # count rows ≈ 24 B each → ≤ ~24 MB
+
 
 @register(
     "customer_urgent_order_stats",
@@ -198,6 +200,45 @@ def customer_urgent_order_stats(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="spend_c"))
     )
     cust = table(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    # adaptive join (label_propagation's pattern): while the per-key count
+    # table fits a broadcast object, a plasma-shared dict lookup per batch
+    # beats the join operator's aggregator spin-up; past the threshold the
+    # hash-partitioned LEFT OUTER Dataset.join takes over (path equivalence
+    # is pytest-checked)
+    counts = counts.materialize()
+    if counts.count() <= OUTER_JOIN_BROADCAST_MAX:
+        cdf = counts.to_pandas()
+        ref = ray.put(
+            {
+                int(k): (int(n), int(s))
+                for k, n, s in zip(cdf["o_custkey"], cdf["n"], cdf["spend_c"])
+            }
+        )
+
+        def lookup(t: pa.Table, *, ref) -> pa.Table:
+            m = ray.get(ref)
+            keys = t["c_custkey"].to_pylist()
+            ns = np.fromiter(
+                (m.get(k, (0, 0))[0] for k in keys), dtype=np.int64,
+                count=len(keys),
+            )
+            sp = np.fromiter(
+                (m.get(k, (0, 0))[1] for k in keys), dtype=np.int64,
+                count=len(keys),
+            )
+            return pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "c_name": t["c_name"],
+                    "n_urgent": pa.array(ns, pa.int64()),
+                    "urgent_spend": pa.array(sp / 100.0, pa.float64()),
+                }
+            )
+
+        return cust.map_batches(lookup, fn_kwargs={"ref": ref},
+                                batch_format="pyarrow")
+
     joined = cust.join(
         counts,
         join_type="left_outer",

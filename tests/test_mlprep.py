@@ -78,6 +78,17 @@ def test_outer_join_zero_fills(ray_session):
     assert (zeros["urgent_spend"] == 0.0).all()
 
 
+def test_outer_join_paths_equivalent(ray_session, monkeypatch):
+    """Forcing the Dataset.join LEFT OUTER path (broadcast cap 0) must
+    produce exactly the rows of the broadcast-lookup path."""
+    from raycrawl.ops import mlprep
+
+    base = _norm(_run("customer_urgent_order_stats"))
+    monkeypatch.setattr(mlprep, "OUTER_JOIN_BROADCAST_MAX", 0)
+    joined = _norm(_run("customer_urgent_order_stats"))
+    pd.testing.assert_frame_equal(base, joined)
+
+
 def test_stratified_sample_caps_and_determinism(ray_session):
     from raycrawl.ops.mlprep import STRATUM_N
 
