@@ -80,6 +80,55 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"[similarity/ivf] {len(ivf)} probe results from nprobe=2 "
           f"coarse-quantizer buckets")
 
+    # final curation: mask sensitive terms, drop eval-contaminated docs,
+    # pack the survivors into token-budget chunks, and write partitioned
+    # parquet (one directory per chunk block — the resumable-output shape)
+    import shutil
+
+    import pyarrow as pa
+
+    from raycrawl.ops.curation import (
+        benchmark_contamination,
+        mask_terms_docs,
+        pack_documents_to_chunks,
+    )
+
+    masked = as_df(mask_terms_docs(sf_dir))
+    print(f"[curate/mask] {int(masked['n_masked'].sum())} term occurrences "
+          f"masked across {int((masked['n_masked'] > 0).sum())} docs")
+
+    contam = as_df(benchmark_contamination(sf_dir))
+    bad = ray.put(frozenset(int(d) for d in contam["doc_id"]))
+    print(f"[curate/contamination] {len(contam)} train docs share a "
+          f"3-shingle with the eval split — dropped")
+
+    packed = pack_documents_to_chunks(sf_dir)  # stays a streamed Dataset
+
+    def keep_clean(t: "pa.Table", *, bad) -> "pa.Table":
+        import pyarrow.compute as pc
+
+        drop = ray.get(bad)
+        mask = pc.invert(
+            pc.is_in(t["doc_id"], value_set=pa.array(sorted(drop), pa.int64()))
+        )
+        t = t.filter(mask)
+        block = pc.cast(pc.floor(pc.divide(pc.cast(t["chunk_id"],
+                                                   pa.float64()), 64.0)),
+                        pa.int64())
+        return t.append_column("chunk_block", block)
+
+    out = "/tmp/raycrawl_curated"
+    shutil.rmtree(out, ignore_errors=True)
+    packed.map_batches(keep_clean, fn_kwargs={"bad": bad},
+                       batch_format="pyarrow").write_parquet(
+        out, partition_cols=["chunk_block"]
+    )
+    import ray.data as rd
+
+    written = rd.read_parquet(out)
+    print(f"[curate/pack] wrote {written.count()} packed rows to {out} "
+          f"(partitioned by chunk_block)")
+
     ray.shutdown()
 
 
