@@ -104,6 +104,41 @@ def explode_doc_tokens(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token counting: the GPT-2-style pre-tokenizer split (word /
+# number / punctuation runs with leading-space attachment), simplified to
+# an RE2-compatible pattern (no lookahead) so the SAME regex runs in
+# Arrow's count kernel and DuckDB's regexp_extract_all. Complements the
+# whitespace tokenizer in token_count_stats (textops.py:158).
+
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+@register(
+    "bpe_token_counts",
+    sql=f"""
+    SELECT CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def bpe_token_counts(sf_dir: str):
+    ds = table(sf_dir, "documents", ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], BPE_PATTERN)
+        return pa.table({"n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("n_bpe_tokens")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Train/eval contamination: flag train documents sharing any token
 # 3-shingle with the (small) eval split. The eval shingle set is built
 # once driver-side from the pruned eval read and broadcast via ray.put;

@@ -54,6 +54,7 @@ def _run(name: str) -> pd.DataFrame:
         "explode_doc_tokens",
         "benchmark_contamination",
         "pack_documents_to_chunks",
+        "bpe_token_counts",
     ],
 )
 def test_oracle_parity(ray_session, name):
