@@ -3,6 +3,7 @@
 import hashlib
 
 import numpy as np
+import pandas as pd
 from hypothesis import given, settings, strategies as st
 
 from raycrawl.core.codec import (
@@ -119,3 +120,72 @@ class TestCodecProperties:
         assert hamming64(phash64(px), phash64(out)) <= 10
         out2, _ = decode_image(encode_image(px, "jpeg"))
         assert phash64(out2) == phash64(out)
+
+
+VOCAB = ["join", "scan", "agg", "key", "row", "fast", "slow", "table"]
+docs_st = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=20),
+    min_size=1, max_size=8,
+)
+
+
+class TestSimhashProperties:
+    """The vectorized batch simhash (dedup.simhash_batch) vs a naive
+    per-doc reference, plus its algebraic invariants."""
+
+    @staticmethod
+    def _naive(tokens: list[str]) -> int:
+        from raycrawl.ops.dedup import simhash_token_hash
+
+        ones = [0] * 64
+        for tok in tokens:
+            h = simhash_token_hash(tok)
+            for i in range(64):
+                ones[i] += (h >> i) & 1
+        hu = 0
+        for i in range(64):
+            if 2 * ones[i] > len(tokens):
+                hu |= 1 << i
+        return hu - (1 << 64) if hu >= (1 << 63) else hu
+
+    @given(docs_st)
+    @settings(max_examples=50, deadline=None)
+    def test_vectorized_matches_naive(self, docs):
+        from raycrawl.ops.dedup import simhash_batch
+
+        df = pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": [" ".join(d) for d in docs]}
+        )
+        got = simhash_batch(df)["simhash"].tolist()
+        assert got == [self._naive(d) for d in docs]
+
+    @given(st.lists(st.sampled_from(VOCAB), min_size=1, max_size=20),
+           st.randoms())
+    @settings(max_examples=50, deadline=None)
+    def test_invariant_to_token_order(self, tokens, rnd):
+        from raycrawl.ops.dedup import simhash_batch
+
+        shuffled = list(tokens)
+        rnd.shuffle(shuffled)
+        df = pd.DataFrame(
+            {"doc_id": [0, 1],
+             "text": [" ".join(tokens), " ".join(shuffled)]}
+        )
+        a, b = simhash_batch(df)["simhash"]
+        assert a == b
+
+
+class TestMinhashProperties:
+    @given(st.sets(st.integers(0, 2**61 - 2), min_size=1, max_size=40),
+           st.sets(st.integers(0, 2**61 - 2), min_size=1, max_size=40))
+    @settings(max_examples=50, deadline=None)
+    def test_signature_of_union_is_elementwise_min(self, sa, sb):
+        """MinHash's defining algebra: sig(A ∪ B) == min(sig(A), sig(B))
+        element-wise — what makes signatures mergeable across partitions."""
+        from raycrawl.ops.dedup import MinHasher
+
+        mh = MinHasher()
+        su = mh.signature(sa | sb)
+        assert np.array_equal(
+            su, np.minimum(mh.signature(sa), mh.signature(sb))
+        )
