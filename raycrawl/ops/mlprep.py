@@ -78,9 +78,14 @@ def group_zscore_events(sf_dir: str):
 
     def normalize(t: pa.Table, *, ref) -> pa.Table:
         st = ray.get(ref)  # local plasma lookup per batch
-        et = t["event_type"].to_pylist()
-        m = np.array([st[e][0] for e in et])
-        sd = np.array([st[e][1] for e in et])
+        # vectorized stat attach: dictionary-encode the group column, look
+        # up stats only per DISTINCT value, fancy-index back per row
+        enc = pc.dictionary_encode(t["event_type"]).combine_chunks()
+        stats_by_code = [st[v] for v in enc.dictionary.to_pylist()]
+        m, sd = (
+            np.asarray(a)[enc.indices.to_numpy(zero_copy_only=False)]
+            for a in zip(*stats_by_code)
+        )
         z = np.round((t["value"].to_numpy(zero_copy_only=False) - m) / sd, 4)
         return pa.table(
             {"event_id": t["event_id"], "event_type": t["event_type"],
