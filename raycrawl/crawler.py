@@ -96,6 +96,10 @@ class CrawlConfig:
     # pull per-row fetch logs + exact seen sets back to the driver at the
     # end (oracle-parity testing only — expensive, not part of the job)
     collect_parity_outputs: bool = False
+    # epochs popping ≤ this many rows run as ONE Ray task instead of a Ray
+    # Data pipeline (None = auto: 16 with payload bytes, 96 without — the
+    # crossover where per-row work outgrows the pipeline launch cost)
+    small_epoch_max_rows: int | None = None
 
 
 @dataclass
@@ -315,26 +319,42 @@ def run_crawl(
             for j in range(p)
         ]
         t = _mark("chunks", t)
-        ds = ray.data.from_arrow_refs(refs)
         # per-UDF-call batches stay ≤ cfg.batch_size (bounds synthesis /
         # decode heap) even when the block itself is larger
         bsz = min(target, cfg.batch_size)
-        pipeline = ds.map_batches(
-            fetch_batch,
-            fn_kwargs={"web_cfg": cfg.web},
-            batch_format="pyarrow",
-            batch_size=bsz,
-        ).map_batches(
-            _make_decode_submit(actors, epoch, keep_bytes),
-            batch_format="pyarrow",
-            batch_size=bsz,
-        )
-        # payload sink: Lance when the library is present, parquet fallback
-        lancelike.write_ray_dataset(
-            pipeline, os.path.join(payload_dir, f"epoch={epoch}")
-        )
-        t = _mark("pipeline", t)
-        stats.last_pipeline_stats = pipeline.stats()
+        # tail-epoch fast-path threshold: single-task wins while
+        # rows × per-row work < the ~0.2 s pipeline launch (per-row ≈17 ms
+        # with 130 KB payload bytes, ≈1-2 ms metadata-only)
+        small_max = cfg.small_epoch_max_rows
+        if small_max is None:
+            small_max = 16 if keep_bytes else 96
+        if total <= small_max:
+            # one block → one task (tail-epoch fast path, no pipeline launch)
+            ray.get(
+                _small_epoch_task.remote(
+                    cfg.web, actors, epoch, keep_bytes,
+                    os.path.join(payload_dir, f"epoch={epoch}"), *refs
+                )
+            )
+            t = _mark("pipeline", t)
+        else:
+            ds = ray.data.from_arrow_refs(refs)
+            pipeline = ds.map_batches(
+                fetch_batch,
+                fn_kwargs={"web_cfg": cfg.web},
+                batch_format="pyarrow",
+                batch_size=bsz,
+            ).map_batches(
+                _make_decode_submit(actors, epoch, keep_bytes),
+                batch_format="pyarrow",
+                batch_size=bsz,
+            )
+            # payload sink: Lance when present, parquet fallback
+            lancelike.write_ray_dataset(
+                pipeline, os.path.join(payload_dir, f"epoch={epoch}")
+            )
+            t = _mark("pipeline", t)
+            stats.last_pipeline_stats = pipeline.stats()
         t = _mark("stats", t)
 
         # ordered phash gate + frontier merge (meta only; offers routed as
@@ -520,6 +540,23 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
         return out
 
     return decode_submit
+
+
+@ray.remote(num_cpus=1)
+def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, out_uri, *tables):
+    """Tail-epoch fast path: a popped set that fits ONE block runs fetch →
+    decode/gate-submit → payload write inside a single Ray task, skipping
+    the per-epoch Ray Data pipeline launch (~0.15-0.4 s) that dominates
+    near-empty epochs at every cluster size. Semantics are identical:
+    ``decode_submit`` ray.gets its gate_submit calls, so the shard actors
+    have every offer before the driver's gate_finalize — exactly the
+    ordering the pipeline path guarantees by completing."""
+    tbl = pa.concat_tables([t for t in tables if t.num_rows])
+    out = _make_decode_submit(actors, epoch, keep_bytes)(
+        fetch_batch(tbl, web_cfg=web_cfg)
+    )
+    lancelike.write_table_flat(out, out_uri)
+    return out.num_rows
 
 
 def _checkpoint_all(actors, ckpt_dir: str, epoch: int, dedup_actors=None,

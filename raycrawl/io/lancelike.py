@@ -38,6 +38,17 @@ def write_table(table: pa.Table, uri: str, *, mode: str = "create") -> None:
                    "schema": table.schema.to_string()}, f)
 
 
+def write_table_flat(table: pa.Table, uri: str) -> None:
+    """Single-table write with the same on-disk layout ``write_ray_dataset``
+    produces (no manifest sidecar) — used by the crawler's small-epoch fast
+    path so tail epochs skip the Ray Data pipeline launch."""
+    if HAVE_LANCE:  # pragma: no cover
+        lance.write_dataset(table, uri, mode="create")
+        return
+    os.makedirs(uri, exist_ok=True)
+    pq.write_table(table, os.path.join(uri, "part-0.parquet"))
+
+
 def read_table(uri: str) -> pa.Table:
     if HAVE_LANCE:  # pragma: no cover
         return lance.dataset(uri).to_table()
