@@ -196,7 +196,13 @@ def crawl_scaling_run():
 
 def scaling():
     """Fresh-process runs of the identical crawl at num_cpus=4 and 16
-    (N and 4N) → throughput at both + scaling efficiency."""
+    (N and 4N) → throughput at both + scaling efficiency.
+
+    Noise protocol: this VM has noisy neighbors (identical runs measure up
+    to 1.6× apart — BENCH/BASELINE.md). Each level therefore runs TWICE,
+    interleaved (16, 4, 16, 4), and the per-level BEST throughput feeds
+    the efficiency — min-of-N, the same protocol every other recorded
+    number uses. All samples are reported alongside for honesty."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
@@ -207,12 +213,48 @@ def scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # run the 4N level FIRST: the long N-level run heats the machine and a
-    # subsequent 16-way run measures slower (thermal/cache effects)
-    hi = run(16)
-    time.sleep(10)
-    lo = run(4)
+    def host_calibration(n: int, kind: str) -> float:
+        """Mean per-process seconds for a fixed workload at n concurrent
+        processes — the HOST's own scaling ceiling, measured alongside the
+        crawl. 'cpu' is cache-resident arithmetic (should scale ~1.0);
+        'mem' is DRAM-bandwidth-bound (collapses when noisy neighbors
+        saturate the host's memory controllers — e.g. measured 4.1 s at
+        n=4 vs 23.6 s at n=16 in one window, a 0.17 ceiling no
+        memory-touching workload can beat)."""
+        snippets = {
+            "cpu": "import time;t=time.time();x=0\n"
+                   "for i in range(20_000_000): x+=i\n"
+                   "print(time.time()-t)",
+            "mem": "import numpy as np,time;a=np.random.rand(25_000_000);"
+                   "t=time.time()\n"
+                   "for _ in range(4): b=a*1.5; s=b.sum()\n"
+                   "print(time.time()-t)",
+        }
+        ps = [
+            subprocess.Popen([sys.executable, "-c", snippets[kind]],
+                             stdout=subprocess.PIPE)
+            for _ in range(n)
+        ]
+        outs = [float(p.communicate()[0]) for p in ps]
+        return sum(outs) / len(outs)
+
+    # the 4N level runs FIRST in each pair: the long N-level run heats the
+    # machine and a subsequent 16-way run measures slower
+    samples = {16: [], 4: []}
+    for ncpu in (16, 4, 16, 4):
+        samples[ncpu].append(run(ncpu))
+        time.sleep(10)
+    hi = max(samples[16], key=lambda r: r["urls_per_sec"])
+    lo = max(samples[4], key=lambda r: r["urls_per_sec"])
     eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
+    # the host's own concurrency ceilings, measured in the same window:
+    # per-process slowdown from 4 -> 16 concurrent processes (1.0 = ideal)
+    cpu_scaling = round(
+        host_calibration(4, "cpu") / host_calibration(16, "cpu"), 3
+    )
+    mem_scaling = round(
+        host_calibration(4, "mem") / host_calibration(16, "mem"), 3
+    )
     print(
         json.dumps(
             {
@@ -226,6 +268,12 @@ def scaling():
                 "crawl_sec_N": lo["sec"],
                 "crawl_sec_4N": hi["sec"],
                 "crawl_urls": hi["urls"],
+                "samples_urls_per_sec_N": [r["urls_per_sec"]
+                                           for r in samples[4]],
+                "samples_urls_per_sec_4N": [r["urls_per_sec"]
+                                            for r in samples[16]],
+                "host_cpu_scaling_4_to_16": cpu_scaling,
+                "host_mem_bandwidth_scaling_4_to_16": mem_scaling,
                 "sf": SF_DIR,
             }
         )
