@@ -80,38 +80,63 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"[similarity/ivf] {len(ivf)} probe results from nprobe=2 "
           f"coarse-quantizer buckets")
 
-    # final curation: mask sensitive terms, drop eval-contaminated docs,
-    # pack the survivors into token-budget chunks, and write partitioned
-    # parquet (one directory per chunk block — the resumable-output shape)
+    # final curation — a genuinely CHAINED stream: drop the eval split AND
+    # every contaminated train doc, mask sensitive terms in the survivors'
+    # text, pack the FILTERED corpus into token-budget chunks, and write
+    # partitioned parquet (one directory per chunk block — the
+    # resumable-output shape). Each stage feeds the next; nothing from a
+    # dropped doc reaches the output.
     import shutil
 
     import pyarrow as pa
 
     from raycrawl.ops.curation import (
+        _MASK_PATTERN,
+        MASK_TAG,
         benchmark_contamination,
-        mask_terms_docs,
-        pack_documents_to_chunks,
+        pack_by_running_total,
+        tokens_with_bucket,
+        EVAL_MOD,
     )
-
-    masked = as_df(mask_terms_docs(sf_dir))
-    print(f"[curate/mask] {int(masked['n_masked'].sum())} term occurrences "
-          f"masked across {int((masked['n_masked'] > 0).sum())} docs")
 
     contam = as_df(benchmark_contamination(sf_dir))
     bad = ray.put(frozenset(int(d) for d in contam["doc_id"]))
     print(f"[curate/contamination] {len(contam)} train docs share a "
-          f"3-shingle with the eval split — dropped")
+          f"3-shingle with the eval split — dropped (plus the eval split "
+          f"itself, doc_id % {EVAL_MOD} == 0)")
 
-    packed = pack_documents_to_chunks(sf_dir)  # stays a streamed Dataset
-
-    def keep_clean(t: "pa.Table", *, bad) -> "pa.Table":
+    def clean_and_mask(t: "pa.Table", *, bad) -> "pa.Table":
+        import numpy as np
         import pyarrow.compute as pc
 
         drop = ray.get(bad)
-        mask = pc.invert(
-            pc.is_in(t["doc_id"], value_set=pa.array(sorted(drop), pa.int64()))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        not_contaminated = pc.invert(pc.is_in(
+            t["doc_id"], value_set=pa.array(sorted(drop), pa.int64())
+        )).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((ids % EVAL_MOD != 0) & not_contaminated))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pc.replace_substring_regex(
+                    t["text"], _MASK_PATTERN, MASK_TAG
+                ),
+            }
         )
-        t = t.filter(mask)
+
+    import ray.data as rd
+
+    curated = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(clean_and_mask, fn_kwargs={"bad": bad},
+                  batch_format="pyarrow")
+    packed = pack_by_running_total(
+        curated.map_batches(tokens_with_bucket, batch_format="pyarrow")
+    )
+
+    def add_block(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
         block = pc.cast(pc.floor(pc.divide(pc.cast(t["chunk_id"],
                                                    pa.float64()), 64.0)),
                         pa.int64())
@@ -119,15 +144,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     out = "/tmp/raycrawl_curated"
     shutil.rmtree(out, ignore_errors=True)
-    packed.map_batches(keep_clean, fn_kwargs={"bad": bad},
-                       batch_format="pyarrow").write_parquet(
+    packed.map_batches(add_block, batch_format="pyarrow").write_parquet(
         out, partition_cols=["chunk_block"]
     )
-    import ray.data as rd
-
-    written = rd.read_parquet(out)
-    print(f"[curate/pack] wrote {written.count()} packed rows to {out} "
-          f"(partitioned by chunk_block)")
+    written = rd.read_parquet(out).to_pandas()
+    assert not set(int(d) for d in written["doc_id"]) & set(
+        int(d) for d in contam["doc_id"]
+    ), "contaminated docs must not reach the packed output"
+    assert not (written["doc_id"] % EVAL_MOD == 0).any(), \
+        "the eval split must not be packed as training data"
+    print(f"[curate/pack] wrote {len(written)} masked, decontaminated, "
+          f"packed rows to {out} (partitioned by chunk_block)")
 
     ray.shutdown()
 

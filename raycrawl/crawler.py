@@ -332,11 +332,15 @@ def run_crawl(
             # one block → one task (tail-epoch fast path, no pipeline launch)
             ray.get(
                 _small_epoch_task.remote(
-                    cfg.web, actors, epoch, keep_bytes,
+                    cfg.web, actors, epoch, keep_bytes, bsz,
                     os.path.join(payload_dir, f"epoch={epoch}"), *refs
                 )
             )
             t = _mark("pipeline", t)
+            stats.last_pipeline_stats = (
+                f"(epoch {epoch}: small-epoch fast path, {total} rows, "
+                "no Ray Data pipeline)"
+            )
         else:
             ds = ray.data.from_arrow_refs(refs)
             pipeline = ds.map_batches(
@@ -543,17 +547,24 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
 
 
 @ray.remote(num_cpus=1)
-def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, out_uri, *tables):
+def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
+                      out_uri, *tables):
     """Tail-epoch fast path: a popped set that fits ONE block runs fetch →
     decode/gate-submit → payload write inside a single Ray task, skipping
     the per-epoch Ray Data pipeline launch (~0.15-0.4 s) that dominates
     near-empty epochs at every cluster size. Semantics are identical:
     ``decode_submit`` ray.gets its gate_submit calls, so the shard actors
     have every offer before the driver's gate_finalize — exactly the
-    ordering the pipeline path guarantees by completing."""
+    ordering the pipeline path guarantees by completing. The per-UDF-call
+    ``batch_size`` heap bound still applies: a raised
+    ``small_epoch_max_rows`` is processed in batch_size slices."""
     tbl = pa.concat_tables([t for t in tables if t.num_rows])
-    out = _make_decode_submit(actors, epoch, keep_bytes)(
-        fetch_batch(tbl, web_cfg=web_cfg)
+    decode = _make_decode_submit(actors, epoch, keep_bytes)
+    out = pa.concat_tables(
+        [
+            decode(fetch_batch(tbl.slice(off, batch_size), web_cfg=web_cfg))
+            for off in range(0, tbl.num_rows, batch_size)
+        ]
     )
     lancelike.write_table_flat(out, out_uri)
     return out.num_rows

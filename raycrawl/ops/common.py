@@ -12,6 +12,16 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def md5_u64_le(s: str) -> int:
+    """Little-endian first-8-bytes of md5 — THE oracle-load-bearing hash
+    convention (== DuckDB ``md5_number_upper``). Single definition shared
+    by hash sampling, stratified sampling, shingling and simhash so the
+    byte order can never silently diverge between ops."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
 def round_cols(ds: ray.data.Dataset, spec: dict[str, int]) -> ray.data.Dataset:
     """Round float columns to fixed decimals so Ray and DuckDB value-hashes
     agree despite summation-order float jitter."""

@@ -224,49 +224,34 @@ PACK_BUDGET = 2000
 PACK_BUCKET = 512  # doc_ids per prefix-sum bucket
 
 
-@register(
-    "pack_documents_to_chunks",
-    sql=f"""
-    WITH tk AS (
-      SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
-      FROM documents),
-    c AS (
-      SELECT doc_id, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS before
-      FROM tk)
-    SELECT doc_id, n_tokens,
-           CAST(FLOOR(before / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id
-    FROM c
-    """,
-)
-def pack_documents_to_chunks(sf_dir: str):
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
-
-    def tokens(t: pa.Table) -> pa.Table:
-        splits = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(t["text"]), r"\s+"
-        )
-        n = pc.cast(pc.list_value_length(splits), pa.int64())
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tokens": n,
-                "bucket": pc.cast(
-                    pc.floor(
-                        pc.divide(
-                            pc.cast(t["doc_id"], pa.float64()),
-                            pa.scalar(float(PACK_BUCKET)),
-                        )
-                    ),
-                    pa.int64(),
+def tokens_with_bucket(t: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, bucket) projection — the prefix-sum input."""
+    splits = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+    n = pc.cast(pc.list_value_length(splits), pa.int64())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": n,
+            "bucket": pc.cast(
+                pc.floor(
+                    pc.divide(
+                        pc.cast(t["doc_id"], pa.float64()),
+                        pa.scalar(float(PACK_BUCKET)),
+                    )
                 ),
-            }
-        )
+                pa.int64(),
+            ),
+        }
+    )
 
-    tk = ds.map_batches(tokens, batch_format="pyarrow")
+
+def pack_by_running_total(tk, budget: int = PACK_BUDGET):
+    """The distributed ordered prefix-sum over a (doc_id, n_tokens,
+    bucket) Dataset → (doc_id, n_tokens, chunk_id). Reused by the registry
+    query and the curation example (which packs the FILTERED corpus)."""
+    # materialize once: both the bucket-total pass and the per-bucket
+    # cumsum pass consume this, and re-tokenizing is the dominant cost
+    tk = tk.materialize()
 
     # pass 1: per-bucket totals (per-batch partials -> tiny driver reduce;
     # bucket count = n_docs / PACK_BUCKET, a scalar per ~512 docs)
@@ -297,10 +282,35 @@ def pack_documents_to_chunks(sf_dir: str):
             {
                 "doc_id": g["doc_id"],
                 "n_tokens": g["n_tokens"],
-                "chunk_id": (before // PACK_BUDGET).astype("int64"),
+                "chunk_id": (before // budget).astype("int64"),
             }
         )
 
     return tk.groupby("bucket").map_groups(
         pack, fn_kwargs={"ref": ref}, batch_format="pandas"
+    )
+
+
+@register(
+    "pack_documents_to_chunks",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM tk)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(before / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id
+    FROM c
+    """,
+)
+def pack_documents_to_chunks(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    return pack_by_running_total(
+        ds.map_batches(tokens_with_bucket, batch_format="pyarrow")
     )

@@ -73,14 +73,15 @@ SHINGLE = 3
 
 
 def _shingles(text: str) -> set[int]:
-    # shingle base hash = little-endian md5[:8], the same convention as
-    # hash-threshold sampling (setops.py:88) == DuckDB md5_number_upper —
-    # which is what lets the LSH chain have an exact SQL oracle
+    # shingle base hash = the shared md5_u64_le convention (common.py) ==
+    # DuckDB md5_number_upper — which is what lets the LSH chain have an
+    # exact SQL oracle
+    from .common import md5_u64_le
+
     toks = text.split()
     out = set()
     for i in range(max(1, len(toks) - SHINGLE + 1)):
-        sh = " ".join(toks[i : i + SHINGLE])
-        out.add(int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "little"))
+        out.add(md5_u64_le(" ".join(toks[i : i + SHINGLE])))
     return out
 
 
@@ -163,14 +164,18 @@ def minhash_bands(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _verify_pairs(cand: pd.DataFrame, docs: dict) -> pd.DataFrame:
+    import math
+
     keep_a, keep_b, jac = [], [], []
     for a, b in zip(cand["a"], cand["b"]):
         sa, sb = _shingles(docs[a]), _shingles(docs[b])
         j = len(sa & sb) / max(1, len(sa | sb))
-        if j >= 0.5:
+        if j >= 0.5:  # threshold on the RAW value (the SQL oracle matches)
             keep_a.append(a)
             keep_b.append(b)
-            jac.append(round(j, 6))
+            # half-away-from-zero to match DuckDB ROUND (Python round is
+            # banker's — differs on exact 5e-7 boundaries)
+            jac.append(math.floor(j * 1e6 + 0.5) / 1e6)
     return pd.DataFrame(
         {"a": pd.Series(keep_a, dtype="int64"),
          "b": pd.Series(keep_b, dtype="int64"),
@@ -213,14 +218,14 @@ _MINHASH_SQL = f"""
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
     sets AS (SELECT doc_id, list(DISTINCT x) AS hs FROM sh GROUP BY doc_id)
-    SELECT a, b, jaccard FROM (
+    SELECT a, b, ROUND(raw, 6) AS jaccard FROM (
       SELECT p.a, p.b,
-             ROUND(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
-                   GREATEST(1, len(list_distinct(list_concat(sa.hs, sb.hs)))),
-                   6) AS jaccard
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+             GREATEST(1, len(list_distinct(list_concat(sa.hs, sb.hs))))
+               AS raw
       FROM pairs p JOIN sets sa ON sa.doc_id = p.a
                    JOIN sets sb ON sb.doc_id = p.b)
-    WHERE jaccard >= 0.5
+    WHERE raw >= 0.5
 """
 
 
@@ -326,7 +331,9 @@ def minhash_lsh_candidates(sf_dir: str):
 # bit i of the simhash is set iff a strict majority of token occurrences
 # have bit i set.
 def simhash_token_hash(tok: str) -> int:
-    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+    from .common import md5_u64_le
+
+    return md5_u64_le(tok)
 
 
 _BIT_IDX = np.arange(64, dtype=np.uint64)

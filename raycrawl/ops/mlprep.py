@@ -16,15 +16,13 @@ value-hash compare.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .common import table
+from .common import md5_u64_le, table
 from .queries import register
 
 # --------------------------------------------------------------------------
@@ -37,14 +35,19 @@ from .queries import register
 
 @register(
     "group_zscore_events",
+    # GREATEST(var, 0) absorbs the tiny negative variance float error can
+    # produce for a constant group (SQRT would hard-error); a zero-variance
+    # group yields z = NULL on BOTH sides rather than NaN/inf
     sql="""
     WITH st AS (
       SELECT event_type,
              ROUND(SUM(value) / COUNT(*), 6) AS m,
-             ROUND(SQRT(SUM(value * value) / COUNT(*)
-                        - POWER(SUM(value) / COUNT(*), 2)), 6) AS sd
+             ROUND(SQRT(GREATEST(SUM(value * value) / COUNT(*)
+                        - POWER(SUM(value) / COUNT(*), 2), 0)), 6) AS sd
       FROM events GROUP BY event_type)
-    SELECT e.event_id, e.event_type, ROUND((e.value - st.m) / st.sd, 4) AS z
+    SELECT e.event_id, e.event_type,
+           CASE WHEN st.sd > 0 THEN ROUND((e.value - st.m) / st.sd, 4)
+                ELSE NULL END AS z
     FROM events e JOIN st USING (event_type)
     """,
 )
@@ -70,13 +73,20 @@ def group_zscore_events(sf_dir: str):
     stats = {
         et: (
             round(r.s / r.n, 6),
-            round(float(np.sqrt(r.ss / r.n - (r.s / r.n) ** 2)), 6),
+            # clamp the variance at 0 (float error can push a constant
+            # group slightly negative) — mirrors the SQL's GREATEST(.., 0)
+            round(float(np.sqrt(max(r.ss / r.n - (r.s / r.n) ** 2, 0.0))), 6),
         )
         for et, r in agg.iterrows()
     }
     ref = ray.put(stats)
 
     def normalize(t: pa.Table, *, ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_id": t["event_id"], "event_type": t["event_type"],
+                 "z": pa.array([], pa.float64())}
+            )
         st = ray.get(ref)  # local plasma lookup per batch
         # vectorized stat attach: dictionary-encode the group column, look
         # up stats only per DISTINCT value, fancy-index back per row
@@ -86,10 +96,12 @@ def group_zscore_events(sf_dir: str):
             np.asarray(a)[enc.indices.to_numpy(zero_copy_only=False)]
             for a in zip(*stats_by_code)
         )
-        z = np.round((t["value"].to_numpy(zero_copy_only=False) - m) / sd, 4)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        valid = sd > 0
+        z = np.round((v - m) / np.where(valid, sd, 1.0), 4)
         return pa.table(
             {"event_id": t["event_id"], "event_type": t["event_type"],
-             "z": pa.array(z, pa.float64())}
+             "z": pa.array(z, pa.float64(), mask=~valid)}
         )
 
     return ds.map_batches(normalize, fn_kwargs={"ref": ref},
@@ -125,12 +137,7 @@ def stratified_sample_docs(sf_dir: str):
             return df.assign(h=pd.Series([], dtype="uint64"))
         df = df.assign(
             h=np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(str(d).encode()).digest()[:8], "little"
-                    )
-                    for d in df["doc_id"]
-                ),
+                (md5_u64_le(str(d)) for d in df["doc_id"]),
                 dtype=np.uint64,
                 count=len(df),
             )
@@ -213,25 +220,26 @@ def customer_urgent_order_stats(sf_dir: str):
     # is pytest-checked)
     counts = counts.materialize()
     if counts.count() <= OUTER_JOIN_BROADCAST_MAX:
-        cdf = counts.to_pandas()
+        cdf = counts.to_pandas().sort_values("o_custkey")
+        # broadcast three SORTED numpy arrays (zero-copy out of plasma on
+        # every ray.get, unlike a pickled dict) and look up per batch with
+        # one searchsorted — ~24 B/row for real this time
         ref = ray.put(
-            {
-                int(k): (int(n), int(s))
-                for k, n, s in zip(cdf["o_custkey"], cdf["n"], cdf["spend_c"])
-            }
+            (
+                cdf["o_custkey"].to_numpy(np.int64),
+                cdf["n"].to_numpy(np.int64),
+                cdf["spend_c"].to_numpy(np.int64),
+            )
         )
 
         def lookup(t: pa.Table, *, ref) -> pa.Table:
-            m = ray.get(ref)
-            keys = t["c_custkey"].to_pylist()
-            ns = np.fromiter(
-                (m.get(k, (0, 0))[0] for k in keys), dtype=np.int64,
-                count=len(keys),
-            )
-            sp = np.fromiter(
-                (m.get(k, (0, 0))[1] for k in keys), dtype=np.int64,
-                count=len(keys),
-            )
+            keys_s, n_s, sp_s = ray.get(ref)
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys_s, keys)
+            pos_c = np.clip(pos, 0, len(keys_s) - 1)
+            hit = (len(keys_s) > 0) & (keys_s[pos_c] == keys)
+            ns = np.where(hit, n_s[pos_c], 0)
+            sp = np.where(hit, sp_s[pos_c], 0)
             return pa.table(
                 {
                     "c_custkey": t["c_custkey"],
@@ -417,6 +425,8 @@ def kmeans_embeddings(sf_dir: str):
 
     # pass 1: assign against init centroids, emit per-cluster partial sums
     def partial_sums(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cl": [], "s": [], "n": []})
         c, ids = ray.get(ref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         assign = ids[np.argmin(_dists(m, c), axis=1)]
@@ -442,6 +452,8 @@ def kmeans_embeddings(sf_dir: str):
 
     # pass 2: assign against updated centroids, emit per-cluster (n, sum d)
     def partial_stats(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cluster": [], "n": [], "sd": []})
         c, ids = ray.get(ref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         d = _dists(m, c)

@@ -98,18 +98,16 @@ _SAMPLE_THRESHOLD = int(SAMPLE_RATE * (1 << 64))
     """,
 )
 def hash_sample_docs(sf_dir: str):
-    import hashlib
-
     import pyarrow as pa
+
+    from .common import md5_u64_le
 
     ds = table(sf_dir, "documents", ["doc_id", "n_chars"])
 
     def keep(t: pa.Table) -> pa.Table:
         mask = pa.array(
             [
-                int.from_bytes(
-                    hashlib.md5(str(d).encode()).digest()[:8], "little"
-                ) < _SAMPLE_THRESHOLD
+                md5_u64_le(str(d)) < _SAMPLE_THRESHOLD
                 for d in t["doc_id"].to_pylist()
             ]
         )

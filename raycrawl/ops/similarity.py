@@ -290,6 +290,8 @@ def ann_ivf_topk(sf_dir: str, nprobe: int = N_PROBE):
     # 1. train: distributed per-label partial sums → tiny driver reduce
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"label": [], "s": [], "n": []}
+        if not len(df):
+            return pd.DataFrame(rows)
         for lab, g in df.groupby("label"):
             s = np.stack(g["embedding"].to_numpy()).astype(np.float64).sum(axis=0)
             rows["label"].append(lab)

@@ -6,46 +6,10 @@ import duckdb
 import pandas as pd
 import pytest
 
-from raycrawl.ops import REGISTRY
+from raycrawl.ops import REGISTRY  # noqa: F401  (queries register on import)
+from tests.oracle_utils import norm, oracle, run_query
 
 SF = "/root/testdata/sf0.001"
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings".split()
-)
-
-
-def _oracle(name: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-        )
-    return con.execute(REGISTRY[name]["sql"]).df()
-
-
-def _norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.copy()
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    df = df[sorted(df.columns)]
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
-
-def _run(name: str) -> pd.DataFrame:
-    import pyarrow as pa
-
-    import ray.data
-
-    got = REGISTRY[name]["fn"](SF)
-    if isinstance(got, ray.data.Dataset):
-        return got.to_pandas()
-    if isinstance(got, pa.Table):
-        return got.to_pandas()
-    return got
-
 
 @pytest.mark.parametrize(
     "name",
@@ -58,7 +22,7 @@ def _run(name: str) -> pd.DataFrame:
     ],
 )
 def test_oracle_parity(ray_session, name):
-    pd.testing.assert_frame_equal(_norm(_run(name)), _norm(_oracle(name)))
+    pd.testing.assert_frame_equal(norm(run_query(name, SF)), norm(oracle(name, SF)))
 
 
 def test_masking_is_idempotent_and_complete(ray_session):
@@ -66,14 +30,14 @@ def test_masking_is_idempotent_and_complete(ray_session):
 
     from raycrawl.ops.curation import _MASK_PATTERN
 
-    got = _run("mask_terms_docs")
+    got = run_query("mask_terms_docs", SF)
     pat = re.compile(_MASK_PATTERN)
     assert got["n_masked"].sum() > 0  # the vocabulary actually occurs
     assert not got["masked"].map(lambda s: bool(pat.search(s))).any()
 
 
 def test_explode_preserves_token_totals(ray_session):
-    got = _run("explode_doc_tokens")
+    got = run_query("explode_doc_tokens", SF)
     want = duckdb.sql(
         f"""SELECT SUM(len(string_split_regex(trim(text), '\\s+')))
             FROM read_parquet('{SF}/documents.parquet')"""
@@ -88,7 +52,7 @@ def test_explode_preserves_token_totals(ray_session):
 def test_contamination_excludes_eval_split(ray_session):
     from raycrawl.ops.curation import EVAL_MOD
 
-    got = _run("benchmark_contamination")
+    got = run_query("benchmark_contamination", SF)
     assert (got["doc_id"] % EVAL_MOD != 0).all()
     assert (got["n_shared"] > 0).all()
 
@@ -96,7 +60,7 @@ def test_contamination_excludes_eval_split(ray_session):
 def test_packing_respects_budget_and_order(ray_session):
     from raycrawl.ops.curation import PACK_BUDGET
 
-    got = _run("pack_documents_to_chunks").sort_values("doc_id")
+    got = run_query("pack_documents_to_chunks", SF).sort_values("doc_id")
     # chunk ids are non-decreasing in doc order and start at 0
     assert got["chunk_id"].iloc[0] == 0
     assert (got["chunk_id"].diff().dropna() >= 0).all()

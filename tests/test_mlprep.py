@@ -7,48 +7,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from raycrawl.ops import REGISTRY
+from raycrawl.ops import REGISTRY  # noqa: F401  (queries register on import)
+from tests.oracle_utils import norm, oracle, run_query
 
 SF = "/root/testdata/sf0.001"
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings".split()
-)
-
-
-def _oracle(name: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-        )
-    return con.execute(REGISTRY[name]["sql"]).df()
-
-
-def _norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.copy()
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-    df = df[sorted(df.columns)]
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
-
-def _run(name: str) -> pd.DataFrame:
-    import pyarrow as pa
-
-    import ray.data
-
-    got = REGISTRY[name]["fn"](SF)
-    if isinstance(got, ray.data.Dataset):
-        got = got.to_pandas()
-    elif isinstance(got, pa.Table):
-        got = got.to_pandas()
-    return got
-
 
 @pytest.mark.parametrize(
     "name",
@@ -61,14 +23,14 @@ def _run(name: str) -> pd.DataFrame:
     ],
 )
 def test_oracle_parity(ray_session, name):
-    got, want = _norm(_run(name)), _norm(_oracle(name))
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
 
 
 def test_outer_join_zero_fills(ray_session):
     """Customers without urgent orders appear with n_urgent=0 — the rows an
     inner join would silently drop."""
-    got = _run("customer_urgent_order_stats")
+    got = run_query("customer_urgent_order_stats", SF)
     n_cust = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
     ).fetchone()[0]
@@ -83,26 +45,26 @@ def test_outer_join_paths_equivalent(ray_session, monkeypatch):
     produce exactly the rows of the broadcast-lookup path."""
     from raycrawl.ops import mlprep
 
-    base = _norm(_run("customer_urgent_order_stats"))
+    base = norm(run_query("customer_urgent_order_stats", SF))
     monkeypatch.setattr(mlprep, "OUTER_JOIN_BROADCAST_MAX", 0)
-    joined = _norm(_run("customer_urgent_order_stats"))
+    joined = norm(run_query("customer_urgent_order_stats", SF))
     pd.testing.assert_frame_equal(base, joined)
 
 
 def test_stratified_sample_caps_and_determinism(ray_session):
     from raycrawl.ops.mlprep import STRATUM_N
 
-    got = _run("stratified_sample_docs")
+    got = run_query("stratified_sample_docs", SF)
     per = got.groupby("lang").size()
     assert (per <= STRATUM_N).all()
-    again = _run("stratified_sample_docs")
+    again = run_query("stratified_sample_docs", SF)
     pd.testing.assert_frame_equal(
-        _norm(got), _norm(again)
+        norm(got), norm(again)
     )  # hash sampling: no RNG, no run-to-run drift
 
 
 def test_price_bands_partition_all_parts(ray_session):
-    got = _run("parts_price_band_stats")
+    got = run_query("parts_price_band_stats", SF)
     n_parts = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{SF}/part.parquet')"
     ).fetchone()[0]
@@ -115,7 +77,7 @@ def test_kmeans_update_reduces_inertia(ray_session):
     avg_dist under the updated centroids vs the init assignment."""
     import pyarrow.parquet as pq
 
-    got = _run("kmeans_embeddings")
+    got = run_query("kmeans_embeddings", SF)
     emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
     m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     init = m[emb["vec_id"].to_numpy() < len(got)][: len(got)]
