@@ -1,0 +1,89 @@
+"""Edge-path regression tests from the round-2 self-review: zero-variance
+z-score groups (Ray and SQL must agree on NULL), and small-epoch
+fast-path vs pipeline-path crawl equivalence."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_zscore_constant_group_yields_null_on_both_sides(
+    ray_session, tmp_path
+):
+    """A constant-value group has sd == 0: the SQL oracle must not
+    SQRT-error and both sides must emit NULL z for its rows."""
+    from raycrawl.ops import REGISTRY
+
+    sf = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype="int64"),
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": np.int64(1),
+            "event_type": ["flat"] * 4 + ["vary"] * 4,
+            "value": [5.0, 5.0, 5.0, 5.0, 1.0, 2.0, 3.0, 4.0],
+            "props": "",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events), os.path.join(
+        sf, "events.parquet"))
+
+    got = REGISTRY["group_zscore_events"]["fn"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(REGISTRY["group_zscore_events"]["sql"]).df()
+
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    flat_got = got[got["event_type"] == "flat"]["z"]
+    flat_want = want[want["event_type"] == "flat"]["z"]
+    assert flat_got.isna().all() and flat_want.isna().all()
+    pd.testing.assert_series_equal(
+        got[got["event_type"] == "vary"]["z"].astype("float64"),
+        want[want["event_type"] == "vary"]["z"].astype("float64"),
+        check_index=False,
+    )
+
+
+def test_fast_path_crawl_equals_pipeline_path(ray_session, tmp_path):
+    """Forcing EVERY epoch through the single-task fast path must produce
+    the identical fetch log, seen set and payload as forcing every epoch
+    through the Ray Data pipeline."""
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import (
+        CrawlConfig, _log_sorted, read_payload, run_crawl,
+    )
+
+    web = WebConfig(n_hosts=5, pages_per_host=12)
+
+    def crawl(out, small_max):
+        cfg = CrawlConfig(
+            web=web, out_dir=out, num_shards=3, max_epochs=40,
+            collect_parity_outputs=True, small_epoch_max_rows=small_max,
+        )
+        st = run_crawl(cfg, seed_urls(web))
+        payload = (
+            read_payload(out, columns=["image_id", "caption", "url_hash"])
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        return _log_sorted(list(st.fetch_log)), st.seen, payload
+
+    log_pipe, seen_pipe, pay_pipe = crawl(
+        str(tmp_path / "pipe"), small_max=0
+    )  # never fast-path
+    log_fast, seen_fast, pay_fast = crawl(
+        str(tmp_path / "fast"), small_max=1 << 30
+    )  # always fast-path
+
+    assert log_pipe == log_fast
+    assert seen_pipe == seen_fast
+    pd.testing.assert_frame_equal(pay_pipe, pay_fast)
