@@ -350,6 +350,92 @@ def parts_price_band_stats(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Pivot (long → wide): per-user event-type counts as columns. The
+# vectorized shape: per-batch conditional partial counts collapse each
+# block to ≤ users-in-block rows BEFORE the shuffle, then one groupby-sum;
+# the column set is the (small, known) distinct-value domain.
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "user_event_type_pivot",
+    sql="SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def user_event_type_pivot(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = table(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        cols = {"user_id": t["user_id"]}
+        for ty in PIVOT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        return (
+            pa.TableGroupBy(pa.table(cols), "user_id")
+            .aggregate([(f"n_{ty}", "sum") for ty in PIVOT_TYPES])
+            .rename_columns(["user_id"] + [f"n_{ty}" for ty in PIVOT_TYPES])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}")
+                     for ty in PIVOT_TYPES])
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide → long): part numeric attributes as (key, value)
+# rows — a pure per-batch fan-out (each input row emits one row per
+# attribute), no shuffle at all.
+
+UNPIVOT_COLS = ("p_size", "p_retailprice")
+
+
+@register(
+    "part_attributes_unpivot",
+    sql="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+    FROM part
+    """,
+)
+def part_attributes_unpivot(sf_dir: str):
+    ds = table(sf_dir, "part", ["p_partkey", *UNPIVOT_COLS])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "p_partkey": pa.concat_arrays(
+                    [t["p_partkey"].combine_chunks()] * len(UNPIVOT_COLS)
+                ),
+                "attr": pa.array(
+                    [c for c in UNPIVOT_COLS for _ in range(n)], pa.string()
+                ),
+                "val": pa.concat_arrays(
+                    [
+                        pc.cast(t[c], pa.float64()).combine_chunks()
+                        for c in UNPIVOT_COLS
+                    ]
+                ),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # K-means over the embedding column (Lloyd's, deterministic): init
 # centroids = the first K vectors by vec_id, two assignment passes with one
 # centroid update between them. Assignment + partial sums stream through

@@ -85,3 +85,19 @@ def test_kmeans_update_reduces_inertia(ray_session):
     total_after = (got["avg_dist"] * got["n"]).sum()
     assert total_after <= d0.sum() + 1e-6
     assert got["n"].sum() == len(emb)
+
+
+def test_pivot_and_unpivot_oracle_parity(ray_session):
+    for name in ("user_event_type_pivot", "part_attributes_unpivot"):
+        pd.testing.assert_frame_equal(
+            norm(run_query(name, SF)), norm(oracle(name, SF))
+        )
+
+
+def test_pivot_row_totals_match_event_count(ray_session):
+    got = run_query("user_event_type_pivot", SF)
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    count_cols = [c for c in got.columns if c.startswith("n_")]
+    assert int(got[count_cols].to_numpy().sum()) == n_events
