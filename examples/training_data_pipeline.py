@@ -100,20 +100,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
 
     contam = as_df(benchmark_contamination(sf_dir))
-    bad = ray.put(frozenset(int(d) for d in contam["doc_id"]))
+    import numpy as np
+    bad = ray.put(np.sort(contam["doc_id"].to_numpy("int64")))
     print(f"[curate/contamination] {len(contam)} train docs share a "
           f"3-shingle with the eval split — dropped (plus the eval split "
           f"itself, doc_id % {EVAL_MOD} == 0)")
 
     def clean_and_mask(t: "pa.Table", *, bad) -> "pa.Table":
         import numpy as np
-        import pyarrow.compute as pc
+        import pyarrow.compute as pc  # noqa: F401
 
-        drop = ray.get(bad)
+        drop = ray.get(bad)  # zero-copy sorted int64 array from plasma
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        not_contaminated = pc.invert(pc.is_in(
-            t["doc_id"], value_set=pa.array(sorted(drop), pa.int64())
-        )).to_numpy(zero_copy_only=False)
+        not_contaminated = ~np.isin(ids, drop, assume_unique=True)
         t = t.filter(pa.array((ids % EVAL_MOD != 0) & not_contaminated))
         return pa.table(
             {

@@ -557,17 +557,17 @@ def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
     have every offer before the driver's gate_finalize — exactly the
     ordering the pipeline path guarantees by completing. The per-UDF-call
     ``batch_size`` heap bound still applies: a raised
-    ``small_epoch_max_rows`` is processed in batch_size slices."""
+    ``small_epoch_max_rows`` is processed AND WRITTEN in batch_size slices
+    — at no point does more than one slice's payload sit in this task's
+    heap."""
     tbl = pa.concat_tables([t for t in tables if t.num_rows])
     decode = _make_decode_submit(actors, epoch, keep_bytes)
-    out = pa.concat_tables(
-        [
-            decode(fetch_batch(tbl.slice(off, batch_size), web_cfg=web_cfg))
-            for off in range(0, tbl.num_rows, batch_size)
-        ]
-    )
-    lancelike.write_table_flat(out, out_uri)
-    return out.num_rows
+    written = 0
+    for part, off in enumerate(range(0, tbl.num_rows, batch_size)):
+        out = decode(fetch_batch(tbl.slice(off, batch_size), web_cfg=web_cfg))
+        lancelike.write_table_flat(out, out_uri, part=part)
+        written += out.num_rows
+    return written
 
 
 def _checkpoint_all(actors, ckpt_dir: str, epoch: int, dedup_actors=None,

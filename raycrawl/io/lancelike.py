@@ -38,15 +38,17 @@ def write_table(table: pa.Table, uri: str, *, mode: str = "create") -> None:
                    "schema": table.schema.to_string()}, f)
 
 
-def write_table_flat(table: pa.Table, uri: str) -> None:
+def write_table_flat(table: pa.Table, uri: str, part: int = 0) -> None:
     """Single-table write with the same on-disk layout ``write_ray_dataset``
     produces (no manifest sidecar) — used by the crawler's small-epoch fast
-    path so tail epochs skip the Ray Data pipeline launch."""
+    path so tail epochs skip the Ray Data pipeline launch. ``part`` > 0
+    appends another file (Lance: append mode) so callers can write slice
+    by slice instead of accumulating a whole epoch in heap."""
     if HAVE_LANCE:  # pragma: no cover
-        lance.write_dataset(table, uri, mode="create")
+        lance.write_dataset(table, uri, mode="create" if part == 0 else "append")
         return
     os.makedirs(uri, exist_ok=True)
-    pq.write_table(table, os.path.join(uri, "part-0.parquet"))
+    pq.write_table(table, os.path.join(uri, f"part-{part}.parquet"))
 
 
 def read_table(uri: str) -> pa.Table:

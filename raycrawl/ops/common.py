@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -15,11 +18,20 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.
 def md5_u64_le(s: str) -> int:
     """Little-endian first-8-bytes of md5 — THE oracle-load-bearing hash
     convention (== DuckDB ``md5_number_upper``). Single definition shared
-    by hash sampling, stratified sampling, shingling and simhash so the
-    byte order can never silently diverge between ops."""
-    import hashlib
-
+    by hash sampling, stratified sampling, shingling, simhash and the
+    quantile bin keys so the byte order can never silently diverge."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def round_half_away(x, nd: int):
+    """Round half AWAY from zero, element-wise — DuckDB ROUND's tie rule
+    (verified on DOUBLE: 0.5→1, 2.5→3, -2.5→-3). numpy/Python round are
+    half-to-even, which diverges from every SQL oracle on exact .5
+    boundaries; any float destined for a ROUND()-compared column must go
+    through this."""
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** nd
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
 
 
 def round_cols(ds: ray.data.Dataset, spec: dict[str, int]) -> ray.data.Dataset:

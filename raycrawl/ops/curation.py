@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .common import table
+from .common import md5_u64_le, table
 from .queries import register
 
 # --------------------------------------------------------------------------
@@ -78,7 +78,7 @@ def mask_terms_docs(sf_dir: str):
     sql="""
     SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos,
            unnest(ws) AS token
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+    FROM (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ws
           FROM documents)
     """,
 )
@@ -161,7 +161,7 @@ def _shingles(tokens: list[str]) -> set[str]:
     "benchmark_contamination",
     sql=f"""
     WITH tok AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ws
       FROM documents),
     sh AS (
       SELECT doc_id, array_to_string(ws[i:i+{SHINGLE_W - 1}], ' ') AS shingle
@@ -191,16 +191,34 @@ def benchmark_contamination(sf_dir: str):
     eval_set: set[str] = set()
     for (text,) in eval_txt:
         eval_set |= _shingles(ws_re.split(text.strip()))
-    ref = ray.put(frozenset(eval_set))
+    # broadcast the shingle set as ONE sorted uint64 hash array — zero-copy
+    # out of plasma on every ray.get, unlike a pickled frozenset that would
+    # re-deserialize per batch (the 64-bit md5 collision odds,
+    # ~n_eval·n_train/2^64, are negligible against the driver gate)
+    ref = ray.put(
+        np.sort(
+            np.fromiter(
+                (md5_u64_le(sh) for sh in eval_set),
+                dtype=np.uint64,
+                count=len(eval_set),
+            )
+        )
+    )
 
     ds = table(sf_dir, "documents", ["doc_id", "text"])
 
     def probe(df: pd.DataFrame, *, ref) -> pd.DataFrame:
-        ev = ray.get(ref)  # local plasma lookup per batch
+        ev = ray.get(ref)  # zero-copy plasma view per batch
         df = df[df["doc_id"] % EVAL_MOD != 0]
         rows = {"doc_id": [], "n_shared": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
-            n = len(_shingles(ws_re.split(text.strip())) & ev)
+            sh = _shingles(ws_re.split(text.strip()))
+            if not sh:
+                continue
+            hs = np.fromiter(
+                (md5_u64_le(s) for s in sh), dtype=np.uint64, count=len(sh)
+            )
+            n = int(np.isin(hs, ev, assume_unique=True).sum())
             if n:
                 rows["doc_id"].append(doc_id)
                 rows["n_shared"].append(n)
@@ -296,7 +314,7 @@ def pack_by_running_total(tk, budget: int = PACK_BUDGET):
     sql=f"""
     WITH tk AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS BIGINT) AS n_tokens
       FROM documents),
     c AS (
       SELECT doc_id, n_tokens,

@@ -29,7 +29,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from .common import table
+from .common import md5_u64_le, table
 from .queries import register
 
 
@@ -76,8 +76,6 @@ def _shingles(text: str) -> set[int]:
     # shingle base hash = the shared md5_u64_le convention (common.py) ==
     # DuckDB md5_number_upper — which is what lets the LSH chain have an
     # exact SQL oracle
-    from .common import md5_u64_le
-
     toks = text.split()
     out = set()
     for i in range(max(1, len(toks) - SHINGLE + 1)):
@@ -195,7 +193,7 @@ def _perm_sql_values() -> str:
 _MINHASH_SQL = f"""
     WITH params(k, a, b) AS (VALUES {_perm_sql_values()}),
     tok AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ws
       FROM documents),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -331,8 +329,6 @@ def minhash_lsh_candidates(sf_dir: str):
 # bit i of the simhash is set iff a strict majority of token occurrences
 # have bit i set.
 def simhash_token_hash(tok: str) -> int:
-    from .common import md5_u64_le
-
     return md5_u64_le(tok)
 
 
@@ -401,14 +397,34 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
                 h = cache[tok] = simhash_token_hash(tok)
             uh[i] = h
         hs = uh[inv]
-        bits = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
         # empty docs contribute no rows, so consecutive nonzero segments
-        # are adjacent in `flat` and reduceat over their starts is exact
+        # are adjacent in `flat` and reduceat over their starts is exact.
+        # The (tokens × 64) bit matrix is expanded in ≤64k-token slabs
+        # aligned to doc boundaries, bounding transient heap to ~32 MB per
+        # task regardless of batch token count (long-document batches
+        # would otherwise expand gigabytes at once).
         starts = np.zeros(ndocs, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        ones[nz] = np.add.reduceat(bits, starts[nz], axis=0)
+        nz_idx = np.flatnonzero(nz)
+        SLAB = 1 << 16
+        d0 = 0
+        while d0 < len(nz_idx):
+            d1 = d0 + 1
+            tok0 = starts[nz_idx[d0]]
+            while (
+                d1 < len(nz_idx)
+                and starts[nz_idx[d1]] + lens[nz_idx[d1]] - tok0 <= SLAB
+            ):
+                d1 += 1
+            last = nz_idx[d1 - 1]
+            seg = hs[tok0 : starts[last] + lens[last]]
+            bits = ((seg[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            ones[nz_idx[d0:d1]] = np.add.reduceat(
+                bits, starts[nz_idx[d0:d1]] - tok0, axis=0
+            )
+            d0 = d1
     maj = (2 * ones > lens[:, None]).astype(np.uint64)
     hu = (maj << _BIT_IDX[None, :]).sum(axis=1, dtype=np.uint64)
     return pd.DataFrame({"doc_id": df["doc_id"],

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .common import md5_u64_le, table
+from .common import md5_u64_le, round_half_away, table
 from .queries import register
 
 # --------------------------------------------------------------------------
@@ -72,10 +72,12 @@ def group_zscore_events(sf_dir: str):
                                           n=("n", "sum"))
     stats = {
         et: (
-            round(r.s / r.n, 6),
+            float(round_half_away(r.s / r.n, 6)),
             # clamp the variance at 0 (float error can push a constant
-            # group slightly negative) — mirrors the SQL's GREATEST(.., 0)
-            round(float(np.sqrt(max(r.ss / r.n - (r.s / r.n) ** 2, 0.0))), 6),
+            # group slightly negative) — mirrors the SQL's GREATEST(.., 0);
+            # rounding is half-away to match DuckDB ROUND's tie rule
+            float(round_half_away(
+                np.sqrt(max(r.ss / r.n - (r.s / r.n) ** 2, 0.0)), 6)),
         )
         for et, r in agg.iterrows()
     }
@@ -98,7 +100,7 @@ def group_zscore_events(sf_dir: str):
         )
         v = t["value"].to_numpy(zero_copy_only=False)
         valid = sd > 0
-        z = np.round((v - m) / np.where(valid, sd, 1.0), 4)
+        z = round_half_away((v - m) / np.where(valid, sd, 1.0), 4)
         return pa.table(
             {"event_id": t["event_id"], "event_type": t["event_type"],
              "z": pa.array(z, pa.float64(), mask=~valid)}
@@ -235,11 +237,15 @@ def customer_urgent_order_stats(sf_dir: str):
         def lookup(t: pa.Table, *, ref) -> pa.Table:
             keys_s, n_s, sp_s = ray.get(ref)
             keys = t["c_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(keys_s, keys)
-            pos_c = np.clip(pos, 0, len(keys_s) - 1)
-            hit = (len(keys_s) > 0) & (keys_s[pos_c] == keys)
-            ns = np.where(hit, n_s[pos_c], 0)
-            sp = np.where(hit, sp_s[pos_c], 0)
+            if len(keys_s) == 0:  # no urgent orders at all -> all zeros
+                ns = np.zeros(len(keys), dtype=np.int64)
+                sp = np.zeros(len(keys), dtype=np.int64)
+            else:
+                pos_c = np.clip(np.searchsorted(keys_s, keys), 0,
+                                len(keys_s) - 1)
+                hit = keys_s[pos_c] == keys
+                ns = np.where(hit, n_s[pos_c], 0)
+                sp = np.where(hit, sp_s[pos_c], 0)
             return pa.table(
                 {
                     "c_custkey": t["c_custkey"],
@@ -323,7 +329,7 @@ def parts_price_band_stats(sf_dir: str):
                 "band_lo": pa.array(e[idx[keep]], pa.float64()),
                 "band_hi": pa.array(e[idx[keep] + 1], pa.float64()),
                 "price_c": pa.array(
-                    np.round(price[keep] * 100).astype(np.int64), pa.int64()
+                    np.floor(price[keep] * 100 + 0.5).astype(np.int64), pa.int64()
                 ),
             }
         )
@@ -505,7 +511,7 @@ def kmeans_embeddings(sf_dir: str):
     def _dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
         # rounded Euclidean distance matrix (batch, K); argmin tie-break =
         # lowest cluster id via first-minimum argmin over id-ordered columns
-        return np.round(
+        return round_half_away(
             np.sqrt(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)), 6
         )
 
@@ -532,7 +538,7 @@ def kmeans_embeddings(sf_dir: str):
     for cl, g in parts.groupby("cl"):
         s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
         new_ids.append(int(cl))
-        new_cent.append(np.round(s / g["n"].sum(), 6))
+        new_cent.append(round_half_away(s / g["n"].sum(), 6))
     cent1 = np.stack(new_cent)
     ids1 = np.asarray(new_ids, dtype=np.int64)
 
@@ -563,7 +569,7 @@ def kmeans_embeddings(sf_dir: str):
         .agg(n=("n", "sum"), sd=("sd", "sum"))
         .reset_index()
     )
-    out["avg_dist"] = np.round(out["sd"] / out["n"], 4)
+    out["avg_dist"] = round_half_away(out["sd"] / out["n"], 4)
     out["cluster"] = out["cluster"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out[["cluster", "n", "avg_dist"]]

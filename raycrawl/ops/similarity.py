@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-from .common import table
+from .common import round_half_away, table
 from .queries import register
 
 TOP_K = 5
@@ -115,7 +115,7 @@ def ann_bruteforce_topk(sf_dir: str):
                     {
                         "qid": qid,
                         "vec_id": ids[keep].astype("int64"),
-                        "cosine": np.round(sims[qi][keep], 4),
+                        "cosine": round_half_away(sims[qi][keep], 4),
                     }
                 )
             )
@@ -201,7 +201,7 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = N_PLANES):
                         {
                             "qid": qid,
                             "vec_id": ids[mask].astype("int64"),
-                            "cosine": np.round(qm[qi] @ mn[mask].T, 4),
+                            "cosine": round_half_away(qm[qi] @ mn[mask].T, 4),
                         }
                     )
                 )
@@ -303,7 +303,7 @@ def ann_ivf_topk(sf_dir: str, nprobe: int = N_PROBE):
     labels_sorted = sorted(parts["label"].unique())
     cent = np.stack(
         [
-            np.round(
+            round_half_away(
                 np.sum(np.stack(parts[parts["label"] == lab]["s"].to_numpy()),
                        axis=0)
                 / parts[parts["label"] == lab]["n"].sum(),
@@ -342,7 +342,7 @@ def ann_ivf_topk(sf_dir: str, nprobe: int = N_PROBE):
                         {
                             "qid": qid,
                             "vec_id": ids[mask].astype("int64"),
-                            "cosine": np.round(qm[qi] @ mn[mask].T, 4),
+                            "cosine": round_half_away(qm[qi] @ mn[mask].T, 4),
                         }
                     )
                 )

@@ -9,8 +9,6 @@ small cumulative table), plus one more ``Dataset.join`` exercise.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -18,7 +16,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count
 
-from .common import table
+from .common import md5_u64_le, round_half_away, table
 from .queries import register
 
 
@@ -104,7 +102,7 @@ HLL_M = 1 << HLL_P
 def _hll_sketch(values) -> np.ndarray:
     regs = np.zeros(HLL_M, dtype=np.uint8)
     for v in values:
-        h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
+        h = md5_u64_le(str(v))
         idx = h & (HLL_M - 1)
         w = h >> HLL_P
         rank = (64 - HLL_P) - w.bit_length() + 1
@@ -168,7 +166,7 @@ def hll_distinct_users(sf_dir: str):
     for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return pd.DataFrame(
-        [{"metric": "hll_distinct_user_ids", "estimate": round(hll_estimate(merged), 1)}]
+        [{"metric": "hll_distinct_user_ids", "estimate": float(round_half_away(hll_estimate(merged), 1))}]
     )
 
 

@@ -157,7 +157,7 @@ def first_token_counts(sf_dir: str):
 @register(
     "token_count_stats",
     sql="""
-    SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    SELECT CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS BIGINT) AS n_tokens,
            count(*) AS n_docs
     FROM documents GROUP BY 1
     """,
@@ -183,11 +183,11 @@ def token_count_stats(sf_dir: str):
     sql="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+'),
                                       w -> w IN ('the','a','of','and','to')))
                       AS DOUBLE)
-                 / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+                 / len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')), 6) AS stopword_ratio
     FROM documents
     """,
 )
