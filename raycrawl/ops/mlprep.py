@@ -222,17 +222,23 @@ def customer_urgent_order_stats(sf_dir: str):
     # is pytest-checked)
     counts = counts.materialize()
     if counts.count() <= OUTER_JOIN_BROADCAST_MAX:
-        cdf = counts.to_pandas().sort_values("o_custkey")
-        # broadcast three SORTED numpy arrays (zero-copy out of plasma on
-        # every ray.get, unlike a pickled dict) and look up per batch with
-        # one searchsorted — ~24 B/row for real this time
-        ref = ray.put(
-            (
-                cdf["o_custkey"].to_numpy(np.int64),
-                cdf["n"].to_numpy(np.int64),
-                cdf["spend_c"].to_numpy(np.int64),
+        cdf = counts.to_pandas()
+        if len(cdf) == 0:
+            # no matching orders at all: an empty aggregate has no columns
+            empty = np.array([], dtype=np.int64)
+            ref = ray.put((empty, empty, empty))
+        else:
+            cdf = cdf.sort_values("o_custkey")
+            # broadcast three SORTED numpy arrays (zero-copy out of plasma
+            # on every ray.get, unlike a pickled dict) and look up per
+            # batch with one searchsorted — ~24 B/row for real this time
+            ref = ray.put(
+                (
+                    cdf["o_custkey"].to_numpy(np.int64),
+                    cdf["n"].to_numpy(np.int64),
+                    cdf["spend_c"].to_numpy(np.int64),
+                )
             )
-        )
 
         def lookup(t: pa.Table, *, ref) -> pa.Table:
             keys_s, n_s, sp_s = ray.get(ref)

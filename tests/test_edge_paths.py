@@ -87,3 +87,51 @@ def test_fast_path_crawl_equals_pipeline_path(ray_session, tmp_path):
     assert log_pipe == log_fast
     assert seen_pipe == seen_fast
     pd.testing.assert_frame_equal(pay_pipe, pay_fast)
+
+
+def test_round_half_away_matches_duckdb_round():
+    """The shared rounding helper must follow DuckDB ROUND's tie rule
+    (half AWAY from zero) on exact boundaries, where numpy rounds to
+    even."""
+    from raycrawl.ops.common import round_half_away
+
+    cases = [(0.5, 0), (1.5, 0), (2.5, 0), (-2.5, 0), (124.5, 0),
+             (0.00005, 4), (-0.00005, 4), (2.345, 2), (1.2345675, 6)]
+    for x, nd in cases:
+        want = duckdb.sql(
+            f"SELECT ROUND(CAST({x!r} AS DOUBLE), {nd})"
+        ).fetchone()[0]
+        got = float(round_half_away(x, nd))
+        assert got == want, (x, nd, got, want)
+
+
+def test_outer_join_stats_with_no_matching_orders(ray_session, tmp_path):
+    """When NO order matches the filter, the broadcast side is empty and
+    every customer must still come back zero-filled (regression: empty
+    searchsorted array produced IndexError)."""
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": ["a", "b", "c"],
+            }
+        ),
+        os.path.join(sf, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1], pa.int64()),
+                "o_totalprice": pa.array([10.0], pa.float64()),
+                "o_orderpriority": ["5-LOW"],  # nothing URGENT
+            }
+        ),
+        os.path.join(sf, "orders.parquet"),
+    )
+    from raycrawl.ops.mlprep import customer_urgent_order_stats
+
+    got = customer_urgent_order_stats(sf).to_pandas()
+    assert len(got) == 3
+    assert (got["n_urgent"] == 0).all()
+    assert (got["urgent_spend"] == 0.0).all()
