@@ -15,6 +15,55 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footers only — zero data read. Used to gate
+    the small-aggregate fast path (``combine_small``) without an extra
+    counting pass over the stream."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+
+
+# Gate for combine_small on UNBOUNDED-cardinality keys: below this many
+# input rows the partial stream is guaranteed small enough for one final
+# combine; above it the query must use Dataset.groupby (all-to-all hash
+# shuffle). Fixed-cardinality keys (≤ a few hundred distinct values) can
+# skip the gate: their partial output is ≤ keys × blocks rows at ANY scale.
+SMALL_COMBINE_ROWS = 2_000_000
+
+
+def combine_small(partials: ray.data.Dataset, combine_fn) -> pa.Table:
+    """Final combine for a BOUNDED map-side partial-aggregate stream.
+
+    Ray Data's groupby is a sort-based all-to-all exchange with a ~2-4 s
+    fixed cost on this node — pure overhead when the map-side combiner has
+    already collapsed the stream to ≲2M tiny rows. This helper instead
+    pulls the partial blocks zero-copy off the object store
+    (``to_arrow_refs``: the map_batches tasks still ran distributed; only
+    their ALREADY-AGGREGATED outputs move) and runs the final combine as
+    one local Arrow kernel.
+
+    Scale contract: callers MUST bound the partial stream first — either
+    the group key has fixed small cardinality (partial rows ≤ keys ×
+    blocks), or the caller gates on ``table_num_rows() <=
+    SMALL_COMBINE_ROWS`` and falls back to ``Dataset.groupby`` beyond it
+    (path-equivalence tested). At 100 TB with billions of keys the gate
+    routes to the shuffle; with fixed keys the combine input stays ≤ a few
+    rows per input block, which a tree of per-block combiners already
+    collapsed once.
+    """
+    all_blocks = ray.get(partials.to_arrow_refs())
+    blocks = [b for b in all_blocks if b.num_rows]
+    if not blocks:
+        carriers = [b for b in all_blocks if b.num_columns]
+        if carriers:  # empty blocks still carry the partial schema
+            return combine_fn(carriers[0])
+        sch = partials.schema()
+        base = getattr(sch, "base_schema", None) or pa.schema([])
+        return combine_fn(base.empty_table())
+    return combine_fn(pa.concat_tables(blocks, promote_options="default"))
+
+
 def md5_u64_le(s: str) -> int:
     """Little-endian first-8-bytes of md5 — THE oracle-load-bearing hash
     convention (== DuckDB ``md5_number_upper``). Single definition shared

@@ -27,9 +27,9 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
-from .common import md5_u64_le, table
+from .common import SMALL_COMBINE_ROWS, combine_small, md5_u64_le, table, table_num_rows
 from .queries import register
 
 
@@ -47,20 +47,31 @@ from .queries import register
 def exact_dedup_by_hash(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_hash": df["text"].map(
-                    lambda s: hashlib.md5(s.encode()).hexdigest()
-                ),
-                "doc_id": df["doc_id"],
-            }
+    def hash_partial(t: pa.Table) -> pa.Table:
+        # hash distributed (text bytes never leave the read task), then
+        # collapse the batch: only (32-byte hash, id, count) rows move on
+        hashes = pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        )
+        part = pa.table({"content_hash": hashes, "doc_id": t["doc_id"]})
+        return (
+            pa.TableGroupBy(part, "content_hash")
+            .aggregate([("doc_id", "min"), ([], "count_all")])
+            .rename_columns(["content_hash", "keeper", "group_size"])
         )
 
-    return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="group_size"))
+    partials = ds.map_batches(hash_partial, batch_format="pyarrow")
+    if table_num_rows(sf_dir, "documents") <= SMALL_COMBINE_ROWS:
+        # ≤2M docs → partial rows are ≤2M 48-byte tuples: one local Arrow
+        # combine beats the sort-shuffle groupby's fixed cost
+        return combine_small(
+            partials,
+            lambda t: pa.TableGroupBy(t, "content_hash")
+            .aggregate([("keeper", "min"), ("group_size", "sum")])
+            .rename_columns(["content_hash", "keeper", "group_size"]),
+        )
+    return partials.groupby("content_hash").aggregate(
+        Min("keeper", alias_name="keeper"), Sum("group_size", alias_name="group_size")
     )
 
 

@@ -17,7 +17,12 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from .common import table
+from .common import (
+    SMALL_COMBINE_ROWS,
+    combine_small,
+    table,
+    table_num_rows,
+)
 
 REGISTRY: dict[str, dict] = {}
 
@@ -37,11 +42,26 @@ def register(name: str, sql: str | None = None):
     sql="SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source",
 )
 def grouped_counts_lang_source(sf_dir: str):
-    return (
-        table(sf_dir, "documents", ["lang", "source"])
-        .groupby(["lang", "source"])
-        .aggregate(Count(alias_name="n"))
+    # fixed key cardinality (langs × sources ≈ 100): per-block combiner
+    # then one local final combine — no shuffle at any input scale
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["lang", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["lang", "source"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    partials = table(sf_dir, "documents", ["lang", "source"]).map_batches(
+        partial, batch_format="pyarrow"
     )
+    return combine_small(partials, final)
 
 
 # --------------------------------------------------------------------------
@@ -105,19 +125,24 @@ def pricing_summary(sf_dir: str):
             ["l_returnflag", "l_linestatus", "qty_c", "base_c", "disc_c", "n_part"]
         )
 
-    agg = (
-        ds.map_batches(to_cents, batch_format="pyarrow")
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="qty_c"),
-            Sum("base_c", alias_name="base_c"),
-            Sum("disc_c", alias_name="disc_c"),
-            Sum("n_part", alias_name="n"),
-        )
+    partials = ds.map_batches(to_cents, batch_format="pyarrow").map_batches(
+        partial, batch_format="pyarrow"
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        # final combine: the partial stream is ≤6 rows per block at ANY
+        # input scale (fixed key cardinality), so one local Arrow group_by
+        # replaces Ray's sort-shuffle groupby (~2-4 s fixed cost saved)
+        t = (
+            pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [("qty_c", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
+                 ("n_part", "sum")]
+            )
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "qty_c", "base_c", "disc_c", "n"]
+            )
+        )
         qty = pc.divide(pc.cast(t["qty_c"], pa.float64()), pa.scalar(100.0))
         return pa.table(
             {
@@ -137,7 +162,7 @@ def pricing_summary(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return combine_small(partials, finish)
 
 
 # --------------------------------------------------------------------------
@@ -184,29 +209,44 @@ def top_revenue_orders(sf_dir: str):
             [("rev_c", "sum")]
         ).rename_columns(["l_orderkey", "rev_c"])
 
-    rev = (
-        li.map_batches(disc, batch_format="pyarrow")
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    partials = li.map_batches(disc, batch_format="pyarrow").map_batches(
+        partial, batch_format="pyarrow"
     )
 
-    # top-k without a global sort: each aggregate block keeps its local
-    # top-10 (vectorized select), the ≤10×blocks survivors merge on the
-    # driver — no all-to-all exchange for a LIMIT 10
-    def local_top(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            t,
-            sort_keys=[("rev_c", "descending"), ("l_orderkey", "ascending")],
+    if table_num_rows(sf_dir, "lineitem") <= SMALL_COMBINE_ROWS:
+        # orderkey-cardinality ≤ lineitem rows ≤ the gate: lineitem rows of
+        # one order are adjacent, so the per-block combine already collapsed
+        # ~4x and only boundary keys are split — one local Arrow combine
+        # replaces Ray's sort-shuffle groupby (fixed ~3 s saved locally)
+        comb = combine_small(
+            partials,
+            lambda t: pa.TableGroupBy(t, "l_orderkey")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["l_orderkey", "rev_c"]),
         )
-        return t.take(order[:10])
+        order = pc.sort_indices(
+            comb, sort_keys=[("rev_c", "descending"), ("l_orderkey", "ascending")]
+        )
+        top = comb.take(order[:10]).to_pandas()
+    else:
+        # beyond the gate: global hash aggregate, then top-k WITHOUT a
+        # global sort — each aggregate block keeps its local top-10, the
+        # ≤10×blocks survivors merge on the driver
+        rev = partials.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
 
-    top = (
-        rev.map_batches(local_top, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["rev_c", "l_orderkey"], ascending=[False, True])
-        .head(10)
-    )
+        def local_top(t: pa.Table) -> pa.Table:
+            order = pc.sort_indices(
+                t,
+                sort_keys=[("rev_c", "descending"), ("l_orderkey", "ascending")],
+            )
+            return t.take(order[:10])
+
+        top = (
+            rev.map_batches(local_top, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["rev_c", "l_orderkey"], ascending=[False, True])
+            .head(10)
+        )
     keys = set(top["l_orderkey"])
     pri = (
         table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
@@ -448,9 +488,30 @@ def lineitem_global_stats(sf_dir: str):
     """,
 )
 def exact_dedup_docs(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    # key = the full text, so partial rows carry document bytes — gate the
+    # local combine far lower than SMALL_COMBINE_ROWS (driver memory holds
+    # partial TEXT, not 16-byte keys); beyond it, hash-shuffle on the text
+    if table_num_rows(sf_dir, "documents") <= 100_000:
+
+        def partial(t: pa.Table) -> pa.Table:
+            return (
+                pa.TableGroupBy(t, "text")
+                .aggregate([("doc_id", "min"), ([], "count_all")])
+                .rename_columns(["text", "doc_id", "n_dups"])
+            )
+
+        def final(t: pa.Table) -> pa.Table:
+            out = (
+                pa.TableGroupBy(t, "text")
+                .aggregate([("doc_id", "min"), ("n_dups", "sum")])
+                .rename_columns(["text", "doc_id", "n_dups"])
+            )
+            return out.select(["doc_id", "n_dups"])
+
+        return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)
     return (
-        table(sf_dir, "documents", ["doc_id", "text"])
-        .groupby("text")
+        ds.groupby("text")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
         .select_columns(["doc_id", "n_dups"])
     )
