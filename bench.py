@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "pack_documents_to_chunks",
     "benchmark_contamination",
     "customer_urgent_order_stats",
+    # round-2 final additions (curation/dedup depth)
+    "minhash_dedup_clusters",
+    "gopher_quality_flags",
+    "pii_redact_tickets",
 ]
 
 

@@ -67,6 +67,101 @@ def mask_terms_docs(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# PII redaction — the email/phone scrub every public-web corpus runs before
+# training. Both sides use RE2 (Arrow's replace_substring_regex == DuckDB's
+# regexp_replace engine), so match semantics are bit-identical. The corpus
+# tables carry no organic PII, so the op runs over a support-ticket string
+# DETERMINISTICALLY constructed from customer columns on BOTH sides — the
+# redaction machinery (two-pattern scrub + per-pattern counts) is what is
+# under test, and counts vary 0-1 emails / 1-2 phones per row.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3,4}-\d{4}"
+
+
+@register(
+    "pii_redact_tickets",
+    sql=f"""
+    WITH t AS (
+      SELECT c_custkey,
+             'Contact ' || c_name
+             || CASE WHEN c_custkey % 2 = 0
+                     THEN ' <' || lower(replace(c_name, '#', '.'))
+                          || '@example.com>'
+                     ELSE '' END
+             || ' call 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || CASE WHEN c_custkey % 3 = 0
+                     THEN ' or 555-' || lpad(CAST(c_custkey % 100 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS ticket
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(ticket, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(ticket, '{EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(ticket, '{PHONE_RE}')) AS BIGINT)
+             AS n_phones
+    FROM t
+    """,
+)
+def pii_redact_tickets(sf_dir: str):
+    ds = table(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"]
+        email = pd.Series(
+            np.where(
+                key % 2 == 0,
+                " <"
+                + df["c_name"].str.replace("#", ".", regex=False).str.lower()
+                + "@example.com>",
+                "",
+            )
+        )
+        p1 = (
+            " call 555-"
+            + (key % 1000).astype(str).str.zfill(3)
+            + "-"
+            + (key % 10000).astype(str).str.zfill(4)
+        )
+        p2 = pd.Series(
+            np.where(
+                key % 3 == 0,
+                " or 555-"
+                + (key % 100).astype(str).str.zfill(3)
+                + "-"
+                + (key % 10000).astype(str).str.zfill(4),
+                "",
+            )
+        )
+        ticket = pa.array(
+            ("Contact " + df["c_name"]).to_numpy() + email.to_numpy()
+            + p1.to_numpy() + p2.to_numpy()
+        )
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(ticket, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": key,
+                "redacted": red.to_pandas(),
+                "n_emails": pc.count_substring_regex(ticket, EMAIL_RE)
+                .cast(pa.int64())
+                .to_pandas(),
+                "n_phones": pc.count_substring_regex(ticket, PHONE_RE)
+                .cast(pa.int64())
+                .to_pandas(),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # Token explode: one output row per (doc, position, token) — the flat_map
 # fan-out shape (reference analog: the multi-topic record fan-out, M5/D2).
 # Vectorized: one split kernel per batch, then a list-flatten with a

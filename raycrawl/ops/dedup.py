@@ -201,8 +201,10 @@ def _perm_sql_values() -> str:
     )
 
 
-_MINHASH_SQL = f"""
-    WITH params(k, a, b) AS (VALUES {_perm_sql_values()}),
+# The CTE chain (params → shingles → signatures → bands → candidate pairs →
+# exact-Jaccard "verified") is shared by the candidate-pair oracle and the
+# cluster/survivor oracle below.
+_MINHASH_CTES = f"""params(k, a, b) AS (VALUES {_perm_sql_values()}),
     tok AS (
       SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ws
       FROM documents),
@@ -226,15 +228,18 @@ _MINHASH_SQL = f"""
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-    sets AS (SELECT doc_id, list(DISTINCT x) AS hs FROM sh GROUP BY doc_id)
-    SELECT a, b, ROUND(raw, 6) AS jaccard FROM (
+    sets AS (SELECT doc_id, list(DISTINCT x) AS hs FROM sh GROUP BY doc_id),
+    verified AS (
       SELECT p.a, p.b,
              CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
              GREATEST(1, len(list_distinct(list_concat(sa.hs, sb.hs))))
                AS raw
       FROM pairs p JOIN sets sa ON sa.doc_id = p.a
-                   JOIN sets sb ON sb.doc_id = p.b)
-    WHERE raw >= 0.5
+                   JOIN sets sb ON sb.doc_id = p.b)"""
+
+_MINHASH_SQL = f"""
+    WITH {_MINHASH_CTES}
+    SELECT a, b, ROUND(raw, 6) AS jaccard FROM verified WHERE raw >= 0.5
 """
 
 
@@ -331,6 +336,147 @@ def minhash_lsh_candidates(sf_dir: str):
         return _verify_pairs(df, ray.get(ref))
 
     return ray.data.from_pandas(cand).map_batches(verify, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Near-dup REMOVAL end-to-end — the canonical LLM-corpus dedup pipeline
+# (candidates → connected components → keep one doc per cluster). The
+# reference only ever drops exact repeats (GenerateUserUseridDict.py:53-56);
+# this is the web-scale generalization every training-data pipeline needs.
+#
+# Cluster formation = connected components over the verified candidate
+# pairs. The pair graph is ALWAYS tiny relative to the corpus (pairs only
+# exist between near-dups), so below the gate a driver-side union-find
+# labels it in one pass; above it, iterative min-label propagation runs as
+# distributed groupby rounds (equivalence-tested). The per-doc decision is
+# then a broadcast map over the documents stream — no shuffle touches the
+# corpus itself. At extreme scale (component map > driver memory) swap the
+# broadcast for a Dataset.join on doc_id, same as the outer-join stats op.
+
+CLUSTER_DRIVER_PATH_MAX_PAIRS = 5_000_000
+
+_MINHASH_CLUSTER_SQL = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    v AS (SELECT a, b FROM verified WHERE raw >= 0.5),
+    sym AS (SELECT a, b FROM v UNION SELECT b, a FROM v),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+    comp AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS keep
+    FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
+def _components_min_label(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find with path compression; every member maps to the MINIMUM
+    doc_id of its component (the canonical survivor)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[int] = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # union-by-min keeps every root at its component minimum, so find()
+    # resolves each member straight to the canonical survivor
+    return {x: find(x) for x in nodes}
+
+
+def _components_distributed(pairs_df: pd.DataFrame) -> dict[int, int]:
+    """Min-label propagation as distributed groupby rounds (the >gate path):
+    each round joins current labels onto the symmetric edge list and takes
+    the per-node min; converged when no label changes. Rounds needed =
+    component diameter — near-dup clusters are shallow, so a handful."""
+    import ray.data as rd
+
+    sym = pd.DataFrame(
+        {
+            "src": pd.concat([pairs_df["a"], pairs_df["b"]], ignore_index=True),
+            "dst": pd.concat([pairs_df["b"], pairs_df["a"]], ignore_index=True),
+        }
+    )
+    nodes = pd.Index(sym["src"].unique())
+    labels = pd.DataFrame({"node": nodes, "lbl": nodes}).reset_index(drop=True)
+    edges = rd.from_pandas(sym)
+    for _ in range(64):  # diameter bound; near-dup clusters are shallow
+        lbl_ds = rd.from_pandas(labels)
+        prop = edges.join(
+            lbl_ds, join_type="inner", num_partitions=8,
+            on=("src",), right_on=("node",),
+        ).select_columns(["dst", "lbl"])
+        self_lbl = rd.from_arrow(
+            pa.Table.from_pandas(
+                labels.rename(columns={"node": "dst"}), preserve_index=False
+            )
+        )
+        merged = (
+            prop.union(self_lbl)
+            .groupby("dst")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .to_pandas()
+            .rename(columns={"dst": "node"})
+        )
+        merged = merged.sort_values("node").reset_index(drop=True)
+        prev = labels.sort_values("node").reset_index(drop=True)
+        if prev["lbl"].astype("int64").equals(merged["lbl"].astype("int64")):
+            break
+        labels = merged
+    return dict(zip(labels["node"].astype("int64"), labels["lbl"].astype("int64")))
+
+
+@register("minhash_dedup_clusters", sql=_MINHASH_CLUSTER_SQL)
+def minhash_dedup_clusters(sf_dir: str):
+    """Per-document dedup decision: cluster_id (= min doc_id of the
+    connected component of verified near-dup pairs), cluster size, and the
+    keep flag (survivor = the canonical min). Singletons keep themselves."""
+    cand = minhash_lsh_candidates(sf_dir)
+    cand_df = cand.to_pandas() if isinstance(cand, ray.data.Dataset) else cand
+    pairs = list(
+        zip(cand_df["a"].astype("int64"), cand_df["b"].astype("int64"))
+    )
+    if len(pairs) <= CLUSTER_DRIVER_PATH_MAX_PAIRS:
+        comp = _components_min_label(pairs)
+    else:  # exercised in tests by lowering the gate constant
+        comp = _components_distributed(cand_df[["a", "b"]])
+
+    sizes: dict[int, int] = {}
+    for lbl in comp.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    comp_ref = ray.put((comp, sizes))
+
+    def attach(t: pa.Table) -> pa.Table:
+        m, sz = ray.get(comp_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cl = np.array([m.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        size = np.array([sz.get(int(c), 1) for c in cl], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cl),
+                "cluster_size": pa.array(size),
+                "keep": pa.array(ids == cl),
+            }
+        )
+
+    return table(sf_dir, "documents", ["doc_id"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
-from .common import table
+from .common import round_half_away, table
 from .queries import register
 
 # Topics config — the M5/M6 routing table analog (Readme.md:31-43 format)
@@ -218,6 +218,98 @@ def _quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
             "n_chars_actual": df["text"].str.len().astype("int64"),
             "n_tokens": n_tokens.astype("int64"),
             "stopword_ratio": (n_stop / n_tokens).round(6),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, §A1.1 — public
+# paper): word-count bounds, mean-word-length bounds, symbol-to-word
+# ratio, bullet-line fraction, duplicate-line fraction. The rule
+# thresholds apply to the RAW values on both sides (display columns are
+# rounded identically), so the keep flag can never diverge on a rounding
+# boundary. A pure map over the stream — scale-free.
+_WS_TRIM = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+
+
+@register(
+    "gopher_quality_flags",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text, {_WS_TRIM}), '\\s+') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             list_aggregate(list_transform(ws, w -> CAST(length(w) AS DOUBLE)),
+                            'avg') AS mwl,
+             (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+               / len(ws) AS sym,
+             CAST(len(list_filter(lines,
+                                  l -> starts_with(l, '- ')
+                                       OR starts_with(l, '* '))) AS DOUBLE)
+               / len(lines) AS bullet,
+             1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+               AS dupl
+      FROM tok)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(sym, 6) AS symbol_ratio,
+           ROUND(bullet, 6) AS bullet_frac,
+           ROUND(dupl, 6) AS dup_line_frac,
+           (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+             AND sym <= 0.1 AND bullet <= 0.9 AND dupl <= 0.3 AS keep
+    FROM m
+    """,
+)
+def gopher_quality_flags(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_gopher_batch, batch_format="pandas")
+
+
+def _gopher_batch(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    texts = df["text"]
+    # pandas str.split(regex) on a stripped string yields [''] for empty
+    # text — identical to DuckDB string_split_regex, so ratios divide by
+    # the same denominators on both sides
+    toks = texts.str.strip().str.split(r"\s+")
+    n_words = toks.map(len).to_numpy(dtype=np.float64)
+    mwl = toks.map(lambda ws: sum(len(w) for w in ws)).to_numpy() / n_words
+    sym = (
+        texts.str.count("#") + texts.str.count(r"\.\.\.", flags=0)
+    ).to_numpy() / n_words
+    lines = texts.str.split("\n")
+    n_lines = lines.map(len).to_numpy(dtype=np.float64)
+    bullet = (
+        lines.map(
+            lambda ls: sum(l.startswith(("- ", "* ")) for l in ls)
+        ).to_numpy()
+        / n_lines
+    )
+    dupl = 1.0 - lines.map(lambda ls: len(set(ls))).to_numpy() / n_lines
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mwl >= 3)
+        & (mwl <= 10)
+        & (sym <= 0.1)
+        & (bullet <= 0.9)
+        & (dupl <= 0.3)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_words": n_words.astype("int64"),
+            "mean_word_len": round_half_away(mwl, 4),
+            "symbol_ratio": round_half_away(sym, 6),
+            "bullet_frac": round_half_away(bullet, 6),
+            "dup_line_frac": round_half_away(dupl, 6),
+            "keep": keep,
         }
     )
 

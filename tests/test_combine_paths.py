@@ -74,3 +74,27 @@ def test_combine_small_empty_stream(ray_session):
     )
     assert out.num_rows == 0
     assert out.column_names == ["k", "n"]
+
+
+def test_union_find_min_label():
+    from raycrawl.ops.dedup import _components_min_label
+
+    comp = _components_min_label([(5, 9), (9, 2), (7, 8), (11, 2)])
+    assert comp == {5: 2, 9: 2, 2: 2, 11: 2, 7: 7, 8: 7}
+
+
+def test_minhash_cluster_distributed_components_equivalent(
+    ray_session, monkeypatch
+):
+    from raycrawl.ops import dedup as D
+    from raycrawl.ops.queries import REGISTRY
+
+    fast = _norm(_df(REGISTRY["minhash_dedup_clusters"]["fn"](SF)))
+    monkeypatch.setattr(D, "CLUSTER_DRIVER_PATH_MAX_PAIRS", -1)
+    slow = _norm(_df(REGISTRY["minhash_dedup_clusters"]["fn"](SF)))
+    pd.testing.assert_frame_equal(fast, slow)
+    # survivors: exactly one keeper per cluster, keeper is the min doc_id
+    keepers = fast[fast["keep"]]
+    assert (keepers["doc_id"] == keepers["cluster_id"]).all()
+    assert keepers["cluster_id"].is_unique
+    assert set(fast["cluster_id"]) == set(keepers["doc_id"])
