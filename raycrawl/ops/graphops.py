@@ -1,0 +1,293 @@
+"""Distributed graph analytics over a relationally-derived edge list.
+
+PageRank with unrolled power iterations — the canonical "state flows
+along distributed edges" shape shared with
+``pipelines.reference_analogs.propagate_labels``: the edge Dataset stays
+distributed for the whole loop. The node-sized rank table is broadcast
+to map tasks while it fits (≤ ``broadcast_threshold`` nodes, driver-held
+dict); beyond that it stays a distributed Dataset and each iteration is
+a hash-partitioned ``Dataset.join`` + grouped sum — no node-sized state
+ever lands on the driver. Both paths are equivalence-tested.
+
+Graph: the co-supplier graph of ``lineitem`` — an edge (a, b) whenever
+suppliers a ≠ b both ship some part. Partitioning assumption: supplier
+fan-in per part is bounded (TPC-H: ≤ a handful), so the per-part pair
+expansion is O(s²) with small s; a part with pathological fan-in would
+need salting before the expansion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from .common import combine_small, round_half_away, table
+from .queries import register
+
+DAMPING = 0.85
+ITERATIONS = 3
+BROADCAST_NODE_THRESHOLD = 1_000_000
+
+_PAGERANK_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+r1 AS (SELECT n.node,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * COALESCE(SUM(r0.rank / d.outd), 0) AS rank
+       FROM nodes n
+       LEFT JOIN edges e ON e.dst = n.node
+       LEFT JOIN r0 ON r0.node = e.src
+       LEFT JOIN deg d ON d.src = e.src
+       GROUP BY n.node),
+r2 AS (SELECT n.node,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * COALESCE(SUM(r1.rank / d.outd), 0) AS rank
+       FROM nodes n
+       LEFT JOIN edges e ON e.dst = n.node
+       LEFT JOIN r1 ON r1.node = e.src
+       LEFT JOIN deg d ON d.src = e.src
+       GROUP BY n.node),
+r3 AS (SELECT n.node,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * COALESCE(SUM(r2.rank / d.outd), 0) AS rank
+       FROM nodes n
+       LEFT JOIN edges e ON e.dst = n.node
+       LEFT JOIN r2 ON r2.node = e.src
+       LEFT JOIN deg d ON d.src = e.src
+       GROUP BY n.node)
+SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 9) AS rank FROM r3
+"""
+
+
+def cosupplier_edges(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Distinct (src, dst) supplier pairs sharing a part, as a hash
+    SELF-JOIN on the part key: per-block pre-dedup → one global (part,
+    supp) distinct → hash join → one pair dedup. Three shuffles, each
+    moving ~16-byte rows. (A groupby(part).map_groups pair expansion is
+    the intuitive shape but pays per-group task overhead — 2k part groups
+    cost ~100 s on this node; the join does the same co-location in one
+    hash exchange.)"""
+    li = table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        # in-block pre-dedup: collapses the ~|lineitem| stream to
+        # ≤ distinct (part, supp) pairs per block before the shuffle
+        return (
+            pa.TableGroupBy(t, ["l_partkey", "l_suppkey"])
+            .aggregate([])
+            .rename_columns(["l_partkey", "l_suppkey"])
+        )
+
+    ps = (
+        li.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_w"))
+        .select_columns(["l_partkey", "l_suppkey"])
+    )
+    right = ps.map_batches(
+        lambda t: t.rename_columns(["part_r", "dst"]), batch_format="pyarrow"
+    )
+    pairs = ps.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("part_r",),
+    )
+
+    def off_diagonal(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t["l_suppkey"], t["dst"]))
+        return pa.table({"src": keep["l_suppkey"], "dst": keep["dst"]})
+
+    return (
+        pairs.map_batches(off_diagonal, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_w"))
+        .select_columns(["src", "dst"])
+    )
+
+
+def _node_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, outd) for every node of the graph in ONE shuffle: each block
+    emits partial out-degree counts by src plus zero-count rows for its
+    distinct dsts (so sink nodes of an asymmetric graph still appear);
+    a single grouped sum merges them."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        src_part = (
+            pa.TableGroupBy(t, "src")
+            .aggregate([([], "count_all")])
+            .rename_columns(["node", "outd"])
+        )
+        dst_nodes = pc.unique(t["dst"])
+        dst_part = pa.table(
+            {
+                "node": dst_nodes,
+                "outd": pa.array([0] * len(dst_nodes), pa.int64()),
+            }
+        )
+        return pa.concat_tables(
+            [src_part.set_column(1, "outd", pc.cast(src_part["outd"], pa.int64())),
+             dst_part]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("outd", alias_name="outd"))
+    )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+    broadcast_threshold: int = BROADCAST_NODE_THRESHOLD,
+    num_partitions: int = 8,
+):
+    """Unrolled PageRank power iterations over a distributed edge Dataset.
+
+    Returns (node, rank) with rank rounded to 9 decimals — the
+    contribution-sum order differs from a serial engine by ≤ a few ulp,
+    far inside the rounding grain. Broadcast regime returns a pandas
+    DataFrame (node table is ≤ threshold by definition); the join regime
+    returns a Dataset and never materializes node-sized state.
+    """
+    edges = edges.materialize()  # reused every iteration — pin once
+    deg_ds = _node_degrees(edges)
+    n = deg_ds.count()
+    teleport = (1.0 - damping) / n
+
+    if n <= broadcast_threshold:
+        deg_tbl = combine_small(deg_ds, lambda t: t)
+        deg = dict(
+            zip(deg_tbl["node"].to_pylist(), deg_tbl["outd"].to_pylist())
+        )
+        nodes = sorted(deg)
+        ranks = {v: 1.0 / n for v in nodes}
+        for _ in range(iterations):
+            state_ref = ray.put((dict(ranks), deg))
+
+            def contrib(t: pa.Table, *, ref) -> pa.Table:
+                rk, dg = ray.get(ref)  # plasma-local per batch
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                w = np.array([rk[s] / dg[s] for s in src], dtype=np.float64)
+                part = (
+                    pd.DataFrame({"dst": dst, "c": w})
+                    .groupby("dst", as_index=False)["c"]
+                    .sum()
+                )
+                return pa.Table.from_pandas(part, preserve_index=False)
+
+            partial = edges.map_batches(
+                contrib, fn_kwargs={"ref": state_ref}, batch_format="pyarrow"
+            )
+            combined = combine_small(
+                partial,
+                lambda t: pa.TableGroupBy(t, "dst")
+                .aggregate([("c", "sum")])
+                .rename_columns(["dst", "c"]),
+            )
+            sums = dict(
+                zip(combined["dst"].to_pylist(), combined["c"].to_pylist())
+            )
+            ranks = {v: teleport + damping * sums.get(v, 0.0) for v in nodes}
+        return pd.DataFrame(
+            {
+                "node": pd.array(nodes, dtype="int64"),
+                "rank": round_half_away([ranks[v] for v in nodes], 9),
+            }
+        )
+
+    # ---- join regime: rank state stays a distributed Dataset ----------
+    rank_ds = deg_ds.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array([1.0 / n] * t.num_rows, pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        joined = edges.join(
+            rank_ds,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+
+        def jcontrib(t: pa.Table) -> pa.Table:
+            c = pc.divide(
+                pc.cast(t["rank"], pa.float64()),
+                pc.cast(t["outd"], pa.float64()),
+            )
+            out = pa.table({"dst": t["dst"], "c": c})
+            return (
+                pa.TableGroupBy(out, "dst")
+                .aggregate([("c", "sum")])
+                .rename_columns(["dst", "c"])
+            )
+
+        from ray.data.aggregate import Sum
+
+        sums = (
+            joined.map_batches(jcontrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        # left-join back onto the full node set: dangling-dst nodes get
+        # teleport only
+        merged = deg_ds.join(
+            sums,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("node",),
+            right_on=("dst",),
+        )
+
+        def apply_rank(t: pa.Table) -> pa.Table:
+            c = pc.fill_null(pc.cast(t["c"], pa.float64()), 0.0)
+            rank = pc.add(
+                pc.multiply(c, pa.scalar(damping)), pa.scalar(teleport)
+            )
+            return pa.table(
+                {"node": t["node"], "outd": t["outd"], "rank": rank}
+            )
+
+        rank_ds = merged.map_batches(
+            apply_rank, batch_format="pyarrow"
+        ).materialize()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "rank": pa.array(
+                    round_half_away(
+                        t["rank"].to_numpy(zero_copy_only=False), 9
+                    )
+                ),
+            }
+        )
+
+    return rank_ds.map_batches(finalize, batch_format="pyarrow")
+
+
+@register("pagerank_cosuppliers", sql=_PAGERANK_SQL)
+def pagerank_cosuppliers(sf_dir: str):
+    return pagerank(cosupplier_edges(sf_dir))

@@ -773,3 +773,88 @@ def regional_revenue(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# multi-hop distinct semi-join: customers with at least one RETURNED
+# lineitem, counted per nation. Each hop projects + dedups BEFORE the next
+# join, so the stream shrinks monotonically: lineitem(R) -> distinct
+# orderkeys -> orders semi-join -> distinct custkeys -> customer semi-join
+# -> distinct (custkey, nationkey) -> fixed-cardinality nation count. The
+# two big hops are broadcast value-set filters while the key set fits
+# (same contract as customers_without_urgent_orders); nation names (25
+# rows) are a broadcast dict.
+@register(
+    "customers_with_returns_by_nation",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY n.n_name
+    """,
+)
+def customers_with_returns_by_nation(sf_dir: str):
+    import pyarrow.dataset  # noqa: F401  (expression pushdown)
+
+    ret_orders = (
+        table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+        .filter(expr="l_returnflag == 'R'")
+        .unique("l_orderkey")
+    )
+    okeys_ref = ray.put(pa.array(ret_orders))
+
+    def semi_orders(t: pa.Table, *, ref) -> pa.Table:
+        return t.filter(pc.is_in(t["o_orderkey"], value_set=ray.get(ref)))
+
+    custkeys = (
+        table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(semi_orders, fn_kwargs={"ref": okeys_ref},
+                     batch_format="pyarrow")
+        .unique("o_custkey")
+    )
+    ckeys_ref = ray.put(pa.array(custkeys))
+
+    def semi_customer(t: pa.Table, *, ref) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=ray.get(ref)))
+
+    # nation is 25 rows — a driver-local dict for the final combine
+    nation_names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in table(sf_dir, "nation").take_all()
+    }
+
+    # custkeys are unique per customer row, so per-nation distinct counts
+    # can be partial-summed: each customer contributes exactly once
+    matched = (
+        table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(semi_customer, fn_kwargs={"ref": ckeys_ref},
+                     batch_format="pyarrow")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, "c_nationkey")
+            .aggregate([([], "count_all")])
+            .rename_columns(["c_nationkey", "n_customers"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        tot = (
+            pa.TableGroupBy(t, "c_nationkey")
+            .aggregate([("n_customers", "sum")])
+            .rename_columns(["c_nationkey", "n_customers"])
+        )
+        nation = pa.array(
+            [nation_names[k] for k in tot["c_nationkey"].to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {"nation": nation,
+             "n_customers": pc.cast(tot["n_customers"], pa.int64())}
+        )
+
+    partials = matched.map_batches(partial, batch_format="pyarrow")
+    return final(combine_small(partials, lambda t: t))

@@ -46,3 +46,35 @@ def test_transition_counts_total(ray_session):
     got = run_query("event_type_transitions", SF)
     ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
     assert int(got["n"].sum()) == len(ev) - ev["user_id"].nunique()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pagerank_cosuppliers", "customers_with_returns_by_nation"],
+)
+def test_graph_and_semijoin_parity(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_pagerank_join_path_equals_broadcast_path(ray_session):
+    """The >threshold regime (rank state as a distributed Dataset +
+    hash-join per iteration) must produce the same ranks as the broadcast
+    regime."""
+    from raycrawl.ops.graphops import cosupplier_edges, pagerank
+
+    edges = cosupplier_edges(SF)
+    bc = pagerank(edges)  # broadcast regime (10 nodes)
+    jn = pagerank(
+        cosupplier_edges(SF), broadcast_threshold=0, num_partitions=1
+    )
+    if not isinstance(jn, pd.DataFrame):
+        jn = jn.to_pandas()
+    pd.testing.assert_frame_equal(norm(bc), norm(jn))
+
+
+def test_pagerank_is_probability_distribution(ray_session):
+    """Ranks must sum to 1 (up to rounding) and all be positive."""
+    got = run_query("pagerank_cosuppliers", SF)
+    assert (got["rank"] > 0).all()
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
