@@ -676,3 +676,120 @@ def embedding_cosine_neardups(sf_dir: str):
 
     # blocked by label (the coarse cluster key); at web scale: IVF buckets
     return ds.groupby("label").map_groups(block, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# corpus-level duplicated-n-gram analysis (the "how much of each document
+# is boilerplate shared with other documents" signal behind substring-
+# level dedup): for every document, the fraction of its DISTINCT word
+# 5-grams that appear in at least one other document. Shape: explode
+# (gram-hash, doc) pairs -> grouped count per gram -> hash-join the count
+# back onto the pairs -> per-doc grouped sum. All three exchanges move
+# fixed-width ~16-byte rows, never text. Gram identity is the shared
+# md5_u64_le convention (64-bit; a corpus-scale collision merges two gram
+# groups — harmless to the ≥2-docs flag unless both colliding grams were
+# singletons, odds ~n²/2^64).
+_DUP_NGRAM_N = 5
+
+_DUP_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS words
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    [array_to_string(words[i+1:i+5], ' ') for i in range(len(words) - 4)]
+  ) AS gram
+  FROM toks),
+gdocs AS (SELECT gram, count(*) AS nd FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       ROUND(AVG(CASE WHEN gd.nd >= 2 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+FROM grams g JOIN gdocs gd USING (gram)
+GROUP BY g.doc_id
+"""
+
+_WORD_RE = None
+
+
+def _word_re():
+    global _WORD_RE
+    if _WORD_RE is None:
+        import re
+
+        _WORD_RE = re.compile(r"[a-z0-9]+")
+    return _WORD_RE
+
+
+@register("duplicate_ngram_fraction", sql=_DUP_NGRAM_SQL)
+def duplicate_ngram_fraction(sf_dir: str, num_partitions: int = 8):
+    import pyarrow.compute as pc
+
+    docs = table(sf_dir, "documents", ["doc_id", "text"])
+    n = _DUP_NGRAM_N
+
+    def gram_pairs(t: pa.Table) -> pa.Table:
+        rx = _word_re()
+        ids: list[int] = []
+        hs: list[int] = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = rx.findall(text.lower())
+            if len(toks) < n:  # matches SQL: such docs emit no gram rows
+                continue
+            seen = {
+                md5_u64_le(" ".join(toks[i : i + n]))
+                for i in range(len(toks) - n + 1)
+            }
+            ids.extend([did] * len(seen))
+            hs.extend(seen)
+        # int64 bit-reinterpretation: Ray's hash shuffle pickles uint64
+        # columns into extension objects; the signed view keys identically
+        gram_h = np.fromiter(hs, dtype=np.uint64, count=len(hs)).view(np.int64)
+        return pa.table(
+            {
+                "gram_h": pa.array(gram_h, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    # pairs feed BOTH the per-gram count and the join probe side — pin
+    # once so the gram explosion doesn't run twice
+    pairs = docs.map_batches(gram_pairs, batch_format="pyarrow").materialize()
+    counts = pairs.groupby("gram_h").aggregate(Count(alias_name="nd"))
+    joined = pairs.join(
+        counts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("gram_h",),
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dup": pc.cast(
+                    pc.greater_equal(t["nd"], pa.scalar(2)), pa.int64()
+                ),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_grams"), Sum("dup", alias_name="n_dup"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from .common import round_half_away
+
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "dup_frac": pa.array(round_half_away(nd / ng, 6)),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

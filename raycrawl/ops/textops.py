@@ -424,3 +424,146 @@ def doc_fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# BM25 ranking (k1=1.2, b=0.75) of all documents against a fixed query,
+# top-50. Two streaming passes: (1) corpus statistics — doc count, total
+# token length, per-term document frequency — as per-block partial sums
+# collapsed by one local combine (the partial is ONE row per block at any
+# scale); (2) scoring with the tiny stats broadcast, per-block top-50
+# partials merged locally. Term frequency is counted over the exact
+# [a-z0-9]+ token alphabet via a vectorized split + cumulative-sum
+# segment reduction (regex word-boundary \b would disagree with the
+# tokenizer around underscores).
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 50
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS words
+  FROM documents),
+dl AS (SELECT doc_id, len(words) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT t.doc_id, q.term, len(list_filter(t.words, x -> x = q.term)) AS tf
+  FROM toks t
+  CROSS JOIN (SELECT unnest(['spark', 'window', 'hash']) AS term) q),
+df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         SUM( ln((((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5)) + 1)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS bm25 FROM scores
+ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
+def _term_counts(lower: pa.ChunkedArray, terms) -> "tuple":
+    """(dl, tf-per-term) over the [a-z0-9]+ token alphabet, vectorized:
+    one regex split per batch, then per-term equality + cumulative-sum
+    segment reduction over the flattened token values."""
+    import numpy as np
+
+    dl = pc.count_substring_regex(lower, "[a-z0-9]+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    splits = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    offsets = splits.offsets.to_numpy().astype(np.int64)
+    flat = splits.values
+    tfs = []
+    for term in terms:
+        eq = pc.cast(pc.equal(flat, term), pa.int8()).to_numpy(
+            zero_copy_only=False
+        )
+        c = np.concatenate([[0], np.cumsum(eq, dtype=np.int64)])
+        tfs.append(c[offsets[1:]] - c[offsets[:-1]])
+    return dl, tfs
+
+
+@register("bm25_top_docs", sql=_BM25_SQL)
+def bm25_top_docs(sf_dir: str):
+    import numpy as np
+    import ray
+
+    from .common import combine_small
+
+    docs = table(sf_dir, "documents", ["doc_id", "text"])
+    terms = _BM25_TERMS
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t["text"])
+        dl, tfs = _term_counts(lower, terms)
+        row = {
+            "n_docs": pa.array([len(dl)], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for term, tf in zip(terms, tfs):
+            row[f"df_{term}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    def stats_final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+             for c in t.column_names}
+        )
+
+    stats = combine_small(
+        docs.map_batches(stats_partial, batch_format="pyarrow"), stats_final
+    )
+    n_docs = stats["n_docs"][0].as_py()
+    avgdl = stats["sum_dl"][0].as_py() / n_docs
+    idf = {
+        term: float(
+            np.log((n_docs - stats[f"df_{term}"][0].as_py() + 0.5)
+                   / (stats[f"df_{term}"][0].as_py() + 0.5) + 1.0)
+        )
+        for term in terms
+    }
+    bcast = ray.put((idf, avgdl))
+
+    def score_topk(t: pa.Table, *, ref) -> pa.Table:
+        idf_m, avg = ray.get(ref)
+        lower = pc.utf8_lower(t["text"])
+        dl, tfs = _term_counts(lower, terms)
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avg)
+        score = np.zeros(len(dl))
+        for term, tf in zip(terms, tfs):
+            tf = tf.astype(np.float64)
+            score += idf_m[term] * tf * (_BM25_K1 + 1.0) / (tf + norm)
+        out = pa.table({"doc_id": t["doc_id"], "score": pa.array(score)})
+        # per-block top-k partial on the UNROUNDED score
+        idx = pc.sort_indices(
+            out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return out.take(idx[:_BM25_TOPK])
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        top = t.take(idx[:_BM25_TOPK])
+        return pa.table(
+            {
+                "doc_id": top["doc_id"],
+                "bm25": pa.array(
+                    round_half_away(
+                        top["score"].to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        )
+
+    partials = docs.map_batches(
+        score_topk, fn_kwargs={"ref": bcast}, batch_format="pyarrow"
+    )
+    return merge_topk(combine_small(partials, lambda t: t))

@@ -78,3 +78,35 @@ def test_pagerank_is_probability_distribution(ray_session):
     got = run_query("pagerank_cosuppliers", SF)
     assert (got["rank"] > 0).all()
     assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["bm25_top_docs", "duplicate_ngram_fraction"],
+)
+def test_text_ranking_parity(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_bm25_scores_bounded_by_idf_sum(ray_session):
+    """BM25 term contribution is < idf * (k1 + 1); the total score must sit
+    strictly under the sum of idf caps, and be positive for returned docs."""
+    got = run_query("bm25_top_docs", SF)
+    assert (got["bm25"] > 0).all()
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    # df >= 1 for any term that scored a doc -> idf <= ln(n_docs + 0.5/1.5 + 1)
+    cap = 3 * np.log(n_docs + 1.0) * 2.2
+    assert (got["bm25"] < cap).all()
+
+
+def test_duplicate_ngram_fraction_bounds(ray_session):
+    """dup_frac is a fraction of distinct 5-grams: within [0, 1]; docs with
+    fewer than 5 tokens emit no row (matches the SQL oracle)."""
+    got = run_query("duplicate_ngram_fraction", SF)
+    assert got["dup_frac"].between(0.0, 1.0).all()
+    assert (got["n_grams"] > 0).all()
