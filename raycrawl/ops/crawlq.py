@@ -402,3 +402,330 @@ def image_phash_neardup_groups(sf_dir: str):
         .groupby("keeper")
         .aggregate(Count(alias_name="group_size"))
     )
+
+
+# --------------------------------------------------------------------------
+# Exact image dedup by content digest. Construction plants exact
+# duplicates (every doc_id triple ⌊id/3⌋ renders the IDENTICAL pixels,
+# dims and format), which is what gives a bytes-level operator a real SQL
+# oracle: the digest grouping must reproduce the seed grouping exactly —
+# any divergence in encode/hash/shuffle shows up as a group-size or
+# keeper mismatch. Shape is exact_dedup_by_hash's: digest computed where
+# the bytes live (they never cross the exchange), per-block partial
+# collapse, local combine under the cardinality gate, groupby past it.
+
+_IMG_DEDUP_SQL = """
+SELECT printf('img-%08d', 3 * (doc_id // 3)) AS keeper,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+@register("image_exact_dedup_bytes", sql=_IMG_DEDUP_SQL)
+def image_exact_dedup_bytes(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    from ..core.codec import encode_image, synth_pixels
+    from .common import SMALL_COMBINE_ROWS, combine_small, table_num_rows
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build_hash(t: pa.Table) -> pa.Table:
+        ids, digests = [], []
+        for doc_id in t["doc_id"].to_pylist():
+            seed = doc_id // 3
+            w, h = 36 + seed % 29, 36 + seed % 23
+            fmt = "png" if seed % 2 == 0 else "jpeg"
+            data = encode_image(synth_pixels(seed, w, h), fmt)
+            ids.append(f"img-{doc_id:08d}")
+            digests.append(hashlib.sha1(data).hexdigest())
+        part = pa.table(
+            {
+                "digest": pa.array(digests, pa.string()),
+                "image_id": pa.array(ids, pa.string()),
+            }
+        )
+        return (
+            pa.TableGroupBy(part, "digest")
+            .aggregate([("image_id", "min"), ([], "count_all")])
+            .rename_columns(["digest", "keeper", "group_size"])
+        )
+
+    partials = ds.map_batches(build_hash, batch_format="pyarrow", batch_size=256)
+
+    def final(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, "digest")
+            .aggregate([("keeper", "min"), ("group_size", "sum")])
+            .rename_columns(["digest", "keeper", "group_size"])
+        )
+        return agg.select(["keeper", "group_size"])  # digest not SQL-expressible
+
+    if table_num_rows(sf_dir, "documents") <= SMALL_COMBINE_ROWS:
+        return combine_small(partials, final)
+    agg = partials.groupby("digest").aggregate(
+        Min("keeper", alias_name="keeper"),
+        Sum("group_size", alias_name="group_size"),
+    )
+    return agg.drop_columns(["digest"])
+
+
+# --------------------------------------------------------------------------
+# Image quality filtering (the Gopher-rules analog for images): every
+# payload blob is DECODED in the stage (dims come from the codec, not the
+# builder), then the keep rule — min dimension ≥ 40 px, aspect ratio in
+# [0.5, 2.0] — and per-format dimension stats collapse each block to ≤2
+# rows. The SQL oracle re-derives the dims from the deterministic
+# construction (w = 32 + 7·id mod 33 …), so a codec round-trip that
+# corrupted any width/height/format would break count or avg parity.
+
+_IMG_QUALITY_SQL = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         CAST(32 + (doc_id * 7) % 33 AS DOUBLE) AS w,
+         CAST(32 + (doc_id * 11) % 33 AS DOUBLE) AS h
+  FROM documents)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (least(w, h) >= 40
+                             AND w / h BETWEEN 0.5 AND 2.0) AS BIGINT)
+         AS n_keep,
+       ROUND(avg(w), 6) AS avg_w, ROUND(avg(h), 6) AS avg_h
+FROM d GROUP BY fmt
+"""
+
+
+@register("image_quality_filter_stats", sql=_IMG_QUALITY_SQL)
+def image_quality_filter_stats(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core.codec import decode_image
+    from .common import combine_small, round_half_away
+
+    images = _payload_images(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ws, hs = [], []
+        for blob in t["bytes"].to_pylist():  # decode is inherently per-item
+            px, _ = decode_image(blob)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        w = np.asarray(ws, dtype=np.float64)
+        h = np.asarray(hs, dtype=np.float64)
+        keep = (np.minimum(w, h) >= 40) & (w / h >= 0.5) & (w / h <= 2.0)
+        tmp = pa.table(
+            {
+                "fmt": t["fmt"],
+                "w": pa.array(w),
+                "h": pa.array(h),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+        return (
+            pa.TableGroupBy(tmp, "fmt")
+            .aggregate(
+                [([], "count_all"), ("keep", "sum"), ("w", "sum"), ("h", "sum")]
+            )
+            .rename_columns(["fmt", "n", "n_keep", "w_sum", "h_sum"])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, "fmt")
+            .aggregate(
+                [("n", "sum"), ("n_keep", "sum"), ("w_sum", "sum"),
+                 ("h_sum", "sum")]
+            )
+            .rename_columns(["fmt", "n", "n_keep", "w_sum", "h_sum"])
+        )
+        n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "fmt": agg["fmt"],
+                "n": pc_cast_i64(agg["n"]),
+                "n_keep": pc_cast_i64(agg["n_keep"]),
+                "avg_w": pa.array(
+                    round_half_away(
+                        agg["w_sum"].to_numpy(zero_copy_only=False) / n, 6
+                    )
+                ),
+                "avg_h": pa.array(
+                    round_half_away(
+                        agg["h_sum"].to_numpy(zero_copy_only=False) / n, 6
+                    )
+                ),
+            }
+        )
+
+    partials = images.map_batches(partial, batch_format="pyarrow", batch_size=64)
+    return combine_small(partials, finish)
+
+
+def pc_cast_i64(arr):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.int64())
+
+
+# --------------------------------------------------------------------------
+# Pairwise phash Hamming-distance histogram over the planted near-dup
+# pairs (docs 2k / 2k+1 share a base image, odd member gets ±1 pixel
+# noise): the tuning signal behind PHASH_GROUP_RADIUS — "how far apart
+# does the noise push a true duplicate's hash". Pairs can straddle block
+# boundaries, so members co-locate via groupby(pair_id) (16 B rows — the
+# image bytes never leave the build task); each group emits one distance
+# row and the ≤65-bin histogram collapses locally. Rows-only (phash
+# values are not SQL-expressible); the python-oracle pytest recomputes
+# the histogram sequentially.
+
+
+@register("pair_phash_hamming_histogram", sql=None)
+def pair_phash_hamming_histogram(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..core.codec import encode_image, phash64, synth_pixels, decode_image
+    from .common import combine_small
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        pids, phs = [], []
+        for doc_id in t["doc_id"].to_pylist():
+            base_seed = doc_id // 2
+            w, h = 40 + base_seed % 17, 40 + base_seed % 13
+            px = synth_pixels(base_seed, w, h)
+            if doc_id % 2 == 1:
+                rng = np.random.Generator(np.random.PCG64(doc_id))
+                px = np.clip(
+                    px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+                ).astype(np.uint8)
+            data = encode_image(px, "png")
+            pids.append(doc_id // 2)
+            phs.append(phash64(decode_image(data)[0]))
+        return pa.table(
+            {
+                "pair_id": pa.array(pids, pa.int64()),
+                "phash": pa.array(phs, pa.int64()),
+            }
+        )
+
+    def pair_dist(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:  # odd tail doc without a partner
+            return pd.DataFrame({"dist": pd.Series([], dtype="int64")})
+        phu = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        # 1-element array: the SWAR multiply wraps by design, and numpy
+        # warns on uint64 scalar overflow but not on array overflow
+        d = int(_popcount64(np.array([phu[0] ^ phu[1]], dtype=np.uint64))[0])
+        return pd.DataFrame({"dist": [d]})
+
+    dists = (
+        ds.map_batches(build, batch_format="pyarrow", batch_size=128)
+        .groupby("pair_id")
+        .map_groups(pair_dist, batch_format="pandas")
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t["dist"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        return pa.table(
+            {
+                "dist": vc.field("values"),
+                "n_pairs": pc_cast_i64(vc.field("counts")),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, "dist")
+            .aggregate([("n_pairs", "sum")])
+            .rename_columns(["dist", "n_pairs"])
+        )
+
+    partials = dists.map_batches(hist_partial, batch_format="pyarrow")
+    return combine_small(partials, finish)
+
+
+# --------------------------------------------------------------------------
+# Image-text pair curation (the CLIP/LAION-style pre-training filter) over
+# the crawl's own payload: a pair is kept when the caption has 4-60
+# whitespace tokens, the image's short side is ≥ 24 px and the aspect
+# ratio is within [1/3, 3]. All three predicates are single Arrow/numpy
+# kernels per batch, each block collapses to ≤ n_epochs partial rows, and
+# the suppressed-sidecar anti-filter arrives for free via read_payload.
+# Rows-only (the crawl is not SQL-expressible); the python-oracle pytest
+# recomputes the stats from the same payload on the driver.
+
+CAPTION_MIN_TOKENS, CAPTION_MAX_TOKENS = 4, 60
+PAIR_MIN_DIM = 24
+PAIR_MAX_ASPECT = 3.0
+
+
+@register("caption_pair_curation_stats", sql=None)
+def caption_pair_curation_stats(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..crawler import read_payload
+    from .common import combine_small, round_half_away
+
+    out = _crawl_out_dir(sf_dir)
+    ds = read_payload(out, columns=["epoch", "caption", "w", "h"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(t["caption"], r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        aspect = np.maximum(w, h) / np.minimum(w, h)
+        keep = (
+            (toks >= CAPTION_MIN_TOKENS)
+            & (toks <= CAPTION_MAX_TOKENS)
+            & (np.minimum(w, h) >= PAIR_MIN_DIM)
+            & (aspect <= PAIR_MAX_ASPECT)
+        )
+        tmp = pa.table(
+            {
+                "epoch": pc.cast(t["epoch"], pa.int64()),
+                "keep": pa.array(keep.astype(np.int64)),
+                "toks": pa.array(toks),
+            }
+        )
+        return (
+            pa.TableGroupBy(tmp, "epoch")
+            .aggregate([([], "count_all"), ("keep", "sum"), ("toks", "sum")])
+            .rename_columns(["epoch", "n_pairs", "n_keep", "toks_sum"])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, "epoch")
+            .aggregate([("n_pairs", "sum"), ("n_keep", "sum"),
+                        ("toks_sum", "sum")])
+            .rename_columns(["epoch", "n_pairs", "n_keep", "toks_sum"])
+        )
+        n = agg["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "epoch": agg["epoch"],
+                "n_pairs": pc_cast_i64(agg["n_pairs"]),
+                "n_keep": pc_cast_i64(agg["n_keep"]),
+                "avg_caption_tokens": pa.array(
+                    round_half_away(
+                        agg["toks_sum"].to_numpy(zero_copy_only=False) / n, 6
+                    )
+                ),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"), finish)

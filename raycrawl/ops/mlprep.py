@@ -579,3 +579,142 @@ def kmeans_embeddings(sf_dir: str):
     out["cluster"] = out["cluster"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out[["cluster", "n", "avg_dist"]]
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES): each
+# doc gets key u^(1/w) with u = md5-derived uniform in [0,1) and weight
+# w = n_chars; the global top-K by key IS a weighted sample. The key is
+# an order statistic, so the distributed shape is per-block local top-K
+# partials merged once — no shuffle, no materialization, and the same
+# md5_number_upper convention gives the SQL oracle the identical keys.
+
+WEIGHTED_SAMPLE_K = 100
+_U64_DENOM = float(1 << 64)
+
+_WSAMPLE_SQL = f"""
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY pow(md5_number_upper(CAST(doc_id AS VARCHAR)) / {_U64_DENOM:.1f},
+             1.0 / n_chars) DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+@register("weighted_sample_docs", sql=_WSAMPLE_SQL)
+def weighted_sample_docs(sf_dir: str):
+    from .common import combine_small, md5_u64_le
+
+    ds = table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (
+            np.fromiter(
+                (md5_u64_le(str(d)) for d in ids), dtype=np.uint64, count=len(ids)
+            ).astype(np.float64)
+            / _U64_DENOM
+        )
+        key = np.power(u, 1.0 / np.maximum(w, 1.0))
+        order = np.lexsort((ids, -key))[:WEIGHTED_SAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(
+                    t["n_chars"].to_numpy(zero_copy_only=False)[order], pa.int64()
+                ),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:WEIGHTED_SAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(
+                    t["n_chars"].to_numpy(zero_copy_only=False)[order], pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(local_top, batch_format="pyarrow")
+    return combine_small(partials, merge)
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled language mixture (multilingual-corpus sampling à la
+# mC4/XLM-R): per-language document shares are flattened with
+# p_l ∝ share^ALPHA and converted to per-language target counts out of a
+# fixed sampling budget. The distributed part is one fixed-cardinality
+# count (per-block partials, local combine); the mixture math is a
+# driver-side fold over ≤ n_langs rows. Rounding rule (largest
+# remainder / Hamilton) is replayed exactly in SQL via rank-over-frac.
+
+MIX_ALPHA = 0.5
+MIX_BUDGET = 10_000
+
+_MIX_SQL = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT lang, n, pow(n, {MIX_ALPHA}) AS pw FROM c),
+s AS (SELECT lang, n, pw / (SELECT sum(pw) FROM t) AS p FROM t),
+f AS (SELECT lang, n, p, floor(p * {MIX_BUDGET}) AS base,
+             p * {MIX_BUDGET} - floor(p * {MIX_BUDGET}) AS frac
+      FROM s),
+r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang) AS rk FROM f)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, ROUND(p, 6) AS temp_share,
+       CAST(base + CASE WHEN rk <= {MIX_BUDGET} - (SELECT sum(base) FROM f)
+                        THEN 1 ELSE 0 END AS BIGINT) AS target_n
+FROM r
+"""
+
+
+@register("temperature_mix_targets", sql=_MIX_SQL)
+def temperature_mix_targets(sf_dir: str):
+    from .common import combine_small, round_half_away
+
+    ds = table(sf_dir, "documents", ["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["lang"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, "lang")
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "n"])
+        )
+        df = agg.to_pandas().sort_values("lang").reset_index(drop=True)
+        pw = np.power(df["n"].to_numpy(np.float64), MIX_ALPHA)
+        p = pw / pw.sum()
+        scaled = p * MIX_BUDGET
+        base = np.floor(scaled)
+        frac = scaled - base
+        short = MIX_BUDGET - int(base.sum())
+        # largest-remainder: ties broken by lang ascending (df is sorted)
+        order = np.lexsort((np.arange(len(df)), -frac))
+        bump = np.zeros(len(df), dtype=np.int64)
+        bump[order[:short]] = 1
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"]),
+                "n_docs": pa.array(df["n"].to_numpy(np.int64)),
+                "temp_share": pa.array(round_half_away(p, 6)),
+                "target_n": pa.array(base.astype(np.int64) + bump),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return combine_small(partials, finish)

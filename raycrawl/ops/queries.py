@@ -858,3 +858,219 @@ def customers_with_returns_by_nation(sf_dir: str):
 
     partials = matched.map_batches(partial, batch_format="pyarrow")
     return final(combine_small(partials, lambda t: t))
+
+
+# --------------------------------------------------------------------------
+# ROLLUP aggregate (multi-level grouped totals in one pass): revenue and
+# order counts at (region, nation), per-region subtotal, and grand total —
+# the reference's dashboard "counts at every drill level" shape
+# (Dashboard_scripts/ data prep) as ONE streamed pass. Money is summed as
+# integer cents (exact — immune to summation-order float jitter), the
+# per-block partial collapses the stream to ≤25 nation rows, and the
+# rollup fold over those 25 rows happens on the driver. The orders→nation
+# mapping broadcasts customer's (custkey, nationkey) as sorted numpy
+# arrays below ROLLUP_BROADCAST_MAX (12 B/row); past it, the
+# hash-partitioned Dataset.join takes over (same adaptive pattern as
+# customer_urgent_order_stats, path-equivalence tested).
+
+ROLLUP_BROADCAST_MAX = 50_000_000  # (custkey,nationkey) rows ≈ 12 B each
+
+
+@register(
+    "rollup_revenue",
+    sql="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue(sf_dir: str, broadcast_max: int = ROLLUP_BROADCAST_MAX):
+    import numpy as np
+
+    orders = table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents_col(t: pa.Table) -> pa.Array:
+        return pc.cast(
+            pc.round(
+                pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+
+    def nation_partial(nk: "np.ndarray", cents: "np.ndarray") -> pa.Table:
+        """Collapse one block to ≤ n_nations rows of exact partial sums."""
+        order = np.argsort(nk, kind="stable")
+        nk_s, c_s = nk[order], cents[order]
+        cuts = np.flatnonzero(np.diff(nk_s)) + 1
+        starts = np.concatenate([[0], cuts])
+        csum = np.concatenate([[0], np.cumsum(c_s)])
+        ends = np.concatenate([cuts, [len(nk_s)]])
+        return pa.table(
+            {
+                "nationkey": pa.array(nk_s[starts], pa.int64()),
+                "cents": pa.array(csum[ends] - csum[starts], pa.int64()),
+                "n_orders": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    if table_num_rows(sf_dir, "customer") <= broadcast_max:
+        import pyarrow.dataset as pads
+
+        cust = (
+            pads.dataset(f"{sf_dir}/customer.parquet")
+            .to_table(columns=["c_custkey", "c_nationkey"])
+            .to_pandas()
+            .sort_values("c_custkey")
+        )
+        ref = ray.put(
+            (
+                cust["c_custkey"].to_numpy(np.int64),
+                cust["c_nationkey"].to_numpy(np.int64),
+            )
+        )
+
+        def partial(t: pa.Table, *, ref) -> pa.Table:
+            keys_s, nat_s = ray.get(ref)
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            nk = nat_s[np.searchsorted(keys_s, keys)]  # FK: always present
+            cents = cents_col(t).to_numpy(zero_copy_only=False)
+            return nation_partial(nk, cents)
+
+        partials = orders.map_batches(
+            partial, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+        )
+    else:  # customer too big to broadcast: hash-partitioned join
+        # partitions sized to the cluster: each partition spins an
+        # aggregator actor, and 32 actors on a 4-CPU node thrash (measured
+        # >2 min vs ~6 s) — scale with CPUs, floor 4, cap 32 per node
+        n_parts = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+        cust_ds = table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = orders.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def partial_joined(t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = cents_col(t).to_numpy(zero_copy_only=False)
+            return nation_partial(nk, cents)
+
+        partials = joined.map_batches(partial_joined, batch_format="pyarrow")
+
+    # dimension names: tiny driver-side reads (launching a pipeline for
+    # 25 + 5 rows costs more than the read)
+    import pyarrow.dataset as pads
+
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table().to_pandas()
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table().to_pandas()
+    nat = nat.merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey", how="left"
+    ).set_index("n_nationkey")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("nationkey", as_index=False).sum()
+        df["region"] = df["nationkey"].map(nat["r_name"])
+        df["nation"] = df["nationkey"].map(nat["n_name"])
+        levels = [df[["region", "nation", "cents", "n_orders"]]]
+        by_reg = df.groupby("region", as_index=False)[["cents", "n_orders"]].sum()
+        by_reg["nation"] = "ALL"
+        levels.append(by_reg[["region", "nation", "cents", "n_orders"]])
+        total = pd.DataFrame(
+            {
+                "region": ["ALL"],
+                "nation": ["ALL"],
+                "cents": [df["cents"].sum()],
+                "n_orders": [df["n_orders"].sum()],
+            }
+        )
+        levels.append(total)
+        out = pd.concat(levels, ignore_index=True)
+        return pa.table(
+            {
+                "region": pa.array(out["region"]),
+                "nation": pa.array(out["nation"]),
+                "revenue": pa.array(out["cents"].to_numpy(np.float64) / 100.0),
+                "n_orders": pa.array(out["n_orders"].to_numpy(np.int64)),
+            }
+        )
+
+    return fold(combine_small(partials, lambda t: t))
+
+
+# --------------------------------------------------------------------------
+# Windowed NTILE bucketing: quartile (ntile(4)) of account balance within
+# each nation, with per-bucket count/avg/min/max — the rank-window family
+# (reference per-group percentile views). Exact NTILE needs each
+# partition's global rank order, so the implementation is
+# groupby(partition).map_groups with an in-group vectorized sort; the
+# partition key (nation, ≤few hundred) bounds group size at customer/25 —
+# at web scale swap the partition for the quantile-boundary path
+# (event_value_quantiles) if a single group outgrows a worker.
+
+
+@register(
+    "ntile_customer_quartiles",
+    sql="""
+    WITH t AS (
+      SELECT n.n_name, c.c_acctbal,
+             ntile(4) OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal, c.c_custkey) AS q
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT n_name, CAST(q AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(avg(c_acctbal), 6) AS avg_bal,
+           ROUND(min(c_acctbal), 6) AS min_bal,
+           ROUND(max(c_acctbal), 6) AS max_bal
+    FROM t GROUP BY n_name, q
+    """,
+)
+def ntile_customer_quartiles(sf_dir: str):
+    import numpy as np
+
+    import pyarrow.dataset as pads
+
+    from .common import round_half_away
+
+    cust = table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nat = (
+        pads.dataset(f"{sf_dir}/nation.parquet")
+        .to_table(columns=["n_nationkey", "n_name"])
+        .to_pandas()
+    )
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))  # ≤25 entries
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"], kind="stable")
+        n = len(g)
+        base, rem = divmod(n, 4)
+        sizes = [base + (1 if i < rem else 0) for i in range(4)]
+        q = np.repeat(np.arange(1, 5), sizes)
+        bal = g["c_acctbal"].to_numpy()
+        rows = []
+        for k in range(1, 5):
+            b = bal[q == k]
+            if len(b) == 0:  # group smaller than 4 rows
+                continue
+            rows.append((k, len(b), b.mean(), b.min(), b.max()))
+        out = pd.DataFrame(
+            rows, columns=["quartile", "n", "avg_bal", "min_bal", "max_bal"]
+        )
+        out.insert(0, "n_name", names[int(g["c_nationkey"].iloc[0])])
+        for c in ("avg_bal", "min_bal", "max_bal"):
+            out[c] = round_half_away(out[c].to_numpy(), 6)
+        return out
+
+    return cust.groupby("c_nationkey").map_groups(
+        quartiles, batch_format="pandas"
+    )

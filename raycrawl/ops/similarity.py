@@ -357,3 +357,163 @@ def ann_ivf_topk(sf_dir: str, nprobe: int = N_PROBE):
     scored = ds.map_batches(ivf_score, fn_kwargs={"ref": ref},
                             batch_format="pandas")
     return _finish_topk(scored)
+
+
+# --------------------------------------------------------------------------
+# Embedding-column statistics: per-label L2-norm count/avg/min/max. The
+# partial is computed per block with one segment-reduced numpy pass over
+# the flattened list<float> values (no per-row Python), collapses to
+# ≤ n_labels rows per block, and the fixed label cardinality makes the
+# local combine exact at any scale (no shuffle at all).
+
+_NORM_STATS_SQL = """
+WITH x AS (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings),
+n AS (SELECT vec_id, any_value(label) AS label,
+             sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+      FROM x GROUP BY vec_id)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(nrm), 6) AS avg_norm,
+       ROUND(min(nrm), 6) AS min_norm,
+       ROUND(max(nrm), 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+def _list_f64_matrix(col) -> np.ndarray:
+    """(rows, dim) float64 view of a list<float> column via offsets — no
+    per-row Python, tolerant of ragged lists (segment-summed)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy().astype(np.int64)
+    widths = np.diff(offsets)
+    if len(widths) and (widths == widths[0]).all():
+        return vals.reshape(len(widths), widths[0])
+    raise ValueError("ragged embedding column")
+
+
+@register("embedding_norm_stats", sql=_NORM_STATS_SQL)
+def embedding_norm_stats(sf_dir: str):
+    import pyarrow as pa
+
+    from .common import combine_small
+
+    ds = table(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _list_f64_matrix(t["embedding"])
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        tmp = pa.table(
+            {"label": t["label"], "nrm": pa.array(nrm, pa.float64())}
+        )
+        return tmp.group_by("label").aggregate(
+            [("nrm", "count"), ("nrm", "sum"), ("nrm", "min"), ("nrm", "max")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = t.group_by("label").aggregate(
+            [
+                ("nrm_count", "sum"),
+                ("nrm_sum", "sum"),
+                ("nrm_min", "min"),
+                ("nrm_max", "max"),
+            ]
+        )
+        n = agg["nrm_count_sum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": agg["label"],
+                "n": pa.array(n.astype(np.int64)),
+                "avg_norm": pa.array(
+                    round_half_away(
+                        agg["nrm_sum_sum"].to_numpy(zero_copy_only=False) / n, 6
+                    )
+                ),
+                "min_norm": pa.array(
+                    round_half_away(
+                        agg["nrm_min_min"].to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+                "max_norm": pa.array(
+                    round_half_away(
+                        agg["nrm_max_max"].to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return combine_small(partials, finish)
+
+
+# --------------------------------------------------------------------------
+# Pairwise label-centroid cosine similarity: the "how separable are my
+# clusters" diagnostic. The distributed part is a per-block partial
+# VECTOR sum per label (one pandas groupby-sum over the (rows, dim)
+# matrix — the mergeable-sketch shape applied to dense vectors); the
+# driver reduce is n_labels × dim doubles, and the pairwise cosine over
+# n_labels centroids is a single tiny matmul.
+
+_CENTROID_COS_SQL = """
+WITH x AS (SELECT label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+c AS (SELECT label, i, avg(CAST(v AS DOUBLE)) AS m FROM x GROUP BY label, i),
+nrm AS (SELECT label, sqrt(sum(m * m)) AS nn FROM c GROUP BY label),
+d AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label)
+SELECT d.label_a, d.label_b,
+       ROUND(d.dot / (na.nn * nb.nn), 6) AS cosine
+FROM d
+JOIN nrm na ON na.label = d.label_a
+JOIN nrm nb ON nb.label = d.label_b
+"""
+
+
+@register("label_centroid_cosine", sql=_CENTROID_COS_SQL)
+def label_centroid_cosine(sf_dir: str):
+    import pyarrow as pa
+
+    from .common import combine_small
+
+    ds = table(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _list_f64_matrix(t["embedding"])
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(mat)
+        df["label"] = labels
+        sums = df.groupby("label").sum()
+        counts = df.groupby("label").size()
+        return pa.table(
+            {
+                "label": pa.array(sums.index.to_numpy()),
+                "n": pa.array(counts.to_numpy(np.int64)),
+                "vsum": pa.array(list(sums.to_numpy()), pa.list_(pa.float64())),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vs = _list_f64_matrix(t["vsum"])
+        order = np.argsort(labels, kind="stable")
+        uniq, starts = np.unique(labels[order], return_index=True)
+        cents = np.add.reduceat(vs[order], starts, axis=0)
+        cents /= np.add.reduceat(n[order], starts)[:, None]
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        cos = cents @ cents.T
+        ia, ib = np.triu_indices(len(uniq), k=1)
+        return pa.table(
+            {
+                "label_a": pa.array(uniq[ia]),
+                "label_b": pa.array(uniq[ib]),
+                "cosine": pa.array(round_half_away(cos[ia, ib], 6)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return combine_small(partials, finish)

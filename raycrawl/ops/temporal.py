@@ -287,3 +287,67 @@ def event_type_transitions(sf_dir: str):
         )
 
     return final(combine_small(partial, lambda t: t))
+
+
+# --------------------------------------------------------------------------
+# Forward-window interval self-join: for every event, how many events by
+# the SAME user land in the next 5 minutes — aggregated per event_type
+# (the "engagement follow-up" window). The range join never materializes
+# pairs: within each user partition a single sorted-timestamp array
+# answers all windows via two vectorized searchsorted calls (O(n log n)
+# per user vs O(n·k) pair expansion), and each group collapses straight
+# to ≤ n_event_types partial rows, so the post-shuffle stream is tiny at
+# any scale. Boundary semantics match the SQL exactly: strictly after ts
+# (side='right' at ts), inclusive at ts + 5 min (side='right' there too).
+_FOLLOW_WINDOW_US = 5 * 60 * 1_000_000
+
+_FOLLOW_SQL = """
+WITH f AS (
+  SELECT e.event_id, any_value(e.event_type) AS event_type,
+         count(x.event_id) AS n_follow
+  FROM events e LEFT JOIN events x
+    ON x.user_id = e.user_id AND x.ts > e.ts
+   AND x.ts <= e.ts + INTERVAL 5 MINUTE
+  GROUP BY e.event_id)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(n_follow) AS BIGINT) AS total_followups,
+       ROUND(avg(n_follow), 6) AS avg_followups
+FROM f GROUP BY event_type
+"""
+
+
+@register("event_followup_5m_by_type", sql=_FOLLOW_SQL)
+def event_followup_5m_by_type(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def follow(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ts_sorted = np.sort(ts, kind="stable")
+        n_follow = np.searchsorted(
+            ts_sorted, ts + _FOLLOW_WINDOW_US, side="right"
+        ) - np.searchsorted(ts_sorted, ts, side="right")
+        out = pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy(), "nf": n_follow}
+        )
+        return out.groupby("event_type", as_index=False).agg(
+            n_events=("nf", "size"), total_followups=("nf", "sum")
+        )
+
+    partials = ds.groupby("user_id").map_groups(follow, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = t.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("total_followups", "sum")]
+        )
+        n = agg["n_events_sum"].to_numpy(zero_copy_only=False)
+        tot = agg["total_followups_sum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "n_events": pa.array(n, pa.int64()),
+                "total_followups": pa.array(tot, pa.int64()),
+                "avg_followups": pa.array(round_half_away(tot / n, 6)),
+            }
+        )
+
+    return combine_small(partials, finish)

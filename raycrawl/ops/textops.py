@@ -567,3 +567,62 @@ def bm25_top_docs(sf_dir: str):
         score_topk, fn_kwargs={"ref": bcast}, batch_format="pyarrow"
     )
     return merge_topk(combine_small(partials, lambda t: t))
+
+
+# --------------------------------------------------------------------------
+# Corpus word-frequency top-k (the canonical wordcount, done the way it
+# must be done at 100 TB): one vectorized split + per-block value_counts
+# collapses each block to its local vocabulary BEFORE the exchange, the
+# groupby("word") shuffle then moves only (word, partial-count) rows —
+# vocabulary-sized, sublinear in corpus size — and top-k is a per-block
+# partial merged once locally. Token alphabet is the shared [a-z0-9]+
+# convention (same as BM25 / duplicate-ngram).
+_TOP_WORDS_K = 50
+
+_TOP_WORDS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY word
+ORDER BY n DESC, word LIMIT 50
+"""
+
+
+@register("top_words_corpus", sql=_TOP_WORDS_SQL)
+def top_words_corpus(sf_dir: str):
+    from .common import combine_small
+
+    docs = table(sf_dir, "documents", ["text"])
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t["text"])
+        splits = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = splits.values
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(block_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("word", "ascending")]
+        )
+        return t.take(idx[:_TOP_WORDS_K])
+
+    # per-block top-k partials (bounded: K rows per block), one local merge
+    partials = counts.map_batches(topk, batch_format="pyarrow")
+    return combine_small(partials, topk)

@@ -1,0 +1,205 @@
+"""Round-2 closing operator batch: multi-level ROLLUP, NTILE window
+buckets, corpus wordcount top-k, forward-window interval self-join, and
+the embedding-column statistics pair — DuckDB-oracle parity at sf0.001
+plus the invariants the value-hash can't see."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raycrawl.ops import REGISTRY  # noqa: F401  (queries register on import)
+from tests.oracle_utils import norm, oracle, run_query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rollup_revenue",
+        "ntile_customer_quartiles",
+        "top_words_corpus",
+        "event_followup_5m_by_type",
+        "embedding_norm_stats",
+        "label_centroid_cosine",
+    ],
+)
+def test_oracle_parity(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_rollup_join_path_equals_broadcast_path(ray_session):
+    """Past the broadcast threshold the orders⋈customer mapping must run
+    through Dataset.join and produce the identical rollup."""
+    from raycrawl.ops.queries import rollup_revenue
+
+    got = norm(rollup_revenue(SF, broadcast_max=0).to_pandas())
+    want = norm(oracle("rollup_revenue", SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    """Each region subtotal equals the sum of its nation rows, and the
+    grand total equals the sum of the region subtotals."""
+    df = run_query("rollup_revenue", SF)
+    nations = df[(df["nation"] != "ALL")]
+    regions = df[(df["nation"] == "ALL") & (df["region"] != "ALL")]
+    total = df[(df["region"] == "ALL")]
+    for _, r in regions.iterrows():
+        part = nations[nations["region"] == r["region"]]
+        assert int(part["n_orders"].sum()) == int(r["n_orders"])
+        assert abs(part["revenue"].sum() - r["revenue"]) < 1e-6
+    assert int(total["n_orders"].iloc[0]) == int(nations["n_orders"].sum())
+
+
+def test_ntile_buckets_are_balanced(ray_session):
+    """NTILE(4) bucket sizes within a nation differ by at most 1 and the
+    earlier buckets hold the smaller balances (avg is non-decreasing)."""
+    df = run_query("ntile_customer_quartiles", SF)
+    for _, g in df.groupby("n_name"):
+        sizes = g.sort_values("quartile")["n"].to_numpy()
+        assert sizes.max() - sizes.min() <= 1
+        avgs = g.sort_values("quartile")["avg_bal"].to_numpy()
+        assert (np.diff(avgs) >= 0).all()
+
+
+def test_followup_counts_exclude_self_and_past(ray_session):
+    """An isolated user (one event) contributes 0 followups, so the
+    per-type totals are bounded by n_events * (max events per user - 1)."""
+    df = run_query("event_followup_5m_by_type", SF)
+    assert (df["total_followups"] >= 0).all()
+    assert (df["avg_followups"] >= 0).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert df["n_events"].sum() == len(ev)
+
+
+def test_centroid_cosine_is_symmetric_complete(ray_session):
+    """One row per unordered label pair, cosine in [-1, 1]."""
+    df = run_query("label_centroid_cosine", SF)
+    labels = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label"])
+    k = labels["label"].nunique()
+    assert len(df) == k * (k - 1) // 2
+    assert df["cosine"].between(-1.0, 1.0).all()
+    assert (df["label_a"] < df["label_b"]).all()
+
+
+@pytest.mark.parametrize(
+    "name", ["image_exact_dedup_bytes", "image_quality_filter_stats"]
+)
+def test_image_ops_oracle_parity(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_image_exact_dedup_triples(ray_session):
+    """Every seed triple collapses to one group led by its smallest id."""
+    df = run_query("image_exact_dedup_bytes", SF)
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    assert int(df["group_size"].sum()) == n_docs
+    assert (df["group_size"] <= 3).all()
+
+
+def test_pair_phash_hamming_histogram_matches_sequential(ray_session):
+    """Python oracle: recompute every pair's Hamming distance sequentially
+    on the driver and compare the histogram bin-for-bin."""
+    from collections import Counter
+
+    from raycrawl.core.codec import (
+        decode_image,
+        encode_image,
+        phash64,
+        synth_pixels,
+    )
+    from raycrawl.ops.crawlq import _popcount64
+
+    got = run_query("pair_phash_hamming_histogram", SF)
+    doc_ids = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+
+    def ph(doc_id: int) -> int:
+        base_seed = doc_id // 2
+        w, h = 40 + base_seed % 17, 40 + base_seed % 13
+        px = synth_pixels(base_seed, w, h)
+        if doc_id % 2 == 1:
+            rng = np.random.Generator(np.random.PCG64(int(doc_id)))
+            px = np.clip(
+                px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+            ).astype(np.uint8)
+        return phash64(decode_image(encode_image(px, "png"))[0])
+
+    want = Counter()
+    ids = set(doc_ids.tolist())
+    for i in sorted(ids):
+        if i % 2 == 0 and i + 1 in ids:
+            x = np.array([ph(i)], dtype=np.int64).view(np.uint64)
+            y = np.array([ph(i + 1)], dtype=np.int64).view(np.uint64)
+            want[int(_popcount64(x ^ y)[0])] += 1
+    got_map = dict(zip(got["dist"].astype(int), got["n_pairs"].astype(int)))
+    assert got_map == dict(want)
+
+
+@pytest.mark.parametrize(
+    "name", ["weighted_sample_docs", "temperature_mix_targets"]
+)
+def test_sampling_ops_oracle_parity(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_temperature_mix_budget_exact(ray_session):
+    """Largest-remainder rounding must hit the budget exactly and flatten
+    the mixture: max share shrinks, min share grows vs raw frequencies."""
+    from raycrawl.ops.mlprep import MIX_BUDGET
+
+    df = run_query("temperature_mix_targets", SF)
+    assert int(df["target_n"].sum()) == MIX_BUDGET
+    raw = df["n_docs"] / df["n_docs"].sum()
+    assert df["temp_share"].max() <= raw.max() + 1e-9
+    assert df["temp_share"].min() >= raw.min() - 1e-9
+
+
+def test_weighted_sample_favors_long_docs(ray_session):
+    """A-ES with w = n_chars must oversample long documents: the sampled
+    mean length exceeds the corpus mean."""
+    df = run_query("weighted_sample_docs", SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["n_chars"])
+    assert df["n_chars"].mean() > docs["n_chars"].mean()
+    assert df["doc_id"].is_unique
+
+
+def test_caption_pair_curation_matches_driver_recount(ray_session):
+    """Python oracle: recompute the per-epoch keep stats from the same
+    (suppression-filtered) payload on the driver."""
+    from raycrawl.crawler import read_payload
+    from raycrawl.ops.crawlq import (
+        CAPTION_MAX_TOKENS,
+        CAPTION_MIN_TOKENS,
+        PAIR_MAX_ASPECT,
+        PAIR_MIN_DIM,
+        _crawl_out_dir,
+    )
+
+    got = run_query("caption_pair_curation_stats", SF).sort_values("epoch")
+    pdf = read_payload(
+        _crawl_out_dir(SF), columns=["epoch", "caption", "w", "h"]
+    ).to_pandas()
+    toks = pdf["caption"].str.split().str.len()
+    aspect = np.maximum(pdf["w"], pdf["h"]) / np.minimum(pdf["w"], pdf["h"])
+    keep = (
+        (toks >= CAPTION_MIN_TOKENS)
+        & (toks <= CAPTION_MAX_TOKENS)
+        & (np.minimum(pdf["w"], pdf["h"]) >= PAIR_MIN_DIM)
+        & (aspect <= PAIR_MAX_ASPECT)
+    )
+    want = (
+        pd.DataFrame({"epoch": pdf["epoch"], "keep": keep, "toks": toks})
+        .groupby("epoch")
+        .agg(n_pairs=("keep", "size"), n_keep=("keep", "sum"))
+        .reset_index()
+    )
+    assert got["epoch"].tolist() == want["epoch"].tolist()
+    assert got["n_pairs"].tolist() == want["n_pairs"].tolist()
+    assert got["n_keep"].tolist() == want["n_keep"].tolist()
+    assert int(got["n_pairs"].sum()) == len(pdf)
