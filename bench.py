@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "rollup_revenue",
     "image_exact_dedup_bytes",
     "weighted_sample_docs",
+    "local_supplier_revenue",
+    "event_followup_5m_by_type",
+    "doc_embedding_label_mix",
 ]
 
 

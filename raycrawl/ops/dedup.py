@@ -722,7 +722,11 @@ def _word_re():
 
 
 @register("duplicate_ngram_fraction", sql=_DUP_NGRAM_SQL)
-def duplicate_ngram_fraction(sf_dir: str, num_partitions: int = 8):
+def duplicate_ngram_fraction(
+    sf_dir: str,
+    num_partitions: int | None = None,
+    force_shuffle_path: bool | None = None,
+):
     import pyarrow.compute as pc
 
     docs = table(sf_dir, "documents", ["doc_id", "text"])
@@ -752,14 +756,103 @@ def duplicate_ngram_fraction(sf_dir: str, num_partitions: int = 8):
             }
         )
 
-    # pairs feed BOTH the per-gram count and the join probe side — pin
-    # once so the gram explosion doesn't run twice
+    # pairs feed BOTH the per-gram count and the flag side — pin once so
+    # the gram explosion doesn't run twice
     pairs = docs.map_batches(gram_pairs, batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        from .common import round_half_away
+
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "dup_frac": pa.array(round_half_away(nd / ng, 6)),
+            }
+        )
+
+    # fast path (gated on corpus size): the only cross-gram information the
+    # query needs is WHICH gram hashes occur in ≥2 docs. Per-block
+    # value_counts partials + one local combine yield that dup-gram set,
+    # which broadcasts as ONE sorted int64 array; flagging is then a
+    # streamed searchsorted per batch and the per-doc aggregate collapses
+    # per block before its own local combine. Replaces two ~1M-row Ray
+    # shuffles + a hash join (measured 8-11 s at sf0.1) with zero shuffles
+    # (~2 s). Past the gate the shuffle pipeline below takes over
+    # (path-equivalence tested).
+    if force_shuffle_path is None:
+        small = table_num_rows(sf_dir, "documents") <= SMALL_COMBINE_ROWS // 4
+    else:
+        small = not force_shuffle_path
+    if small:
+        import ray as _ray
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            col = t["gram_h"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vc = pc.value_counts(col)
+            return pa.table(
+                {
+                    "gram_h": vc.field("values"),
+                    "nd": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+        def dup_set(t: pa.Table) -> pa.Table:
+            agg = (
+                pa.TableGroupBy(t, "gram_h")
+                .aggregate([("nd", "sum")])
+                .rename_columns(["gram_h", "nd"])
+            )
+            return agg.filter(pc.greater_equal(agg["nd"], pa.scalar(2)))
+
+        dup = combine_small(
+            pairs.map_batches(count_partial, batch_format="pyarrow"), dup_set
+        )
+        dup_ref = _ray.put(
+            np.sort(dup["gram_h"].to_numpy(zero_copy_only=False))
+        )
+
+        def doc_partial(t: pa.Table, *, ref) -> pa.Table:
+            dups = _ray.get(ref)
+            gh = t["gram_h"].to_numpy(zero_copy_only=False)
+            if len(dups):
+                pos = np.clip(np.searchsorted(dups, gh), 0, len(dups) - 1)
+                isdup = (dups[pos] == gh).astype(np.int64)
+            else:
+                isdup = np.zeros(len(gh), dtype=np.int64)
+            tmp = pa.table(
+                {"doc_id": t["doc_id"], "dup": pa.array(isdup)}
+            )
+            return (
+                pa.TableGroupBy(tmp, "doc_id")
+                .aggregate([([], "count_all"), ("dup", "sum")])
+                .rename_columns(["doc_id", "n_grams", "n_dup"])
+            )
+
+        def doc_final(t: pa.Table) -> pa.Table:
+            return finish(
+                pa.TableGroupBy(t, "doc_id")
+                .aggregate([("n_grams", "sum"), ("n_dup", "sum")])
+                .rename_columns(["doc_id", "n_grams", "n_dup"])
+            )
+
+        return combine_small(
+            pairs.map_batches(
+                doc_partial, fn_kwargs={"ref": dup_ref}, batch_format="pyarrow"
+            ),
+            doc_final,
+        )
+
+    # at-scale path: per-gram count shuffle + hash join back onto the pairs
     counts = pairs.groupby("gram_h").aggregate(Count(alias_name="nd"))
     joined = pairs.join(
         counts,
         join_type="inner",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or 8,
         on=("gram_h",),
     )
 
@@ -778,18 +871,5 @@ def duplicate_ngram_fraction(sf_dir: str, num_partitions: int = 8):
         .groupby("doc_id")
         .aggregate(Count(alias_name="n_grams"), Sum("dup", alias_name="n_dup"))
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        from .common import round_half_away
-
-        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_grams": pc.cast(t["n_grams"], pa.int64()),
-                "dup_frac": pa.array(round_half_away(nd / ng, 6)),
-            }
-        )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -718,3 +718,126 @@ def temperature_mix_targets(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return combine_small(partials, finish)
+
+
+# --------------------------------------------------------------------------
+# Cross-modal enrichment join: documents ⋈ embeddings on doc_id == vec_id
+# (the "attach the embedding-cluster label back onto the text corpus"
+# step), aggregated to (lang, label) counts + mean doc length. Both sides
+# are corpus-sized at web scale, but the JOIN ISN'T NEEDED to aggregate:
+# each side collapses to its key partials and only the label side must
+# reach the doc side — broadcast as sorted arrays under the gate,
+# Dataset.join above it (the adaptive pattern).
+
+
+@register(
+    "doc_embedding_label_mix",
+    sql="""
+    SELECT d.lang, e.label, CAST(count(*) AS BIGINT) AS n,
+           ROUND(avg(d.n_chars), 6) AS avg_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def doc_embedding_label_mix(sf_dir: str, broadcast_max: int | None = None):
+    from .common import SMALL_COMBINE_ROWS, table_num_rows
+
+    if broadcast_max is None:
+        broadcast_max = SMALL_COMBINE_ROWS
+    docs = table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    if table_num_rows(sf_dir, "embeddings") <= broadcast_max:
+        import pyarrow.dataset as pads
+
+        emb = (
+            pads.dataset(f"{sf_dir}/embeddings.parquet")
+            .to_table(columns=["vec_id", "label"])
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        ref = ray.put(
+            (
+                emb["vec_id"].to_numpy(np.int64),
+                emb["label"].to_numpy(np.int64),
+            )
+        )
+
+        def partial(t: pa.Table, *, ref) -> pa.Table:
+            vid, lab = ray.get(ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(vid):
+                pos = np.clip(np.searchsorted(vid, ids), 0, len(vid) - 1)
+                hit = vid[pos] == ids
+            else:
+                hit = np.zeros(len(ids), dtype=bool)
+                pos = np.zeros(len(ids), dtype=np.int64)
+            tmp = pa.table(
+                {
+                    "lang": t["lang"].filter(pa.array(hit)),
+                    "label": pa.array(lab[pos[hit]], pa.int64()),
+                    "n_chars": t["n_chars"].filter(pa.array(hit)),
+                }
+            )
+            return (
+                pa.TableGroupBy(tmp, ["lang", "label"])
+                .aggregate([([], "count_all"), ("n_chars", "sum")])
+                .rename_columns(["lang", "label", "n", "chars_sum"])
+            )
+
+        joined_partials = docs.map_batches(
+            partial, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+        )
+    else:  # embeddings table too big to broadcast
+        emb_ds = table(sf_dir, "embeddings", ["vec_id", "label"])
+        n_parts = max(4, min(16, int(ray.cluster_resources().get("CPU", 8))))
+        joined = docs.join(
+            emb_ds,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("doc_id",),
+            right_on=("vec_id",),
+        )
+
+        def partial_joined(t: pa.Table) -> pa.Table:
+            tmp = pa.table(
+                {
+                    "lang": t["lang"],
+                    "label": pc.cast(t["label"], pa.int64()),
+                    "n_chars": t["n_chars"],
+                }
+            )
+            return (
+                pa.TableGroupBy(tmp, ["lang", "label"])
+                .aggregate([([], "count_all"), ("n_chars", "sum")])
+                .rename_columns(["lang", "label", "n", "chars_sum"])
+            )
+
+        joined_partials = joined.map_batches(
+            partial_joined, batch_format="pyarrow"
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from .common import combine_small, round_half_away  # noqa: F401
+
+        agg = (
+            pa.TableGroupBy(t, ["lang", "label"])
+            .aggregate([("n", "sum"), ("chars_sum", "sum")])
+            .rename_columns(["lang", "label", "n", "chars_sum"])
+        )
+        n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "lang": agg["lang"],
+                "label": agg["label"],
+                "n": pc.cast(agg["n"], pa.int64()),
+                "avg_chars": pa.array(
+                    round_half_away(
+                        agg["chars_sum"].to_numpy(zero_copy_only=False) / n, 6
+                    )
+                ),
+            }
+        )
+
+    from .common import combine_small
+
+    return combine_small(joined_partials, finish)

@@ -1074,3 +1074,209 @@ def ntile_customer_quartiles(sf_dir: str):
     return cust.groupby("c_nationkey").map_groups(
         quartiles, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-shaped star join: revenue from lineitems whose customer and
+# supplier sit in the SAME nation of a fixed region — the multi-join
+# planning exercise. ONE large-large exchange (lineitem ⋈ orders on
+# orderkey, partitions sized to the cluster); every dimension side
+# (customer→nation, supplier→nation, region's nation set) broadcasts as
+# sorted numpy arrays, the filters run vectorized inside the post-join
+# map_batches, and revenue is integer cents so summation order can't
+# move the hash. Region dims (nation/region) are driver-side tiny reads.
+
+Q5_REGION = "ASIA"
+
+
+@register(
+    "local_supplier_revenue",
+    sql=f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 AND s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_revenue(sf_dir: str):
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    li = table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    n_parts = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(columns=["c_custkey", "c_nationkey"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    supp = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(columns=["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table().to_pandas()
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table().to_pandas()
+    region_key = int(reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"].iloc[0])
+    in_region = nat[nat["n_regionkey"] == region_key]
+    names = dict(zip(in_region["n_nationkey"], in_region["n_name"]))
+    region_nations = np.sort(in_region["n_nationkey"].to_numpy(np.int64))
+    ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_nationkey"].to_numpy(np.int64),
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64),
+            region_nations,
+        )
+    )
+
+    def partial(t: pa.Table, *, ref) -> pa.Table:
+        ck, cn, sk, sn, rn = ray.get(ref)
+        custk = t["o_custkey"].to_numpy(zero_copy_only=False)
+        suppk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        c_nat = cn[np.searchsorted(ck, custk)]  # FK: always present
+        s_nat = sn[np.searchsorted(sk, suppk)]
+        pos = np.searchsorted(rn, c_nat)
+        pos = np.clip(pos, 0, len(rn) - 1)
+        keep = (c_nat == s_nat) & (rn[pos] == c_nat)
+        if not keep.any():
+            return pa.table(
+                {
+                    "nationkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        nk = c_nat[keep]
+        order = np.argsort(nk, kind="stable")
+        nk_s, c_s = nk[order], cents[order]
+        cuts = np.flatnonzero(np.diff(nk_s)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(nk_s)]])
+        csum = np.concatenate([[0], np.cumsum(c_s)])
+        return pa.table(
+            {
+                "nationkey": pa.array(nk_s[starts], pa.int64()),
+                "cents": pa.array(csum[ends] - csum[starts], pa.int64()),
+                "n_items": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    partials = joined.map_batches(
+        partial, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("nationkey", as_index=False).sum()
+        import numpy as _np
+
+        return pa.table(
+            {
+                "nation": pa.array([names[k] for k in df["nationkey"]]),
+                "revenue": pa.array(
+                    df["cents"].to_numpy(_np.float64) / 100.0
+                ),
+                "n_items": pa.array(df["n_items"].to_numpy(_np.int64)),
+            }
+        )
+
+    return finish(combine_small(partials, lambda t: t))
+
+
+# --------------------------------------------------------------------------
+# Relational division ("customers ALL of whose orders are urgent/high"):
+# per-key universal quantification as counting — each block collapses to
+# (custkey, n_orders, n_priority) partials, one groupby-sum, keep rows
+# where the two counts agree. No anti-join, no set materialization.
+
+
+@register(
+    "all_priority_customers",
+    sql="""
+    SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) = count(*) FILTER (
+      o_orderpriority IN ('1-URGENT', '2-HIGH'))
+    """,
+)
+def all_priority_customers(sf_dir: str):
+    import numpy as np
+
+    ds = table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pri = pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        tmp = pa.table(
+            {
+                "custkey": t["o_custkey"],
+                "hit": pc.cast(pri, pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(tmp, "custkey")
+            .aggregate([([], "count_all"), ("hit", "sum")])
+            .rename_columns(["custkey", "n_orders", "n_hit"])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, "custkey")
+            .aggregate([("n_orders", "sum"), ("n_hit", "sum")])
+            .rename_columns(["custkey", "n_orders", "n_hit"])
+        )
+        keep = pc.equal(agg["n_orders"], agg["n_hit"])
+        out = agg.filter(keep)
+        return pa.table(
+            {
+                "custkey": out["custkey"],
+                "n_orders": pc.cast(out["n_orders"], pa.int64()),
+            }
+        )
+
+    if table_num_rows(sf_dir, "orders") <= SMALL_COMBINE_ROWS:
+        return combine_small(partials, finish)
+    agg = partials.groupby("custkey").aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("n_hit", alias_name="n_hit")
+    )
+    return agg.filter(expr="n_orders == n_hit").map_batches(
+        lambda t: pa.table(
+            {
+                "custkey": t["custkey"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -351,3 +351,41 @@ def event_followup_5m_by_type(sf_dir: str):
         )
 
     return combine_small(partials, finish)
+
+
+# --------------------------------------------------------------------------
+# Robust statistics per event type: median and MAD (median absolute
+# deviation) of ``value``. Median is a global order statistic, so the
+# exact path partitions by the (fixed, small) event_type key and sorts
+# within each group; at web scale a single type's group outgrows one
+# worker — swap in the histogram-quantile path (event_value_quantiles)
+# there, documented trade. Matches DuckDB median()/mad() exactly: even
+# counts interpolate the two middle values.
+
+
+@register(
+    "event_value_robust_stats",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           ROUND(median(value), 6) AS med,
+           ROUND(mad(value), 6) AS mad
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_robust_stats(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_type", "value"])
+
+    def robust(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [len(v)],
+                "med": [round_half_away(np.array([med]), 6)[0]],
+                "mad": [round_half_away(np.array([mad]), 6)[0]],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(robust, batch_format="pandas")

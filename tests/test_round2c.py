@@ -203,3 +203,39 @@ def test_caption_pair_curation_matches_driver_recount(ray_session):
     assert got["n_pairs"].tolist() == want["n_pairs"].tolist()
     assert got["n_keep"].tolist() == want["n_keep"].tolist()
     assert int(got["n_pairs"].sum()) == len(pdf)
+
+
+@pytest.mark.parametrize(
+    "name", ["local_supplier_revenue", "all_priority_customers"]
+)
+def test_star_join_and_division_parity(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_duplicate_ngram_shuffle_path_equals_broadcast_path(ray_session):
+    """The at-scale groupby+join pipeline must produce the identical
+    per-doc fractions as the broadcast dup-set fast path."""
+    from raycrawl.ops.dedup import duplicate_ngram_fraction
+
+    fast = norm(duplicate_ngram_fraction(SF).to_pandas())
+    slow = norm(
+        duplicate_ngram_fraction(SF, force_shuffle_path=True).to_pandas()
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+@pytest.mark.parametrize(
+    "name", ["event_value_robust_stats", "doc_embedding_label_mix"]
+)
+def test_robust_and_crossmodal_parity(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_label_mix_join_path_equals_broadcast_path(ray_session):
+    from raycrawl.ops.mlprep import doc_embedding_label_mix
+
+    got = norm(doc_embedding_label_mix(SF, broadcast_max=0).to_pandas())
+    want = norm(oracle("doc_embedding_label_mix", SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
