@@ -616,7 +616,11 @@ def weighted_sample_docs(sf_dir: str):
             ).astype(np.float64)
             / _U64_DENOM
         )
-        key = np.power(u, 1.0 / np.maximum(w, 1.0))
+        # w == 0 → numpy key u^inf = 0.0 (sorts last under DESC); DuckDB's
+        # 1.0/0 is NULL → NULL key, also sorted last — both sides exclude
+        # zero-weight docs from the sample identically
+        with np.errstate(divide="ignore"):
+            key = np.power(u, 1.0 / w)
         order = np.lexsort((ids, -key))[:WEIGHTED_SAMPLE_K]
         return pa.table(
             {

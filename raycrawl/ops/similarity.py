@@ -389,7 +389,9 @@ def _list_f64_matrix(col) -> np.ndarray:
     vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
     offsets = col.offsets.to_numpy().astype(np.int64)
     widths = np.diff(offsets)
-    if len(widths) and (widths == widths[0]).all():
+    if len(widths) == 0:  # empty batch: 0-row matrix, width unknown
+        return vals.reshape(0, 0)
+    if (widths == widths[0]).all():
         return vals.reshape(len(widths), widths[0])
     raise ValueError("ragged embedding column")
 
