@@ -108,3 +108,17 @@ def cast_cols(ds: ray.data.Dataset, spec: dict[str, pa.DataType]) -> ray.data.Da
         return t
 
     return ds.map_batches(_cast, batch_format="pyarrow")
+
+
+def join_partitions(cap: int = 16, divisor: int = 4, floor: int = 4) -> int:
+    """Partition count for ``Dataset.join``: every partition spins a
+    hash-shuffle aggregator actor whose startup + memory churn dominates
+    small/medium joins — measured on this node (32 CPUs, 600k⋈150k rows):
+    8 partitions → 8.7 s, 16 → 10.8 s, 32 → 24.5 s; and on a 4-CPU node
+    32 partitions took >2 min vs ~6 s properly sized. So: CPUs/divisor,
+    clamped to [floor, cap]. On a real multi-node cluster the cap should
+    scale with node count (partitions spread across nodes); this helper
+    encodes the single-node measurement."""
+    import ray
+
+    return max(floor, min(cap, int(ray.cluster_resources().get("CPU", 8)) // divisor))

@@ -793,7 +793,9 @@ def doc_embedding_label_mix(sf_dir: str, broadcast_max: int | None = None):
         )
     else:  # embeddings table too big to broadcast
         emb_ds = table(sf_dir, "embeddings", ["vec_id", "label"])
-        n_parts = max(4, min(16, int(ray.cluster_resources().get("CPU", 8))))
+        from .common import join_partitions
+
+        n_parts = join_partitions()
         joined = docs.join(
             emb_ds,
             join_type="inner",

@@ -317,23 +317,50 @@ FROM f GROUP BY event_type
 
 
 @register("event_followup_5m_by_type", sql=_FOLLOW_SQL)
-def event_followup_5m_by_type(sf_dir: str):
+def event_followup_5m_by_type(sf_dir: str, n_buckets: int = 256):
     ds = table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def follow(g: pd.DataFrame) -> pd.DataFrame:
+    # partition by user BUCKET, not user: groupby(user).map_groups pays a
+    # per-group pandas call (~0.2 ms × users — measured 5.6 s at 29k
+    # users); one bucket holds many users and processes them ALL in one
+    # vectorized pass. The per-user windows stay correct inside a bucket
+    # via an offset-shift: after lexsort (user, ts), each user's relative
+    # timestamps are lifted onto a disjoint int64 range (user_rank × span,
+    # span > ts_range + window), so two global searchsorted calls answer
+    # every user's forward window at once with no cross-user bleed.
+    # n_buckets bounds group size at events/n_buckets — tune with cluster
+    # size; the key stays fixed-cardinality so the partial combine is tiny.
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int64))
+        )
+
+    def follow_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        ts_sorted = np.sort(ts, kind="stable")
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        new_user = np.concatenate([[True], uid_s[1:] != uid_s[:-1]])
+        urank = np.cumsum(new_user) - 1
+        ts0 = ts_s - ts_s.min()
+        span = np.int64(ts0.max()) + _FOLLOW_WINDOW_US + 1
+        shifted = urank * span + ts0
         n_follow = np.searchsorted(
-            ts_sorted, ts + _FOLLOW_WINDOW_US, side="right"
-        ) - np.searchsorted(ts_sorted, ts, side="right")
+            shifted, shifted + _FOLLOW_WINDOW_US, side="right"
+        ) - np.searchsorted(shifted, shifted, side="right")
         out = pd.DataFrame(
-            {"event_type": g["event_type"].to_numpy(), "nf": n_follow}
+            {"event_type": g["event_type"].to_numpy()[order], "nf": n_follow}
         )
         return out.groupby("event_type", as_index=False).agg(
             n_events=("nf", "size"), total_followups=("nf", "sum")
         )
 
-    partials = ds.groupby("user_id").map_groups(follow, batch_format="pandas")
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(follow_bucket, batch_format="pandas")
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         agg = t.group_by("event_type").aggregate(

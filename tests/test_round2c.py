@@ -239,3 +239,21 @@ def test_label_mix_join_path_equals_broadcast_path(ray_session):
     got = norm(doc_embedding_label_mix(SF, broadcast_max=0).to_pandas())
     want = norm(oracle("doc_embedding_label_mix", SF))
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_q5_join_path_equals_broadcast_path(ray_session):
+    from raycrawl.ops.queries import local_supplier_revenue
+
+    got = norm(local_supplier_revenue(SF, broadcast_max=0).to_pandas())
+    want = norm(oracle("local_supplier_revenue", SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_followup_single_bucket_equals_default(ray_session):
+    """The offset-shift bucketing must be exact even when every user
+    lands in one bucket (maximal cross-user adjacency)."""
+    from raycrawl.ops.temporal import event_followup_5m_by_type
+
+    got = norm(event_followup_5m_by_type(SF, n_buckets=1).to_pandas())
+    want = norm(oracle("event_followup_5m_by_type", SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
