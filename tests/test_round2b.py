@@ -28,16 +28,31 @@ def test_oracle_parity(ray_session, name):
 
 def test_interarrival_single_event_user_yields_nulls():
     """A user with exactly one event has no gaps: AVG/MAX over zero rows is
-    NULL on the SQL side, so the group fn must emit nulls, not zeros."""
-    from raycrawl.ops.temporal import interarrival_group_stats
+    NULL on the SQL side, so the bucket kernel must emit nulls, not zeros —
+    including when that user sits between multi-event users in the same
+    bucket (segment reduction must not leak neighbors' gaps)."""
+    from raycrawl.ops.temporal import interarrival_bucket_stats
 
     g = pd.DataFrame(
-        {"event_id": [1], "user_id": [42], "ts": pd.to_datetime(["2024-01-01"])}
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 42, 99, 99],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:01",
+                ]
+            ),
+        }
     )
-    out = interarrival_group_stats(g)
-    assert out["n_events"].iloc[0] == 1
-    assert pd.isna(out["avg_gap_us"].iloc[0])
-    assert pd.isna(out["max_gap_us"].iloc[0])
+    out = interarrival_bucket_stats(g).set_index("user_id")
+    assert out.loc[42, "n_events"] == 1
+    assert pd.isna(out.loc[42, "avg_gap_us"])
+    assert pd.isna(out.loc[42, "max_gap_us"])
+    assert pd.isna(out.loc[7, "avg_gap_us"])
+    assert out.loc[99, "max_gap_us"] == 60_000_000
 
 
 def test_transition_counts_total(ray_session):
