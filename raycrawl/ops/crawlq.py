@@ -614,19 +614,29 @@ def pair_phash_hamming_histogram(sf_dir: str):
             }
         )
 
-    def pair_dist(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:  # odd tail doc without a partner
-            return pd.DataFrame({"dist": pd.Series([], dtype="int64")})
+    # co-locate by pair BUCKET (pair_id % 256), then one vectorized pass
+    # handles every pair in the bucket: sort by pair_id, adjacent equal
+    # ids are the pair (≤2 members each), XOR + popcount in bulk — no
+    # per-pair Python call
+    def add_bucket(t: pa.Table) -> pa.Table:
+        pid = t["pair_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((pid % 256).astype(np.int64))
+        )
+
+    def pair_dist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pair_id")
+        pid = g["pair_id"].to_numpy()
         phu = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
-        # 1-element array: the SWAR multiply wraps by design, and numpy
-        # warns on uint64 scalar overflow but not on array overflow
-        d = int(_popcount64(np.array([phu[0] ^ phu[1]], dtype=np.uint64))[0])
-        return pd.DataFrame({"dist": [d]})
+        mate = pid[1:] == pid[:-1]  # incomplete (odd-tail) pairs drop out
+        d = _popcount64(phu[1:][mate] ^ phu[:-1][mate]).astype(np.int64)
+        return pd.DataFrame({"dist": d})
 
     dists = (
         ds.map_batches(build, batch_format="pyarrow", batch_size=128)
-        .groupby("pair_id")
-        .map_groups(pair_dist, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair_dist_bucket, batch_format="pandas")
     )
 
     def hist_partial(t: pa.Table) -> pa.Table:

@@ -317,8 +317,11 @@ def minhash_lsh_candidates(sf_dir: str):
         bands.map_batches(keep_multi, batch_format="pandas")
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
+        # cross-band dedup as ONE hash aggregate (distinct (a, b) rows) —
+        # a per-pair map_groups(head(1)) would pay a Python call per pair
         .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
     cand = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     cand_ids = sorted(set(cand["a"]) | set(cand["b"]))

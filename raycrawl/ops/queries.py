@@ -564,23 +564,37 @@ def customers_without_urgent_orders(sf_dir: str):
     FROM events GROUP BY user_id
     """,
 )
-def user_event_profile(sf_dir: str):
+def user_event_profile(sf_dir: str, n_buckets: int = 256):
     ds = table(sf_dir, "events", ["user_id", "ts", "value", "event_type"])
 
-    def prof(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "first_ts": [g["ts"].min()],
-                "total_value": [
-                    float((g["value"] * 100).round().astype("int64").sum()) / 100
-                ],
-                "n_types": [g["event_type"].nunique()],
-            }
+    # partition by user bucket (fixed cardinality), aggregate every user
+    # of the bucket in ONE pandas groupby (C-speed) — not one Python call
+    # per user
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int64))
         )
 
-    return ds.groupby("user_id").map_groups(prof, batch_format="pandas")
+    def prof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(cents=(g["value"] * 100).round().astype("int64"))
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("user_id", "size"),
+            first_ts=("ts", "min"),
+            cents=("cents", "sum"),
+            n_types=("event_type", "nunique"),
+        )
+        out["total_value"] = out.pop("cents").astype("float64") / 100
+        out["n_types"] = out["n_types"].astype("int64")
+        return out[["user_id", "n_events", "first_ts", "total_value", "n_types"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(prof_bucket, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------

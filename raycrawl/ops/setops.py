@@ -65,17 +65,35 @@ def union_name_initials(sf_dir: str):
     WHERE rnk <= 2
     """,
 )
-def top2_events_per_user(sf_dir: str):
+def top2_events_per_user(sf_dir: str, n_buckets: int = 256):
     ds = table(sf_dir, "events", ["user_id", "event_id", "value"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
-        g = g.reset_index(drop=True)
-        g["rnk"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+    # per-group top-k over a user BUCKET: one vectorized sort + cumcount
+    # ranks every user in the bucket at once (no per-user Python call)
+    def add_bucket(t):
+        import numpy as np
+        import pyarrow as pa
+
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int64))
+        )
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True]
+        )
+        g = g.assign(rnk=g.groupby("user_id").cumcount() + 1)
+        g = g[g["rnk"] <= 2].copy()
+        g["rnk"] = g["rnk"].astype("int64")
         g["value"] = g["value"].round(2)
         return g[["user_id", "event_id", "value", "rnk"]]
 
-    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(topk_bucket, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------
