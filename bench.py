@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "local_supplier_revenue",
     "event_followup_5m_by_type",
     "doc_embedding_label_mix",
+    # bucketed per-user window operators (segment-vectorized)
+    "asof_last_purchase",
+    "user_sessions_30m",
+    "sliding_window_counts",
 ]
 
 
