@@ -519,3 +519,99 @@ def label_centroid_cosine(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return combine_small(partials, finish)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training staple): for each query
+# vector, the top-k most-similar vectors with a DIFFERENT label — the
+# "close but wrong" examples a contrastive loss needs. Same broadcast
+# query matrix + streamed matmul shape as ann_bruteforce_topk with one
+# extra vectorized label mask; scores rounded to 4 decimals BEFORE
+# ranking on both sides so float-order jitter cannot flip ranks.
+
+HARD_NEG_K = 5
+
+
+def _query_labels(sf_dir: str) -> dict[int, int]:
+    import os
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "label"],
+        filter=pads.field("vec_id").isin(list(QUERY_IDS)),
+    )
+    df = t.to_pandas()
+    return dict(zip(df["vec_id"].astype(int), df["label"].astype(int)))
+
+
+@register(
+    "ann_hard_negatives",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+               FROM embeddings WHERE vec_id IN {tuple((0, 1, 2))}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 4)
+               AS cosine
+      FROM q JOIN embeddings e ON e.label != q.qlabel),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {HARD_NEG_K}
+    """,
+)
+def ann_hard_negatives(sf_dir: str):
+    q, qids = _load_queries(sf_dir)
+    qlabels = _query_labels(sf_dir)
+    qlab = np.asarray([qlabels[i] for i in qids], dtype=np.int64)
+    ref = ray.put((q, qids, qlab))
+
+    ds = table(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        qm, qid_list, qlab_arr = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = mat @ qm.T  # (rows, n_queries)
+        labels = df["label"].to_numpy().astype(np.int64)
+        out = []
+        for j, (qid, ql) in enumerate(zip(qid_list, qlab_arr)):
+            keep = labels != ql  # hard negatives: different label only
+            sub = pd.DataFrame(
+                {
+                    "qid": qid,
+                    "vec_id": df["vec_id"].to_numpy()[keep],
+                    "cosine": round_half_away(cos[keep, j], 4),
+                }
+            )
+            # per-block top-k partial (rounded-then-ranked, ties by vec_id)
+            sub = sub.sort_values(
+                ["cosine", "vec_id"], ascending=[False, True]
+            ).head(HARD_NEG_K)
+            out.append(sub)
+        return pd.concat(out, ignore_index=True)
+
+    pdf = ds.map_batches(
+        score, fn_kwargs={"ref": ref}, batch_format="pandas"
+    ).to_pandas()
+    out = []
+    for qid, g in pdf.groupby("qid"):
+        g = (
+            g.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(HARD_NEG_K)
+            .reset_index(drop=True)
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        out.append(g)
+    return pd.concat(out, ignore_index=True)

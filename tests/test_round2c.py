@@ -257,3 +257,17 @@ def test_followup_single_bucket_equals_default(ray_session):
     got = norm(event_followup_5m_by_type(SF, n_buckets=1).to_pandas())
     want = norm(oracle("event_followup_5m_by_type", SF))
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+
+
+def test_hard_negatives_parity_and_labels(ray_session):
+    got = norm(run_query("ann_hard_negatives", SF))
+    want = norm(oracle("ann_hard_negatives", SF))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=0, rtol=0)
+    # every mined negative must carry a label different from its query's
+    emb = pd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "label"]
+    ).set_index("vec_id")["label"]
+    raw = run_query("ann_hard_negatives", SF)
+    assert (
+        raw.apply(lambda r: emb[r["vec_id"]] != emb[r["qid"]], axis=1).all()
+    )
