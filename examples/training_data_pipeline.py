@@ -80,6 +80,35 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"[similarity/ivf] {len(ivf)} probe results from nprobe=2 "
           f"coarse-quantizer buckets")
 
+    from raycrawl.ops.similarity import ann_hard_negatives
+    from raycrawl.ops.textops import bm25_top_docs
+    from raycrawl.ops.dedup import duplicate_ngram_fraction
+    from raycrawl.ops.mlprep import (
+        temperature_mix_targets,
+        weighted_sample_docs,
+    )
+
+    hn = as_df(ann_hard_negatives(sf_dir))
+    print(f"[similarity/hard-neg] {len(hn)} cross-label hard negatives "
+          f"mined for contrastive training")
+
+    bm = as_df(bm25_top_docs(sf_dir))
+    print(f"[rank/bm25] top doc {int(bm['doc_id'].iloc[0])} at "
+          f"bm25={bm['bm25'].iloc[0]:.3f}")
+
+    dupfrac = as_df(duplicate_ngram_fraction(sf_dir))
+    boiler = (dupfrac["dup_frac"] > 0.5).sum()
+    print(f"[dedup/ngram-frac] {boiler}/{len(dupfrac)} docs are >50% "
+          f"shared 5-gram boilerplate")
+
+    mix = as_df(temperature_mix_targets(sf_dir))
+    print(f"[mix/temperature] flattened sampling targets over "
+          f"{len(mix)} languages (budget {int(mix['target_n'].sum())})")
+
+    ws = as_df(weighted_sample_docs(sf_dir))
+    print(f"[sample/a-es] {len(ws)} docs drawn length-weighted "
+          f"(mean n_chars {ws['n_chars'].mean():.0f})")
+
     # final curation — a genuinely CHAINED stream: drop the eval split AND
     # every contaminated train doc, mask sensitive terms in the survivors'
     # text, pack the FILTERED corpus into token-budget chunks, and write
@@ -141,12 +170,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
                         pa.int64())
         return t.append_column("chunk_block", block)
 
+    from raycrawl.io.partsink import (
+        read_partitioned,
+        write_partitioned_resumable,
+    )
+
     out = "/tmp/raycrawl_curated"
     shutil.rmtree(out, ignore_errors=True)
-    packed.map_batches(add_block, batch_format="pyarrow").write_parquet(
-        out, partition_cols=["chunk_block"]
+    blocks = packed.map_batches(add_block, batch_format="pyarrow")
+    r1 = write_partitioned_resumable(blocks, out, "chunk_block")
+    # a resumed run over the same input skips every committed partition
+    r2 = write_partitioned_resumable(
+        packed.map_batches(add_block, batch_format="pyarrow"), out,
+        "chunk_block",
     )
-    written = rd.read_parquet(out).to_pandas()
+    assert r2["written"] == [] and sorted(r2["skipped"]) == sorted(
+        r1["written"]
+    ), "resume must skip all committed partitions"
+    print(f"[curate/sink] {len(r1['written'])} partitions committed; "
+          f"resume skipped all {len(r2['skipped'])}")
+    written = read_partitioned(out, "chunk_block").to_pandas()
     assert not set(int(d) for d in written["doc_id"]) & set(
         int(d) for d in contam["doc_id"]
     ), "contaminated docs must not reach the packed output"
