@@ -739,3 +739,50 @@ def caption_pair_curation_stats(sf_dir: str):
         )
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"), finish)
+
+
+# --------------------------------------------------------------------------
+# Video shot segmentation over a deterministic multi-scene construction:
+# each video holds 9 frames in 3 scenes (frame pixels seeded by
+# scene = i // 3), so a correct detector reports exactly 2 cuts per
+# video. Rows-only (codec not SQL-expressible); the pytest python-oracle
+# asserts the exact per-video cut count the construction implies.
+
+
+@register("video_scene_cuts", sql=None)
+def video_scene_cuts(sf_dir: str):
+    import struct
+
+    import pyarrow as pa
+
+    from ..core.codec import encode_image, synth_pixels
+    from ..stages.multimodal import VIDEO_MAGIC, SceneCutDetector
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for doc_id in t["doc_id"].to_pylist():
+            frames = [
+                encode_image(
+                    synth_pixels(doc_id * 31 + (i // 3), 32, 24), "png"
+                )
+                for i in range(9)
+            ]
+            head = VIDEO_MAGIC + struct.pack("<I", len(frames))
+            body = b"".join(
+                struct.pack("<I", len(f)) + f for f in frames
+            )
+            ids.append(f"vid-{doc_id:08d}")
+            blobs.append(head + body)
+        return pa.table(
+            {
+                "video_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=64).map_batches(
+        SceneCutDetector, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 8),
+    )

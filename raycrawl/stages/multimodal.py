@@ -196,3 +196,52 @@ class AudioFeatures:
             duration_s=pa.array(dur, pa.float64()),
         )
         return pa.table(cols)
+
+
+class SceneCutDetector:
+    """Scene-change detection per video: phash every frame, a cut is a
+    consecutive-frame Hamming distance above ``threshold`` bits. Emits one
+    row per video (n_frames, n_cuts, max_jump) — the shot-segmentation
+    primitive a video-curation pipeline runs before per-shot sampling.
+    Actor-pool stage: construct once, decode per batch; payload bytes
+    never leave the stage."""
+
+    def __init__(self, threshold: int = 10):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vids, nfr, ncut, mjump = [], [], [], []
+        for vid_id, buf in zip(batch["video_id"].to_pylist(), batch["bytes"]):
+            frames = decode_video_frames(buf.as_py())
+            ph = np.array(
+                [phash64(f) for f in frames], dtype=np.int64
+            ).view(np.uint64)
+            if len(ph) >= 2:
+                x = ph[1:] ^ ph[:-1]
+                # SWAR popcount on the xor deltas
+                x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+                x = (x & np.uint64(0x3333333333333333)) + (
+                    (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+                )
+                x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+                d = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+                    np.int64
+                )
+                cuts = int((d > self.threshold).sum())
+                jump = int(d.max())
+            else:
+                cuts, jump = 0, 0
+            vids.append(vid_id)
+            nfr.append(len(ph))
+            ncut.append(cuts)
+            mjump.append(jump)
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "n_frames": pa.array(nfr, pa.int32()),
+                "n_cuts": pa.array(ncut, pa.int32()),
+                "max_jump": pa.array(mjump, pa.int32()),
+            }
+        )

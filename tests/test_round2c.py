@@ -271,3 +271,35 @@ def test_hard_negatives_parity_and_labels(ray_session):
     assert (
         raw.apply(lambda r: emb[r["vec_id"]] != emb[r["qid"]], axis=1).all()
     )
+
+
+def test_video_scene_cuts_match_construction(ray_session):
+    """Construction plants 3 scenes of 3 identical frames per video, so
+    within-scene phash deltas are 0 and only the 2 transitions can cut.
+    The exact cut count per video is checked against a local python
+    oracle built from the same phash primitive (two scene seeds can land
+    within the Hamming threshold by chance — e.g. doc 441's first
+    transition measures 8 bits — so 'always exactly 2' would be wrong)."""
+    from raycrawl.core.codec import decode_image, encode_image, phash64, synth_pixels
+
+    got = run_query("video_scene_cuts", SF).sort_values("video_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert len(got) == len(docs)
+    assert (got["n_frames"] == 9).all()
+    # within-scene frames are identical => never more than 2 cuts
+    assert (got["n_cuts"] <= 2).all()
+
+    def oracle_cuts(doc_id: int) -> tuple[int, int]:
+        ph = [
+            phash64(decode_image(encode_image(synth_pixels(doc_id * 31 + s, 32, 24), "png"))[0])
+            for s in range(3)
+        ]
+        seq = [ph[0]] * 3 + [ph[1]] * 3 + [ph[2]] * 3
+        d = [bin((seq[i] ^ seq[i + 1]) & ((1 << 64) - 1)).count("1") for i in range(8)]
+        return sum(1 for x in d if x > 10), max(d)
+
+    want = docs["doc_id"].map(lambda d: oracle_cuts(int(d)))
+    assert (got["n_cuts"].to_numpy() == want.map(lambda t: t[0]).to_numpy()).all()
+    assert (got["max_jump"].to_numpy() == want.map(lambda t: t[1]).to_numpy()).all()
+    # the construction plants detectable cuts in the overwhelming majority
+    assert (got["n_cuts"] == 2).mean() > 0.98
