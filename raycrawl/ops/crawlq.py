@@ -749,40 +749,60 @@ def caption_pair_curation_stats(sf_dir: str):
 # asserts the exact per-video cut count the construction implies.
 
 
-@register("video_scene_cuts", sql=None)
-def video_scene_cuts(sf_dir: str):
+def _build_scene_videos(t: "pa.Table") -> "pa.Table":
+    """9-frame / 3-scene synthetic video per doc (frame pixels seeded by
+    scene = i // 3) — the deterministic construction both video-curation
+    queries run over."""
     import struct
 
     import pyarrow as pa
 
     from ..core.codec import encode_image, synth_pixels
-    from ..stages.multimodal import VIDEO_MAGIC, SceneCutDetector
+    from ..stages.multimodal import VIDEO_MAGIC
+
+    ids, blobs = [], []
+    for doc_id in t["doc_id"].to_pylist():
+        frames = [
+            encode_image(synth_pixels(doc_id * 31 + (i // 3), 32, 24), "png")
+            for i in range(9)
+        ]
+        head = VIDEO_MAGIC + struct.pack("<I", len(frames))
+        body = b"".join(struct.pack("<I", len(f)) + f for f in frames)
+        ids.append(f"vid-{doc_id:08d}")
+        blobs.append(head + body)
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+        }
+    )
+
+
+@register("video_scene_cuts", sql=None)
+def video_scene_cuts(sf_dir: str):
+    from ..stages.multimodal import SceneCutDetector
 
     ds = table(sf_dir, "documents", ["doc_id"])
-
-    def build(t: pa.Table) -> pa.Table:
-        ids, blobs = [], []
-        for doc_id in t["doc_id"].to_pylist():
-            frames = [
-                encode_image(
-                    synth_pixels(doc_id * 31 + (i // 3), 32, 24), "png"
-                )
-                for i in range(9)
-            ]
-            head = VIDEO_MAGIC + struct.pack("<I", len(frames))
-            body = b"".join(
-                struct.pack("<I", len(f)) + f for f in frames
-            )
-            ids.append(f"vid-{doc_id:08d}")
-            blobs.append(head + body)
-        return pa.table(
-            {
-                "video_id": pa.array(ids, pa.string()),
-                "bytes": pa.array(blobs, pa.large_binary()),
-            }
-        )
-
-    return ds.map_batches(build, batch_format="pyarrow", batch_size=64).map_batches(
+    return ds.map_batches(
+        _build_scene_videos, batch_format="pyarrow", batch_size=64
+    ).map_batches(
         SceneCutDetector, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 8),
+    )
+
+
+@register("video_shot_keyframes", sql=None)
+def video_shot_keyframes(sf_dir: str):
+    """One row per detected shot with the middle frame's phash — the
+    per-shot representative sample a video pipeline embeds instead of
+    every frame. Rows-only (codec not SQL-expressible); the pytest
+    python-oracle replays the construction exactly."""
+    from ..stages.multimodal import ShotKeyframes
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(
+        _build_scene_videos, batch_format="pyarrow", batch_size=64
+    ).map_batches(
+        ShotKeyframes, batch_format="pyarrow", batch_size=32,
         concurrency=(1, 8),
     )

@@ -167,6 +167,81 @@ def stratified_sample_docs(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Deterministic train/val/test split audit: every doc is assigned a split
+# by hash bucket (md5 % 100 → train <90, val <95, test otherwise — the
+# standard holdout a training run carves before touching the data) and the
+# op reports per-(lang, split) counts, the stratification check that
+# confirms the hash split didn't skew a language. Assignment is pure
+# per-row hashing (streamed, no shuffle); counts collapse per block into
+# ≤ langs×3 partial rows, then one local Arrow combine (fixed-cardinality
+# key → combine_small needs no row gate).
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95  # val = buckets [90, 95); test = [95, 100)
+
+
+@register(
+    "train_eval_split_counts",
+    sql=f"""
+    WITH b AS (
+      SELECT lang,
+             md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS bucket
+      FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY lang, split
+    """,
+)
+def train_eval_split_counts(sf_dir: str):
+    from .common import combine_small
+
+    ds = table(sf_dir, "documents", ["doc_id", "lang"])
+    names = np.array(["train", "val", "test"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        bucket = np.fromiter(
+            (md5_u64_le(str(d)) % 100 for d in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = names[
+            np.where(
+                bucket < SPLIT_TRAIN_PCT,
+                0,
+                np.where(bucket < SPLIT_VAL_PCT, 1, 2),
+            )
+        ]
+        tmp = pa.table(
+            {
+                "lang": t["lang"],
+                "split": pa.array(split, pa.string()),
+                "n_docs": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+        return (
+            pa.TableGroupBy(tmp, ["lang", "split"])
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["lang", "split", "n_docs"])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, ["lang", "split"])
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["lang", "split", "n_docs"])
+        )
+        return agg.set_column(
+            2, "n_docs", pc.cast(agg["n_docs"], pa.int64())
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"), finish)
+
+
+# --------------------------------------------------------------------------
 # Left-outer-join enrichment with zero-fill: every customer annotated with
 # its URGENT-order count and spend (0 if none). Unlike the broadcast-set
 # anti-join (customers_without_urgent_orders), both sides here are

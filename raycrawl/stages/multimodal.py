@@ -198,6 +198,30 @@ class AudioFeatures:
         return pa.table(cols)
 
 
+def _popcount_u64(x: "np.ndarray") -> "np.ndarray":
+    """SWAR popcount over a uint64 array, returned as int64."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _frame_phash_deltas(buf: bytes) -> tuple["np.ndarray", "np.ndarray"]:
+    """Decode a video blob → (per-frame phash int64 array, consecutive
+    Hamming distances). The shared primitive behind scene-cut detection
+    and shot keyframe sampling."""
+    frames = decode_video_frames(buf)
+    ph = np.array([phash64(f) for f in frames], dtype=np.int64)
+    if len(ph) >= 2:
+        u = ph.view(np.uint64)
+        d = _popcount_u64(u[1:] ^ u[:-1])
+    else:
+        d = np.zeros(0, dtype=np.int64)
+    return ph, d
+
+
 class SceneCutDetector:
     """Scene-change detection per video: phash every frame, a cut is a
     consecutive-frame Hamming distance above ``threshold`` bits. Emits one
@@ -210,38 +234,54 @@ class SceneCutDetector:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         vids, nfr, ncut, mjump = [], [], [], []
         for vid_id, buf in zip(batch["video_id"].to_pylist(), batch["bytes"]):
-            frames = decode_video_frames(buf.as_py())
-            ph = np.array(
-                [phash64(f) for f in frames], dtype=np.int64
-            ).view(np.uint64)
-            if len(ph) >= 2:
-                x = ph[1:] ^ ph[:-1]
-                # SWAR popcount on the xor deltas
-                x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-                x = (x & np.uint64(0x3333333333333333)) + (
-                    (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
-                )
-                x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-                d = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
-                    np.int64
-                )
-                cuts = int((d > self.threshold).sum())
-                jump = int(d.max())
-            else:
-                cuts, jump = 0, 0
+            _, d = _frame_phash_deltas(buf.as_py())
             vids.append(vid_id)
-            nfr.append(len(ph))
-            ncut.append(cuts)
-            mjump.append(jump)
+            nfr.append(len(d) + 1 if len(d) else 0)
+            ncut.append(int((d > self.threshold).sum()) if len(d) else 0)
+            mjump.append(int(d.max()) if len(d) else 0)
         return pa.table(
             {
                 "video_id": pa.array(vids, pa.string()),
                 "n_frames": pa.array(nfr, pa.int32()),
                 "n_cuts": pa.array(ncut, pa.int32()),
                 "max_jump": pa.array(mjump, pa.int32()),
+            }
+        )
+
+
+class ShotKeyframes:
+    """Per-shot representative-frame sampling: split each video at its
+    scene cuts (consecutive-frame phash Hamming distance > ``threshold``)
+    and emit one row per shot with the MIDDLE frame's phash as the shot
+    key — the frame a video-curation pipeline would embed/caption instead
+    of processing every frame. Output rows are ~40 B each regardless of
+    video size; the bytes never leave the stage."""
+
+    def __init__(self, threshold: int = 10):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, shot, start, nfr, key = [], [], [], [], []
+        for vid_id, buf in zip(batch["video_id"].to_pylist(), batch["bytes"]):
+            ph, d = _frame_phash_deltas(buf.as_py())
+            if not len(ph):
+                continue
+            # cut after frame i when d[i] > threshold
+            bounds = [0] + [i + 1 for i in np.nonzero(d > self.threshold)[0]] + [len(ph)]
+            for s, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+                vids.append(vid_id)
+                shot.append(s)
+                start.append(lo)
+                nfr.append(hi - lo)
+                key.append(int(ph[(lo + hi - 1) // 2]))
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "shot_idx": pa.array(shot, pa.int32()),
+                "start_frame": pa.array(start, pa.int32()),
+                "n_frames": pa.array(nfr, pa.int32()),
+                "key_phash": pa.array(key, pa.int64()),
             }
         )

@@ -22,6 +22,7 @@ SF = "/root/testdata/sf0.001"
         "event_followup_5m_by_type",
         "embedding_norm_stats",
         "label_centroid_cosine",
+        "train_eval_split_counts",
     ],
 )
 def test_oracle_parity(ray_session, name):
@@ -303,3 +304,40 @@ def test_video_scene_cuts_match_construction(ray_session):
     assert (got["max_jump"].to_numpy() == want.map(lambda t: t[1]).to_numpy()).all()
     # the construction plants detectable cuts in the overwhelming majority
     assert (got["n_cuts"] == 2).mean() > 0.98
+
+
+def test_video_shot_keyframes_match_python_oracle(ray_session):
+    """Shots must tile each video exactly (start/n_frames partition
+    [0, 9)), shot count must equal n_cuts + 1 from video_scene_cuts, and
+    every keyframe phash must equal the python-oracle phash of the shot's
+    middle frame."""
+    from raycrawl.core.codec import decode_image, encode_image, phash64, synth_pixels
+
+    got = run_query("video_shot_keyframes", SF).sort_values(
+        ["video_id", "shot_idx"]
+    ).reset_index(drop=True)
+    cuts = run_query("video_scene_cuts", SF).set_index("video_id")
+
+    # per-video tiling: starts/lengths partition the 9 frames in order
+    for vid, g in got.groupby("video_id"):
+        g = g.sort_values("shot_idx")
+        assert list(g["shot_idx"]) == list(range(len(g)))
+        assert g["start_frame"].iloc[0] == 0
+        assert (
+            g["start_frame"].iloc[1:].to_numpy()
+            == (g["start_frame"] + g["n_frames"]).iloc[:-1].to_numpy()
+        ).all()
+        assert int((g["start_frame"] + g["n_frames"]).iloc[-1]) == 9
+        assert len(g) == int(cuts.loc[vid, "n_cuts"]) + 1
+
+    # keyframe phash == phash of the shot's middle frame, replayed locally
+    sample = got[got["video_id"].isin(sorted(got["video_id"].unique())[:25])]
+    for _, r in sample.iterrows():
+        doc_id = int(r["video_id"].split("-")[1])
+        mid = (int(r["start_frame"]) + int(r["start_frame"]) + int(r["n_frames"]) - 1) // 2
+        ph = phash64(
+            decode_image(
+                encode_image(synth_pixels(doc_id * 31 + (mid // 3), 32, 24), "png")
+            )[0]
+        )
+        assert int(r["key_phash"]) == ph
