@@ -791,6 +791,58 @@ def video_scene_cuts(sf_dir: str):
     )
 
 
+@register("audio_speech_segments", sql=None)
+def audio_speech_segments(sf_dir: str):
+    """VAD-style speech/silence segmentation over deterministically
+    planted burst audio: each doc's clip is silence(100ms) then
+    (2 + doc_id % 4) repetitions of speech(100ms)+silence(100ms), so a
+    correct segmenter recovers exactly 2·n_bursts+1 alternating 100 ms
+    segments. Rows-only (codec not SQL-expressible); the pytest
+    python-oracle asserts the exact layout."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.multimodal import AUDIO_MAGIC, SAMPLE_RATE, SpeechSegments
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        sr = SAMPLE_RATE
+        n = sr // 10  # 100 ms blocks
+        tt = np.arange(n) / sr
+        speech_blk = 0.5 * np.sin(2 * np.pi * 440 * tt)
+        ids, blobs = [], []
+        for doc_id in t["doc_id"].to_pylist():
+            rng = np.random.Generator(np.random.PCG64(doc_id))
+            bursts = 2 + doc_id % 4
+            parts = [np.zeros(n)]
+            for _ in range(bursts):
+                parts.append(speech_blk)
+                parts.append(np.zeros(n))
+            sig = np.concatenate(parts)
+            # sub-threshold noise floor keeps the detection honest
+            sig = sig + rng.normal(0, 0.005, len(sig))
+            pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+            ids.append(f"aud-{doc_id:08d}")
+            blobs.append(
+                AUDIO_MAGIC + struct.pack("<I", sr) + zlib.compress(pcm.tobytes())
+            )
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=64).map_batches(
+        SpeechSegments, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 8),
+    )
+
+
 @register("video_shot_keyframes", sql=None)
 def video_shot_keyframes(sf_dir: str):
     """One row per detected shot with the middle frame's phash — the

@@ -178,6 +178,48 @@ def decode_real_audio(data: bytes) -> tuple[np.ndarray, int]:
     raise NotImplementedError("real audio decoding requires soundfile/librosa")
 
 
+class SpeechSegments:
+    """VAD-style segmentation: framewise RMS (``frame_ms`` windows) is
+    thresholded into speech/silence activity and run-length encoded into
+    segments — the split an audio-curation pipeline runs before ASR or
+    per-utterance sampling. One row per segment (audio_id, seg_idx,
+    is_speech, start_ms, dur_ms); ~40 B each regardless of clip length,
+    bytes never leave the stage."""
+
+    def __init__(self, frame_ms: int = 20, rms_threshold: float = 0.05):
+        self.frame_ms = frame_ms
+        self.rms_threshold = rms_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        aids, seg, speech, start, dur = [], [], [], [], []
+        for aid, buf in zip(batch["audio_id"].to_pylist(), batch["bytes"]):
+            pcm, sr = decode_audio(buf.as_py())
+            x = pcm.astype(np.float64) / 32768.0
+            flen = sr * self.frame_ms // 1000
+            nf = len(x) // flen
+            if not nf:
+                continue
+            fr = x[: nf * flen].reshape(nf, flen)
+            act = np.sqrt((fr * fr).mean(axis=1)) > self.rms_threshold
+            change = np.nonzero(np.diff(act))[0] + 1
+            bounds = [0, *change.tolist(), nf]
+            for s, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+                aids.append(aid)
+                seg.append(s)
+                speech.append(bool(act[lo]))
+                start.append(lo * self.frame_ms)
+                dur.append((hi - lo) * self.frame_ms)
+        return pa.table(
+            {
+                "audio_id": pa.array(aids, pa.string()),
+                "seg_idx": pa.array(seg, pa.int32()),
+                "is_speech": pa.array(speech, pa.bool_()),
+                "start_ms": pa.array(start, pa.int32()),
+                "dur_ms": pa.array(dur, pa.int32()),
+            }
+        )
+
+
 class AudioFeatures:
     """RMS energy + zero-crossing rate per payload (numpy, vectorized)."""
 

@@ -341,3 +341,23 @@ def test_video_shot_keyframes_match_python_oracle(ray_session):
             )[0]
         )
         assert int(r["key_phash"]) == ph
+
+
+def test_audio_speech_segments_match_construction(ray_session):
+    """The construction plants silence + n_bursts × (speech+silence) in
+    exact 100 ms blocks aligned to the 20 ms VAD frames, so the segmenter
+    must recover exactly 2·n_bursts+1 alternating 100 ms segments (the
+    planted noise floor sits 10× below the RMS threshold)."""
+    got = run_query("audio_speech_segments", SF).sort_values(
+        ["audio_id", "seg_idx"]
+    ).reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert got["audio_id"].nunique() == len(docs)
+    assert (got["dur_ms"] == 100).all()
+    for aid, g in got.groupby("audio_id"):
+        doc_id = int(aid.split("-")[1])
+        n_seg = 2 * (2 + doc_id % 4) + 1
+        g = g.sort_values("seg_idx")
+        assert len(g) == n_seg
+        assert list(g["is_speech"]) == [i % 2 == 1 for i in range(n_seg)]
+        assert (g["start_ms"].to_numpy() == np.arange(n_seg) * 100).all()
