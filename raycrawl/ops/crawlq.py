@@ -791,6 +791,21 @@ def video_scene_cuts(sf_dir: str):
     )
 
 
+@register("image_augment_train", sql=None)
+def image_augment_train(sf_dir: str):
+    """Deterministic hash-seeded augmentation (flip / 87.5% crop /
+    brightness) over the crawl payload images, emitting per-image
+    transform params + augmented phash. Rows-only (codec not
+    SQL-expressible); the pytest python-oracle replays the transform
+    pixel-exactly."""
+    from ..stages.multimodal import ImageAugment
+
+    return _payload_images(sf_dir).map_batches(
+        ImageAugment, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 8),
+    )
+
+
 @register("audio_speech_segments", sql=None)
 def audio_speech_segments(sf_dir: str):
     """VAD-style speech/silence segmentation over deterministically

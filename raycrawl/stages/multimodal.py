@@ -89,6 +89,79 @@ class ImageResize:
         return pa.table(cols)
 
 
+AUG_CROP_FRAC = 0.875  # the classic 87.5% random-crop of training loaders
+
+
+def augment_params(image_id: str, w: int, h: int) -> tuple[bool, int, int, int]:
+    """Deterministic augmentation draw for one image: (flip, crop_x,
+    crop_y, bright_pct). Seeded from md5 of the image id so any replica
+    (and the python test oracle) derives the identical transform —
+    the property a resumable training pipeline needs from its
+    augmentation pass."""
+    import hashlib
+
+    h64 = int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "little")
+    cw = max(1, int(w * AUG_CROP_FRAC))
+    ch = max(1, int(h * AUG_CROP_FRAC))
+    return (
+        bool(h64 & 1),
+        int((h64 >> 1) % (w - cw + 1)),
+        int((h64 >> 17) % (h - ch + 1)),
+        int(80 + (h64 >> 33) % 41),  # brightness 80..120%
+    )
+
+
+def apply_augment(px: np.ndarray, image_id: str) -> tuple[np.ndarray, tuple]:
+    """Flip → crop → brightness, all integer-exact (half-up rounding) so
+    the transform replays bit-identically anywhere."""
+    h, w, _ = px.shape
+    flip, cx, cy, pct = augment_params(image_id, w, h)
+    if flip:
+        px = px[:, ::-1]
+    cw = max(1, int(w * AUG_CROP_FRAC))
+    ch = max(1, int(h * AUG_CROP_FRAC))
+    px = px[cy : cy + ch, cx : cx + cw]
+    px = np.clip(
+        np.floor(px.astype(np.float64) * pct / 100.0 + 0.5), 0, 255
+    ).astype(np.uint8)
+    return px, (flip, cx, cy, pct)
+
+
+class ImageAugment:
+    """Deterministic train-time augmentation (hash-seeded flip / 87.5%
+    crop / brightness jitter) emitting the transform params and the
+    augmented image's phash per row — the per-epoch augmentation pass of
+    an image training pipeline, reproducible across retries because the
+    draw is a pure function of the image id. Bytes never leave the
+    stage; output rows are ~50 B."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, flips, cxs, cys, pcts, ws, hs, phs = [], [], [], [], [], [], [], []
+        for image_id, buf in zip(batch["image_id"].to_pylist(), batch["bytes"]):
+            px, _ = decode_image(buf.as_py())
+            out, (flip, cx, cy, pct) = apply_augment(px, image_id)
+            ids.append(image_id)
+            flips.append(flip)
+            cxs.append(cx)
+            cys.append(cy)
+            pcts.append(pct)
+            hs.append(out.shape[0])
+            ws.append(out.shape[1])
+            phs.append(phash64(out))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "flip": pa.array(flips, pa.bool_()),
+                "crop_x": pa.array(cxs, pa.int32()),
+                "crop_y": pa.array(cys, pa.int32()),
+                "bright_pct": pa.array(pcts, pa.int32()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "aug_phash": pa.array(phs, pa.int64()),
+            }
+        )
+
+
 # ------------------------------------------------------------------- video
 
 VIDEO_MAGIC = b"FVID"

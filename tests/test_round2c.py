@@ -343,6 +343,36 @@ def test_video_shot_keyframes_match_python_oracle(ray_session):
         assert int(r["key_phash"]) == ph
 
 
+def test_image_augment_replays_exactly(ray_session):
+    """The augmentation draw is a pure function of the image id, so a
+    local replay (same synth pixels → same flip/crop/brightness → same
+    phash) must match the distributed stage bit-exactly, and the crop
+    dims must be the 87.5% of each source image."""
+    from raycrawl.core.codec import decode_image, encode_image, phash64, synth_pixels
+    from raycrawl.stages.multimodal import apply_augment, augment_params
+
+    got = run_query("image_augment_train", SF).sort_values("image_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert len(got) == len(docs)
+    # both flip outcomes and a spread of brightness draws must occur
+    assert 0 < got["flip"].mean() < 1
+    assert got["bright_pct"].between(80, 120).all()
+    assert got["bright_pct"].nunique() > 10
+
+    for _, r in got.head(40).iterrows():
+        doc_id = int(r["image_id"].split("-")[1])
+        w = 32 + (doc_id * 7) % 33
+        h = 32 + (doc_id * 11) % 33
+        fmt = "png" if doc_id % 2 == 0 else "jpeg"
+        px = decode_image(encode_image(synth_pixels(doc_id, w, h), fmt))[0]
+        out, (flip, cx, cy, pct) = apply_augment(px, r["image_id"])
+        assert (bool(r["flip"]), int(r["crop_x"]), int(r["crop_y"]),
+                int(r["bright_pct"])) == (flip, cx, cy, pct)
+        assert (int(r["h"]), int(r["w"])) == out.shape[:2]
+        assert int(r["aug_phash"]) == phash64(out)
+        assert augment_params(r["image_id"], w, h) == (flip, cx, cy, pct)
+
+
 def test_audio_speech_segments_match_construction(ray_session):
     """The construction plants silence + n_bursts × (speech+silence) in
     exact 100 ms blocks aligned to the 20 ms VAD frames, so the segmenter
