@@ -351,9 +351,9 @@ class SceneCutDetector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids, nfr, ncut, mjump = [], [], [], []
         for vid_id, buf in zip(batch["video_id"].to_pylist(), batch["bytes"]):
-            _, d = _frame_phash_deltas(buf.as_py())
+            ph, d = _frame_phash_deltas(buf.as_py())
             vids.append(vid_id)
-            nfr.append(len(d) + 1 if len(d) else 0)
+            nfr.append(len(ph))
             ncut.append(int((d > self.threshold).sum()) if len(d) else 0)
             mjump.append(int(d.max()) if len(d) else 0)
         return pa.table(

@@ -373,6 +373,38 @@ def test_image_augment_replays_exactly(ray_session):
         assert augment_params(r["image_id"], w, h) == (flip, cx, cy, pct)
 
 
+def test_scene_stages_single_frame_edge():
+    """A one-frame video has no deltas: the detector must still count the
+    frame (n_frames=1, 0 cuts) and the keyframe sampler must emit exactly
+    one whole-video shot."""
+    import struct
+
+    import pyarrow as pa
+
+    from raycrawl.core.codec import encode_image, synth_pixels
+    from raycrawl.stages.multimodal import (
+        VIDEO_MAGIC,
+        SceneCutDetector,
+        ShotKeyframes,
+    )
+
+    f = encode_image(synth_pixels(7, 32, 24), "png")
+    blob = VIDEO_MAGIC + struct.pack("<I", 1) + struct.pack("<I", len(f)) + f
+    batch = pa.table(
+        {
+            "video_id": pa.array(["vid-1"], pa.string()),
+            "bytes": pa.array([blob], pa.large_binary()),
+        }
+    )
+    cuts = SceneCutDetector()(batch)
+    assert cuts["n_frames"].to_pylist() == [1]
+    assert cuts["n_cuts"].to_pylist() == [0]
+    shots = ShotKeyframes()(batch)
+    assert shots["shot_idx"].to_pylist() == [0]
+    assert shots["start_frame"].to_pylist() == [0]
+    assert shots["n_frames"].to_pylist() == [1]
+
+
 def test_audio_speech_segments_match_construction(ray_session):
     """The construction plants silence + n_bursts × (speech+silence) in
     exact 100 ms blocks aligned to the 20 ms VAD frames, so the segmenter
