@@ -59,17 +59,55 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+# Real-format magic bytes (public file signatures): dispatch MUST happen
+# before any fake-codec header parsing — a real JPEG fed to the fake
+# decoder would die in zlib with an unrelated error instead of reaching
+# the clearly-marked integration seam.
+MAGIC_REAL_PNG = b"\x89PNG\r\n\x1a\n"
+MAGIC_REAL_JPEG = b"\xff\xd8\xff"
+MAGIC_REAL_GIF = (b"GIF87a", b"GIF89a")
+MAGIC_REAL_WEBP_RIFF = b"RIFF"  # + "WEBP" at offset 8
+
+
+def sniff_image_format(data: bytes) -> str:
+    """Classify payload bytes by magic: 'fake-png' / 'fake-jpeg' for the
+    synthetic codec, 'png'/'jpeg'/'gif'/'webp' for real formats, 'unknown'
+    otherwise. Pure byte inspection — safe on arbitrary input."""
+    if data[:4] == MAGIC_PNG:
+        return "fake-png"
+    if data[:4] == MAGIC_JPG:
+        return "fake-jpeg"
+    if data[:8] == MAGIC_REAL_PNG:
+        return "png"
+    if data[:3] == MAGIC_REAL_JPEG:
+        return "jpeg"
+    if data[:6] in MAGIC_REAL_GIF:
+        return "gif"
+    if data[:4] == MAGIC_REAL_WEBP_RIFF and data[8:12] == b"WEBP":
+        return "webp"
+    return "unknown"
+
+
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """Decode a synthetic payload → (H×W×3 uint8 pixels, fmt)."""
-    magic, (w, h) = data[:4], struct.unpack("<II", data[4:12])
+    """Decode an image payload → (H×W×3 uint8 pixels, fmt).
+
+    Dispatches on magic bytes FIRST: fake-codec headers take the synthetic
+    path; real PNG/JPEG/GIF/WEBP signatures route to ``decode_real_image``
+    (the marked env-gated seam); anything else is a corrupt payload."""
+    kind = sniff_image_format(data)
+    if kind in ("png", "jpeg", "gif", "webp"):
+        return decode_real_image(data)
+    if kind == "unknown":
+        raise ValueError(
+            f"unrecognized image payload (first bytes {data[:8]!r})"
+        )
+    (w, h) = struct.unpack("<II", data[4:12])
     raw = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8)
-    if magic == MAGIC_PNG:
+    if kind == "fake-png":
         return raw.reshape(h, w, 3), "png"
-    if magic == MAGIC_JPG:
-        # dequantize to interval midpoint (error ≤ 2 per channel)
-        px = np.clip(raw.reshape(h, w, 3).astype(np.int16) * _Q + _Q // 2, 0, 255)
-        return px.astype(np.uint8), "jpeg"
-    return decode_real_image(data)
+    # fake-jpeg: dequantize to interval midpoint (error ≤ 2 per channel)
+    px = np.clip(raw.reshape(h, w, 3).astype(np.int16) * _Q + _Q // 2, 0, 255)
+    return px.astype(np.uint8), "jpeg"
 
 
 def decode_real_image(data: bytes) -> tuple[np.ndarray, str]:

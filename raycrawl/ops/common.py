@@ -110,15 +110,24 @@ def cast_cols(ds: ray.data.Dataset, spec: dict[str, pa.DataType]) -> ray.data.Da
     return ds.map_batches(_cast, batch_format="pyarrow")
 
 
-def join_partitions(cap: int = 16, divisor: int = 4, floor: int = 4) -> int:
+def join_partitions(cap_per_node: int = 16, divisor: int = 4, floor: int = 4) -> int:
     """Partition count for ``Dataset.join``: every partition spins a
     hash-shuffle aggregator actor whose startup + memory churn dominates
     small/medium joins — measured on this node (32 CPUs, 600k⋈150k rows):
     8 partitions → 8.7 s, 16 → 10.8 s, 32 → 24.5 s; and on a 4-CPU node
     32 partitions took >2 min vs ~6 s properly sized. So: CPUs/divisor,
-    clamped to [floor, cap]. On a real multi-node cluster the cap should
-    scale with node count (partitions spread across nodes); this helper
-    encodes the single-node measurement."""
+    clamped to [floor, cap]. The cap scales with ALIVE NODE COUNT so a
+    multi-node cluster spreads aggregators across nodes instead of
+    serializing the shuffle through a single-node-sized pool; the
+    single-node numbers above set cap_per_node. Every ``Dataset.join``
+    in this repo must size ``num_partitions`` through this helper (a
+    grep-based pytest enforces it)."""
     import ray
 
-    return max(floor, min(cap, int(ray.cluster_resources().get("CPU", 8)) // divisor))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        nodes = sum(1 for n in ray.nodes() if n.get("Alive"))
+    except Exception:  # pragma: no cover - nodes() needs an initialized Ray
+        nodes = 1
+    cap = cap_per_node * max(1, nodes)
+    return max(floor, min(cap, cpus // divisor))

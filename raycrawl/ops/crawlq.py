@@ -67,19 +67,20 @@ def crawl_payload(sf_dir: str):
     )
 
 
-@register("crawl_frontier_metrics", sql=None)
-def crawl_frontier_metrics(sf_dir: str):
-    """Per-shard lineage metrics from the final checkpoint manifests."""
+def frontier_metrics_frame(out_dir: str):
+    """Per-shard lineage metrics from the final checkpoint manifests of any
+    crawl output directory. Shared by the registry query and the
+    reconciliation pytest (manifest totals must equal the live
+    ``CrawlStats`` counters)."""
     import json
 
     import pandas as pd
 
     from ..crawler import latest_checkpoint_epoch
 
-    out = _crawl_out_dir(sf_dir)
-    epoch = latest_checkpoint_epoch(out)
+    epoch = latest_checkpoint_epoch(out_dir)
     rows = []
-    ckpt = os.path.join(out, "checkpoints", f"epoch={epoch}")
+    ckpt = os.path.join(out_dir, "checkpoints", f"epoch={epoch}")
     for d in sorted(os.listdir(ckpt)):
         if not d.startswith("shard="):
             continue
@@ -96,6 +97,12 @@ def crawl_frontier_metrics(sf_dir: str):
             )
         )
     return pd.DataFrame(rows)
+
+
+@register("crawl_frontier_metrics", sql=None)
+def crawl_frontier_metrics(sf_dir: str):
+    """Per-shard lineage metrics from the final checkpoint manifests."""
+    return frontier_metrics_frame(_crawl_out_dir(sf_dir))
 
 
 # ----------------------------------------------------------- multimodal

@@ -29,7 +29,14 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
-from .common import SMALL_COMBINE_ROWS, combine_small, md5_u64_le, table, table_num_rows
+from .common import (
+    SMALL_COMBINE_ROWS,
+    combine_small,
+    join_partitions,
+    md5_u64_le,
+    table,
+    table_num_rows,
+)
 from .queries import register
 
 
@@ -159,6 +166,27 @@ class MinHasher:
 LSH_DRIVER_PATH_MAX_BAND_ROWS = 1_000_000
 
 
+def _fetch_docs_by_id(sf_dir: str, cand_ids) -> pd.DataFrame:
+    """Candidate-doc re-fetch as a broadcast ``pc.is_in`` semi-filter:
+    the id set is ``ray.put`` once and every read task filters its block
+    against the shared copy. (Previously a Python-literal
+    ``filter(expr=f"doc_id in {ids}")`` — an unbounded driver-built
+    expression string at 100-TB candidate counts; same fix pattern as
+    crawler.py's suppressed-sidecar anti-filter.)"""
+    import pyarrow.compute as pc
+
+    ids_ref = ray.put(pa.array(sorted(cand_ids)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(ids_ref)))
+
+    return (
+        table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()  # bounded: candidate docs only
+    )
+
+
 _MINHASHER: "MinHasher | None" = None
 
 
@@ -257,8 +285,11 @@ def minhash_lsh_candidates(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(minhash_bands, batch_format="pandas")
 
-    bands = bands.materialize()  # (band, band_hash, doc_id) rows
-    n_band_rows = bands.count()
+    # Path gate from parquet-footer metadata only: banding emits exactly
+    # N_BANDS rows per document, so n_docs × N_BANDS IS the band-row count
+    # — no materialize()+count() pass pinning the band table in the object
+    # store just to pick a branch.
+    n_band_rows = table_num_rows(sf_dir, "documents") * N_BANDS
     if n_band_rows <= LSH_DRIVER_PATH_MAX_BAND_ROWS:
         # driver path: band rows are ~40 B each — one to_pandas, then
         # pure-pandas bucket counting, pair expansion and Jaccard verify
@@ -279,16 +310,13 @@ def minhash_lsh_candidates(sf_dir: str):
         cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
         if not cand_ids:
             return _verify_pairs(cand, {})
-        docs_df = (
-            table(sf_dir, "documents", ["doc_id", "text"])
-            .filter(expr=f"doc_id in {cand_ids}")
-            .to_pandas()
-        )
+        docs_df = _fetch_docs_by_id(sf_dir, cand_ids)
         return _verify_pairs(cand, dict(zip(docs_df["doc_id"], docs_df["text"])))
 
     # distributed path (the 100-TB shape): bucket-key filter broadcast,
     # per-bucket pair expansion, (a, b)-keyed cross-band dedup, then a
     # distributed verify over the candidate pairs
+    bands = bands.materialize()  # reused by both consumers below
     multi = (
         bands.groupby(["band", "band_hash"])
         .aggregate(Count(alias_name="n"))
@@ -327,11 +355,7 @@ def minhash_lsh_candidates(sf_dir: str):
     cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
     if not cand_ids:
         return _verify_pairs(cand, {})
-    docs_df = (
-        table(sf_dir, "documents", ["doc_id", "text"])
-        .filter(expr=f"doc_id in {cand_ids}")
-        .to_pandas()
-    )
+    docs_df = _fetch_docs_by_id(sf_dir, cand_ids)
     docs = dict(zip(docs_df["doc_id"], docs_df["text"]))
     ref = ray.put(docs)
 
@@ -420,7 +444,7 @@ def _components_distributed(pairs_df: pd.DataFrame) -> dict[int, int]:
     for _ in range(64):  # diameter bound; near-dup clusters are shallow
         lbl_ds = rd.from_pandas(labels)
         prop = edges.join(
-            lbl_ds, join_type="inner", num_partitions=8,
+            lbl_ds, join_type="inner", num_partitions=join_partitions(),
             on=("src",), right_on=("node",),
         ).select_columns(["dst", "lbl"])
         self_lbl = rd.from_arrow(
@@ -855,7 +879,7 @@ def duplicate_ngram_fraction(
     joined = pairs.join(
         counts,
         join_type="inner",
-        num_partitions=num_partitions or 8,
+        num_partitions=num_partitions or join_partitions(),
         on=("gram_h",),
     )
 

@@ -26,7 +26,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count
 
-from .common import combine_small, round_half_away, table
+from .common import combine_small, join_partitions, round_half_away, table
 from .queries import register
 
 DAMPING = 0.85
@@ -71,7 +71,7 @@ SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 9) AS rank FROM r3
 """
 
 
-def cosupplier_edges(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+def cosupplier_edges(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
     """Distinct (src, dst) supplier pairs sharing a part, as a hash
     SELF-JOIN on the part key: per-block pre-dedup → one global (part,
     supp) distinct → hash join → one pair dedup. Three shuffles, each
@@ -79,6 +79,8 @@ def cosupplier_edges(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     the intuitive shape but pays per-group task overhead — 2k part groups
     cost ~100 s on this node; the join does the same co-location in one
     hash exchange.)"""
+    if num_partitions is None:
+        num_partitions = join_partitions()
     li = table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def batch_distinct(t: pa.Table) -> pa.Table:
@@ -157,7 +159,7 @@ def pagerank(
     iterations: int = ITERATIONS,
     damping: float = DAMPING,
     broadcast_threshold: int = BROADCAST_NODE_THRESHOLD,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Unrolled PageRank power iterations over a distributed edge Dataset.
 
@@ -167,6 +169,8 @@ def pagerank(
     DataFrame (node table is ≤ threshold by definition); the join regime
     returns a Dataset and never materializes node-sized state.
     """
+    if num_partitions is None:
+        num_partitions = join_partitions()
     edges = edges.materialize()  # reused every iteration — pin once
     deg_ds = _node_degrees(edges)
     n = deg_ds.count()

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .common import md5_u64_le, round_half_away, table
+from .common import join_partitions, md5_u64_le, round_half_away, table
 from .queries import register
 
 # --------------------------------------------------------------------------
@@ -342,7 +342,7 @@ def customer_urgent_order_stats(sf_dir: str):
     joined = cust.join(
         counts,
         join_type="left_outer",
-        num_partitions=16,
+        num_partitions=join_partitions(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )

@@ -20,6 +20,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from .common import (
     SMALL_COMBINE_ROWS,
     combine_small,
+    join_partitions,
     table,
     table_num_rows,
 )
@@ -624,7 +625,7 @@ def weighted_priority_support(sf_dir: str):
     cust = table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8,
+        cust, join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     )
     votes = (
@@ -754,7 +755,7 @@ def regional_revenue(sf_dir: str):
         )
 
     joined = li.map_batches(rev_cents, batch_format="pyarrow").join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count
 
-from .common import md5_u64_le, round_half_away, table
+from .common import join_partitions, md5_u64_le, round_half_away, table
 from .queries import register
 
 
@@ -38,7 +38,7 @@ def orders_per_nation_joined(sf_dir: str):
     )
     cust = table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8,
+        cust, join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     )
     return joined.groupby("c_nationkey").aggregate(Count(alias_name="n"))

@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count
 
-from ..ops.common import table
+from ..ops.common import join_partitions, table
 from ..ops.queries import register
 
 
@@ -292,7 +292,7 @@ def propagate_labels(
                 edges.filter(
                     lambda r, _s=seeds_set: r["src"] not in _s
                 )  # J7 guard
-                .join(label_ds, join_type="inner", num_partitions=8,
+                .join(label_ds, join_type="inner", num_partitions=join_partitions(),
                       on=("dst",))
                 .select_columns(["src", "dst_label"])
             )

@@ -1,0 +1,244 @@
+"""Round-3 hardening: cluster-aware join sizing enforcement, magic-byte
+codec dispatch, frontier-metrics reconciliation, mid-epoch crash resume,
+and the real-Lance round-trip contract (skips while the wheel is absent)."""
+
+import os
+import re
+import struct
+
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------- join sizing policy
+
+
+def _source_files():
+    for root, _dirs, files in os.walk(os.path.join(REPO, "raycrawl")):
+        for f in files:
+            if f.endswith(".py"):
+                yield os.path.join(root, f)
+
+
+def test_no_hardcoded_join_partition_literals():
+    """Every ``Dataset.join`` must size ``num_partitions`` through
+    ``join_partitions()`` (ops/common.py) — a mis-sized literal measured
+    >2 min vs ~6 s on a 4-CPU node. Enforced by grep: no numeric literal
+    may be assigned to num_partitions anywhere in the library."""
+    pat = re.compile(r"num_partitions\s*[=:]\s*\d")
+    offenders = []
+    for path in _source_files():
+        with open(path) as f:
+            for i, line in enumerate(f, 1):
+                if pat.search(line):
+                    offenders.append(f"{os.path.relpath(path, REPO)}:{i}")
+    assert not offenders, f"hardcoded join partition counts: {offenders}"
+
+
+def test_join_sites_reference_the_helper():
+    """Any module containing a ``.join(`` Dataset call must import
+    join_partitions (directly or resolve a num_partitions=None default
+    through it)."""
+    join_pat = re.compile(r"\.join\(\s*$|\.join\(\s*\w")
+    for path in _source_files():
+        src = open(path).read()
+        # Dataset.join callsites pass join_type=; str.join / os.path.join don't
+        if "join_type=" not in src:
+            continue
+        assert "join_partitions" in src, (
+            f"{os.path.relpath(path, REPO)} has Dataset.join sites but "
+            "never references join_partitions()"
+        )
+
+
+def test_join_partitions_is_node_aware(ray_session):
+    from raycrawl.ops.common import join_partitions
+
+    n = join_partitions()
+    assert isinstance(n, int) and n >= 4
+    # single test node: CPU//divisor clamped to [floor, cap_per_node×nodes]
+    import ray
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    nodes = sum(1 for x in ray.nodes() if x.get("Alive"))
+    assert n == max(4, min(16 * nodes, cpus // 4))
+
+
+# --------------------------------------------------- codec magic dispatch
+
+
+REAL_JPEG = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 64
+REAL_PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+REAL_GIF = b"GIF89a" + b"\x00" * 64
+REAL_WEBP = b"RIFF\x24\x00\x00\x00WEBP" + b"\x00" * 64
+
+
+def test_sniff_image_format_classifies_by_magic():
+    from raycrawl.core.codec import (
+        encode_image,
+        sniff_image_format,
+        synth_pixels,
+    )
+
+    assert sniff_image_format(REAL_JPEG) == "jpeg"
+    assert sniff_image_format(REAL_PNG) == "png"
+    assert sniff_image_format(REAL_GIF) == "gif"
+    assert sniff_image_format(REAL_WEBP) == "webp"
+    px = synth_pixels(7, 16, 16)
+    assert sniff_image_format(encode_image(px, "png")) == "fake-png"
+    assert sniff_image_format(encode_image(px, "jpeg")) == "fake-jpeg"
+    assert sniff_image_format(b"\x00garbage\x00\x00\x00\x00") == "unknown"
+
+
+def test_real_bytes_hit_the_marked_seam_not_the_fake_codec():
+    """A real JPEG/PNG byte string must raise the clearly-marked
+    ``NotImplementedError`` from decode_real_image — previously it died
+    inside zlib with an unrelated error because the fake-codec header was
+    parsed before the magic check."""
+    from raycrawl.core.codec import decode_image
+
+    for payload in (REAL_JPEG, REAL_PNG, REAL_GIF, REAL_WEBP):
+        with pytest.raises(NotImplementedError, match="real image decoding"):
+            decode_image(payload)
+
+
+def test_garbage_bytes_raise_value_error_not_misdecode():
+    from raycrawl.core.codec import decode_image
+
+    with pytest.raises(ValueError, match="unrecognized image payload"):
+        decode_image(b"\x00\x01\x02\x03" + struct.pack("<II", 4, 4) + b"junk")
+
+
+def test_fake_codec_roundtrip_still_green():
+    import numpy as np
+
+    from raycrawl.core.codec import decode_image, encode_image, psnr, synth_pixels
+
+    px = synth_pixels(11, 24, 18)
+    out, fmt = decode_image(encode_image(px, "png"))
+    assert fmt == "png" and np.array_equal(out, px)
+    out, fmt = decode_image(encode_image(px, "jpeg"))
+    assert fmt == "jpeg" and psnr(px, out) >= 40.0
+
+
+# -------------------------------------- frontier metrics reconciliation
+
+
+def test_frontier_metrics_reconcile_with_crawl_stats(ray_session, tmp_path):
+    """The ``crawl_frontier_metrics`` manifest rows must reconcile with the
+    live CrawlStats counters: per-key totals equal, and the drained-crawl
+    invariant accepted == fetched + phash_suppressed + fetch_errors holds
+    per shard (everything accepted eventually pops)."""
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.ops.crawlq import frontier_metrics_frame
+
+    web = WebConfig(n_hosts=5, pages_per_host=16)
+    out = str(tmp_path / "crawl")
+    cfg = CrawlConfig(web=web, out_dir=out, num_shards=3, max_epochs=60)
+    stats = run_crawl(cfg, seed_urls(web))
+
+    frame = frontier_metrics_frame(out).sort_values("shard")
+    assert len(frame) == 3
+    live = pd.DataFrame(stats.metrics).sort_values("shard") \
+        if "shard" in pd.DataFrame(stats.metrics).columns \
+        else pd.DataFrame(stats.metrics)
+
+    for key in ("offered", "accepted", "fetched", "robots_denied",
+                "phash_suppressed", "fetch_errors"):
+        assert frame[key].sum() == sum(m[key] for m in stats.metrics), key
+
+    # drained crawl: every accepted URL was popped and resolved one way
+    resolved = frame["fetched"] + frame["phash_suppressed"] + frame["fetch_errors"]
+    assert (frame["accepted"] == resolved).all()
+    # unique digests offered = accepted + robots_denied (seen-set adds
+    # happen before the robots gate); duplicates never enter either count
+    assert (frame["seen_count"] == frame["accepted"] + frame["robots_denied"]).all()
+    assert frame["fetched"].sum() == stats.payload_rows
+
+
+# ------------------------------------------------ mid-epoch crash resume
+
+
+def test_resume_discards_partial_epoch_written_mid_crash(ray_session, tmp_path):
+    """Kill *inside* an epoch write: the payload dir of the uncheckpointed
+    epoch exists but its files are truncated garbage and its sidecars are
+    corrupt. Resume must discard exactly that epoch without reading it and
+    converge to the uninterrupted run's payload."""
+    import shutil
+
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import (
+        CrawlConfig,
+        latest_checkpoint_epoch,
+        read_payload,
+        run_crawl,
+    )
+
+    web = WebConfig(n_hosts=5, pages_per_host=16)
+
+    def run(out, max_epochs, resume=False):
+        cfg = CrawlConfig(web=web, out_dir=out, num_shards=3,
+                          max_epochs=max_epochs, saving_period=3,
+                          collect_parity_outputs=True)
+        return run_crawl(cfg, seed_urls(web), resume=resume)
+
+    full_out = str(tmp_path / "full")
+    part_out = str(tmp_path / "part")
+    run(full_out, max_epochs=50)
+
+    run(part_out, max_epochs=4)
+    last = latest_checkpoint_epoch(part_out)
+    assert last == 3
+    # crash simulation: epoch 3's checkpoint never landed, and its payload
+    # files were half-written at kill time
+    shutil.rmtree(os.path.join(part_out, "checkpoints", "epoch=3"))
+    epdir = os.path.join(part_out, "payload", "epoch=3")
+    for f in os.listdir(epdir):
+        p = os.path.join(epdir, f)
+        data = open(p, "rb").read()
+        with open(p, "wb") as fh:
+            fh.write(data[: max(1, len(data) // 2)])  # torn write
+    sup = os.path.join(part_out, "suppressed", "epoch=3.parquet")
+    if os.path.exists(sup):
+        with open(sup, "wb") as fh:
+            fh.write(b"torn")
+
+    run(part_out, max_epochs=50, resume=True)
+
+    cols = ["image_id", "caption", "phash", "w", "h", "fmt", "url"]
+    a = read_payload(full_out).to_pandas().sort_values("image_id")
+    b = read_payload(part_out).to_pandas().sort_values("image_id")
+    pd.testing.assert_frame_equal(
+        a[cols].reset_index(drop=True), b[cols].reset_index(drop=True)
+    )
+
+
+# ----------------------------------------------------- real-Lance contract
+
+
+def test_lance_roundtrip_real_wheel():
+    """Real ``lance`` round-trip through io/lancelike: write a table, read
+    it back identical, and the manifest/version surface exists. Skips
+    cleanly while the wheel is absent from the sandbox — the moment it
+    appears, the HAVE_LANCE branch is covered with zero new work."""
+    lance = pytest.importorskip("lance")
+    import pyarrow as pa
+
+    from raycrawl.io import lancelike
+
+    assert lancelike.HAVE_LANCE
+    import tempfile
+
+    t = pa.table({"image_id": ["a", "b"], "bytes": [b"x", b"yy"],
+                  "caption": ["c1", "c2"], "phash": [1, 2]})
+    with tempfile.TemporaryDirectory() as d:
+        uri = os.path.join(d, "tbl.lance")
+        lancelike.write_table_flat(t, uri)
+        back = lancelike.read_table(uri)
+        assert back.sort_by("image_id").equals(t)
+        ds = lance.dataset(uri)
+        assert ds.version >= 1
