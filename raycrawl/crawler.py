@@ -408,6 +408,19 @@ def run_crawl(
                 [a.gate_finalize.remote(epoch, num_shards) for a in actors]
             )
         t = _mark("gate", t)
+        # dispatch next-epoch offers FIRST, then write this epoch's
+        # sidecars while the shard actors chew on the offers — the
+        # driver-local parquet writes and the actor-side merges are
+        # independent, so the overlap hides the smaller of the two
+        # (~50 ms/epoch of fixed driver-loop cost; results unchanged —
+        # ordering is a data property of the frontier, not of this join)
+        offer_refs = []
+        for src, (_, _, _, offers) in enumerate(finals):
+            for dst, packed_ref in offers.items():
+                offer_refs.append(
+                    actors[dst].offer_packed.remote((epoch, src), packed_ref,
+                                                    epoch + 1)
+                )
         suppressed = [d for _, sup, _, _ in finals for d in sup]
         pq.write_table(
             pa.table({"url_hash": pa.array(suppressed, pa.binary())}),
@@ -418,13 +431,6 @@ def run_crawl(
             pa.table({"url_hash": pa.array(errors, pa.binary())}),
             os.path.join(errors_dir, f"epoch={epoch}.parquet"),
         )
-        offer_refs = []
-        for src, (_, _, _, offers) in enumerate(finals):
-            for dst, packed_ref in offers.items():
-                offer_refs.append(
-                    actors[dst].offer_packed.remote((epoch, src), packed_ref,
-                                                    epoch + 1)
-                )
         if offer_refs:
             ray.get(offer_refs)
         stats.fetched += sum(counts)

@@ -110,6 +110,18 @@ def cast_cols(ds: ray.data.Dataset, spec: dict[str, pa.DataType]) -> ray.data.Da
     return ds.map_batches(_cast, batch_format="pyarrow")
 
 
+# Which adaptive branch each gated operator took on its last run
+# ("driver"/"broadcast"/"combine_small" vs "distributed"/"join"/"groupby").
+# Written by note_path() at the branch point; read by the scale smoke
+# (tools/scale_smoke.py) to PROVE the distributed branches run on real
+# over-gate data, not only under monkeypatched thresholds.
+PATH_LOG: dict[str, str] = {}
+
+
+def note_path(op: str, path: str) -> None:
+    PATH_LOG[op] = path
+
+
 def join_partitions(cap_per_node: int = 16, divisor: int = 4, floor: int = 4) -> int:
     """Partition count for ``Dataset.join``: every partition spins a
     hash-shuffle aggregator actor whose startup + memory churn dominates

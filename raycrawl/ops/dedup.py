@@ -34,6 +34,7 @@ from .common import (
     combine_small,
     join_partitions,
     md5_u64_le,
+    note_path,
     table,
     table_num_rows,
 )
@@ -71,12 +72,14 @@ def exact_dedup_by_hash(sf_dir: str):
     if table_num_rows(sf_dir, "documents") <= SMALL_COMBINE_ROWS:
         # ≤2M docs → partial rows are ≤2M 48-byte tuples: one local Arrow
         # combine beats the sort-shuffle groupby's fixed cost
+        note_path("exact_dedup_by_hash", "combine_small")
         return combine_small(
             partials,
             lambda t: pa.TableGroupBy(t, "content_hash")
             .aggregate([("keeper", "min"), ("group_size", "sum")])
             .rename_columns(["content_hash", "keeper", "group_size"]),
         )
+    note_path("exact_dedup_by_hash", "distributed_groupby")
     return partials.groupby("content_hash").aggregate(
         Min("keeper", alias_name="keeper"), Sum("group_size", alias_name="group_size")
     )
@@ -291,6 +294,7 @@ def minhash_lsh_candidates(sf_dir: str):
     # store just to pick a branch.
     n_band_rows = table_num_rows(sf_dir, "documents") * N_BANDS
     if n_band_rows <= LSH_DRIVER_PATH_MAX_BAND_ROWS:
+        note_path("minhash_lsh_candidates", "driver")
         # driver path: band rows are ~40 B each — one to_pandas, then
         # pure-pandas bucket counting, pair expansion and Jaccard verify
         bdf = bands.to_pandas()
@@ -316,6 +320,7 @@ def minhash_lsh_candidates(sf_dir: str):
     # distributed path (the 100-TB shape): bucket-key filter broadcast,
     # per-bucket pair expansion, (a, b)-keyed cross-band dedup, then a
     # distributed verify over the candidate pairs
+    note_path("minhash_lsh_candidates", "distributed")
     bands = bands.materialize()  # reused by both consumers below
     multi = (
         bands.groupby(["band", "band_hash"])

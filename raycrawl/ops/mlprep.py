@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .common import join_partitions, md5_u64_le, round_half_away, table
+from .common import join_partitions, md5_u64_le, note_path, round_half_away, table
 from .queries import register
 
 # --------------------------------------------------------------------------
@@ -297,6 +297,7 @@ def customer_urgent_order_stats(sf_dir: str):
     # is pytest-checked)
     counts = counts.materialize()
     if counts.count() <= OUTER_JOIN_BROADCAST_MAX:
+        note_path("customer_urgent_order_stats", "broadcast")
         cdf = counts.to_pandas()
         if len(cdf) == 0:
             # no matching orders at all: an empty aggregate has no columns
@@ -339,6 +340,7 @@ def customer_urgent_order_stats(sf_dir: str):
         return cust.map_batches(lookup, fn_kwargs={"ref": ref},
                                 batch_format="pyarrow")
 
+    note_path("customer_urgent_order_stats", "distributed_join")
     joined = cust.join(
         counts,
         join_type="left_outer",

@@ -1,0 +1,264 @@
+"""Scale smoke (VERDICT round-2 item 5): generate an ~sf1.0-sized dataset
+under /tmp by deterministic replication of /root/testdata/sf0.1 with key
+remapping, then run the gated pipelines + the crawl over it and PROVE —
+via ops.common.PATH_LOG — that the adaptive operators take their
+DISTRIBUTED branches on real over-gate data (not monkeypatched
+thresholds), finish, and satisfy cheap invariants.
+
+Crossed gates at these sizes:
+  * documents 2.05M rows  > SMALL_COMBINE_ROWS (2M)  → exact_dedup_by_hash
+    distributed groupby; > 62.5k docs → minhash_lsh_candidates distributed
+    band path (1M band-row gate).
+  * orders x100 → ~1.3M distinct urgent custkeys > OUTER_JOIN_BROADCAST_MAX
+    (1M) → customer_urgent_order_stats LEFT OUTER Dataset.join path.
+  * lineitem x10 (6M rows) > SMALL_COMBINE_ROWS → top_revenue_orders /
+    lineitem-gated queries take their shuffle paths.
+
+Run:  python tools/scale_smoke.py [--dir /tmp/sf_big] [--num-cpus 32]
+      (add --keep to skip regeneration when the dir already exists)
+Emits one JSON line with per-query wall seconds + the PATH_LOG, suitable
+for pasting into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+DOC_REPS = 410          # 410 x 5,000 = 2,050,000 docs  (> 2M gate)
+ORDER_REPS = 100        # 100 x 150,000 = 15M orders; ~1.3M urgent custkeys
+CUST_REPS = 100         # keyspace matches the order replication
+LINEITEM_REPS = 10      # 6M lineitem rows (> 2M gate)
+EVENT_REPS = 25         # 2.5M events
+DUP_EVERY = 500         # 1 doc in 500 gets an exact duplicate in rep r+1
+
+
+def _write_parts(out_dir: str, name: str, build_rep, reps: int) -> None:
+    """Write <name>.parquet as a DIRECTORY of per-rep part files — the
+    resumable/partitioned layout every reader in the repo already handles
+    (ray.data.read_parquet and pyarrow.dataset both take directories)."""
+    d = os.path.join(out_dir, f"{name}.parquet")
+    os.makedirs(d, exist_ok=True)
+    for r in range(reps):
+        pq.write_table(build_rep(r), os.path.join(d, f"part-{r:04d}.parquet"))
+
+
+def gen(out_dir: str) -> None:
+    t0 = time.perf_counter()
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    # small dimension tables: copy as-is
+    for name in ("region", "nation", "supplier", "part", "embeddings"):
+        shutil.copy(f"{SRC}/{name}.parquet", f"{out_dir}/{name}.parquet")
+
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    n_docs = docs.num_rows
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    sources = docs["source"].to_pylist()
+
+    def doc_rep(r: int) -> pa.Table:
+        # deterministic per-(doc, rep) word permutation → replicas share
+        # almost no 3-shingles (no LSH pair explosion); rep 0 keeps the
+        # original text; every DUP_EVERY-th doc in an odd rep duplicates
+        # its even-rep neighbour exactly → bounded dup groups of size 2
+        out_texts = []
+        for i, t in enumerate(texts):
+            if r == 0:
+                out_texts.append(t)
+                continue
+            if r % 2 == 1 and i % DUP_EVERY == 0:
+                rr = r - 1
+            else:
+                rr = r
+            if rr == 0:
+                out_texts.append(t)
+                continue
+            toks = t.split()
+            rng = np.random.Generator(np.random.PCG64(rr * 1_000_003 + i))
+            perm = rng.permutation(len(toks))
+            out_texts.append(" ".join(toks[j] for j in perm) + f" r{rr}")
+        ids = pa.array(
+            (docs["doc_id"].to_numpy() + r * n_docs).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pa.array(out_texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array(
+                    [len(s) for s in out_texts], pa.int64()
+                ),
+            }
+        )
+
+    _write_parts(out_dir, "documents", doc_rep, DOC_REPS)
+
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    max_ok = int(pa.compute.max(orders["o_orderkey"]).as_py()) + 1
+    cust = pq.read_table(f"{SRC}/customer.parquet")
+    max_ck = int(pa.compute.max(cust["c_custkey"]).as_py()) + 1
+
+    def order_rep(r: int) -> pa.Table:
+        return orders.set_column(
+            0, "o_orderkey",
+            pa.array(orders["o_orderkey"].to_numpy() + r * max_ok),
+        ).set_column(
+            1, "o_custkey",
+            pa.array(orders["o_custkey"].to_numpy() + r * max_ck),
+        )
+
+    _write_parts(out_dir, "orders", order_rep, ORDER_REPS)
+
+    def cust_rep(r: int) -> pa.Table:
+        return cust.set_column(
+            0, "c_custkey",
+            pa.array(cust["c_custkey"].to_numpy() + r * max_ck),
+        )
+
+    _write_parts(out_dir, "customer", cust_rep, CUST_REPS)
+
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+
+    def li_rep(r: int) -> pa.Table:
+        # orderkey offsets track the first LINEITEM_REPS order replicas, so
+        # lineitem⋈orders stays a real FK join at 10x volume
+        return li.set_column(
+            0, "l_orderkey",
+            pa.array(li["l_orderkey"].to_numpy() + r * max_ok),
+        )
+
+    _write_parts(out_dir, "lineitem", li_rep, LINEITEM_REPS)
+
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    max_eid = int(pa.compute.max(ev["event_id"]).as_py()) + 1
+    max_uid = int(pa.compute.max(ev["user_id"]).as_py()) + 1
+
+    def ev_rep(r: int) -> pa.Table:
+        return ev.set_column(
+            0, "event_id", pa.array(ev["event_id"].to_numpy() + r * max_eid)
+        ).set_column(
+            2, "user_id", pa.array(ev["user_id"].to_numpy() + r * max_uid)
+        )
+
+    _write_parts(out_dir, "events", ev_rep, EVENT_REPS)
+    print(f"# generated {out_dir} in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/sf_big")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    ap.add_argument("--keep", action="store_true",
+                    help="reuse an existing generated dir")
+    args = ap.parse_args()
+
+    if not (args.keep and os.path.isdir(args.dir)):
+        gen(args.dir)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from raycrawl.ops import REGISTRY
+    from raycrawl.ops.common import PATH_LOG, table_num_rows
+
+    n_docs = table_num_rows(args.dir, "documents")
+    n_cust = table_num_rows(args.dir, "customer")
+
+    results: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+
+    def run(name: str):
+        import pandas as pd
+
+        t0 = time.perf_counter()
+        out = REGISTRY[name]["fn"](args.dir)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()  # Dataset or pyarrow.Table
+        results[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {results[name]}s, {len(out)} rows", file=sys.stderr)
+        return out
+
+    dd = run("exact_dedup_by_hash")
+    checks["exact_dedup_distributed"] = (
+        PATH_LOG.get("exact_dedup_by_hash") == "distributed_groupby"
+    )
+    # every doc lands in exactly one group; DUP_EVERY seeding → dup groups
+    checks["exact_dedup_mass"] = int(dd["group_size"].sum()) == n_docs
+    checks["exact_dedup_has_dups"] = int((dd["group_size"] > 1).sum()) > 0
+
+    cu = run("customer_urgent_order_stats")
+    checks["urgent_stats_distributed"] = (
+        PATH_LOG.get("customer_urgent_order_stats") == "distributed_join"
+    )
+    checks["urgent_stats_one_row_per_customer"] = len(cu) == n_cust
+
+    mh = run("minhash_lsh_candidates")
+    checks["minhash_distributed"] = (
+        PATH_LOG.get("minhash_lsh_candidates") == "distributed"
+    )
+    # the seeded exact duplicates must be found (Jaccard 1.0 pairs exist)
+    checks["minhash_found_seeded_dups"] = (
+        len(mh) > 0 and float(mh["jaccard"].max()) >= 0.999
+    )
+
+    for name in ("pricing_summary", "top_revenue_orders", "regional_revenue",
+                 "rollup_revenue", "events_per_minute", "hourly_user_windows",
+                 "doc_quality_scores", "simhash_dedup_groups"):
+        run(name)
+
+    # crawl at a bigger web than the bench default — completion + rate
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=96, pages_per_host=64)
+    out_dir = os.path.join(args.dir, "_crawl_out")
+    t0 = time.perf_counter()
+    cfg = CrawlConfig(web=web, out_dir=out_dir, num_shards=8, max_epochs=200,
+                      epoch_seconds=8.0, burst=16.0)
+    stats = run_crawl(cfg, seed_urls(web))
+    crawl_s = round(time.perf_counter() - t0, 3)
+    results["crawl"] = crawl_s
+    checks["crawl_completed"] = stats.payload_rows > 0
+
+    line = {
+        "metric": "scale_smoke_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "paths": dict(PATH_LOG),
+        "checks": checks,
+        "n_docs": n_docs,
+        "n_customers": n_cust,
+        "crawl_urls": stats.payload_rows,
+        "crawl_urls_per_sec": round(stats.payload_rows / crawl_s, 1),
+        "num_cpus": args.num_cpus,
+        "all_ok": all(checks.values()),
+    }
+    print(json.dumps(line))
+    ray.shutdown()
+    if not line["all_ok"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
