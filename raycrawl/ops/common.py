@@ -143,3 +143,71 @@ def join_partitions(cap_per_node: int = 16, divisor: int = 4, floor: int = 4) ->
         nodes = 1
     cap = cap_per_node * max(1, nodes)
     return max(floor, min(cap, cpus // divisor))
+
+
+# Target rows per bucket for bucketed_group_agg: small enough that one
+# bucket's pandas aggregate fits comfortably in a worker heap, large enough
+# that per-group Python-call overhead is amortized ~100k×.
+BUCKET_TARGET_ROWS = 2_000_000
+
+
+def group_buckets(approx_rows: int | None = None) -> int:
+    """Bucket count for ``bucketed_group_agg``: at least 8 buckets per
+    cluster CPU (parallelism), grown so no bucket exceeds
+    ``BUCKET_TARGET_ROWS`` when the caller knows the input size."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    k = 8 * max(1, cpus)
+    if approx_rows:
+        k = max(k, approx_rows // BUCKET_TARGET_ROWS + 1)
+    return k
+
+
+def bucketed_group_agg(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    bucket_fn,
+    n_buckets: int | None = None,
+    approx_rows: int | None = None,
+) -> ray.data.Dataset:
+    """HIGH-CARDINALITY groupby: shuffle on a small deterministic bucket of
+    the key instead of the key itself, then aggregate each bucket with ONE
+    vectorized pandas call.
+
+    Why: Ray Data's ``groupby(key).aggregate(...)`` reduce phase walks
+    per-key group boundaries in interpreter-level Python, so its wall time
+    scales with DISTINCT KEY COUNT — measured on this node: 4M near-unique
+    int64 keys took 33.2 s (and 33M keys ran >15 min without finishing),
+    while this bucketed shape did the same work in 1.7 s (39 s at 33M).
+    For low-cardinality keys (≤ ~100k groups) plain aggregate is fine and
+    simpler — this helper is for dedup-style keys with ~1 row per key.
+
+    ``bucket_fn`` receives ALL rows of one bucket as a pandas DataFrame
+    (every row of a key lands in exactly one bucket, so any per-key
+    aggregate is computable) and returns its aggregated frame. Buckets are
+    ``pd.util.hash_pandas_object`` over the key columns (deterministic,
+    content-based) mod ``n_buckets``; n_buckets defaults to 8× cluster
+    CPUs grown so a bucket stays under ~2M rows when ``approx_rows`` is
+    given — at 100 TB pass the known input row count so bucket size, not
+    bucket count, stays constant."""
+    import pandas as pd
+
+    k = n_buckets or group_buckets(approx_rows)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = (
+            pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+            % np.uint64(k)
+        ).astype(np.int64)
+        return df
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )

@@ -472,11 +472,18 @@ def image_exact_dedup_bytes(sf_dir: str):
 
     if table_num_rows(sf_dir, "documents") <= SMALL_COMBINE_ROWS:
         return combine_small(partials, final)
-    agg = partials.groupby("digest").aggregate(
-        Min("keeper", alias_name="keeper"),
-        Sum("group_size", alias_name="group_size"),
+    # digest is near-unique → bucket-sharded combine (common.py) instead
+    # of Dataset.aggregate's per-distinct-key Python reduce
+    from .common import bucketed_group_agg
+
+    return bucketed_group_agg(
+        partials,
+        ["digest"],
+        lambda g: g.groupby("digest", as_index=False).agg(
+            keeper=("keeper", "min"), group_size=("group_size", "sum")
+        )[["keeper", "group_size"]],
+        approx_rows=table_num_rows(sf_dir, "documents"),
     )
-    return agg.drop_columns(["digest"])
 
 
 # --------------------------------------------------------------------------

@@ -7,9 +7,9 @@ Scale shapes:
 * exact dedup = add content-hash column (vectorized) → ``groupby(hash)``
   keep-first — one shuffle keyed on the hash;
 * MinHash/LSH = per-batch shingle→minhash (numpy) → explode to
-  (band, band_hash, doc_id) rows → ``groupby(band, band_hash)`` → candidate
-  pairs → vectorized Jaccard verify — shuffle volume is bands×docs tiny
-  rows, never the documents themselves;
+  (band_hash, doc_id) rows (band index folded into one int64 bucket key) →
+  ``groupby(band_hash)`` → candidate pairs → vectorized Jaccard verify —
+  shuffle volume is bands×docs 16-byte rows, never the documents themselves;
 * SimHash = 64-bit vectorized projection, near-dup = identical hash here
   (radius-0; the chunked Hamming index in ``raycrawl.core.sketches`` is the
   scale path for radius>0);
@@ -27,10 +27,10 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
 
 from .common import (
     SMALL_COMBINE_ROWS,
+    bucketed_group_agg,
     combine_small,
     join_partitions,
     md5_u64_le,
@@ -69,7 +69,8 @@ def exact_dedup_by_hash(sf_dir: str):
         )
 
     partials = ds.map_batches(hash_partial, batch_format="pyarrow")
-    if table_num_rows(sf_dir, "documents") <= SMALL_COMBINE_ROWS:
+    n_docs = table_num_rows(sf_dir, "documents")
+    if n_docs <= SMALL_COMBINE_ROWS:
         # ≤2M docs → partial rows are ≤2M 48-byte tuples: one local Arrow
         # combine beats the sort-shuffle groupby's fixed cost
         note_path("exact_dedup_by_hash", "combine_small")
@@ -79,9 +80,18 @@ def exact_dedup_by_hash(sf_dir: str):
             .aggregate([("keeper", "min"), ("group_size", "sum")])
             .rename_columns(["content_hash", "keeper", "group_size"]),
         )
+    # content_hash is near-unique (~1 row/key) — exactly the cardinality
+    # regime where groupby().aggregate()'s per-key Python reduce degrades
+    # (see bucketed_group_agg), so the final combine is bucket-sharded
     note_path("exact_dedup_by_hash", "distributed_groupby")
-    return partials.groupby("content_hash").aggregate(
-        Min("keeper", alias_name="keeper"), Sum("group_size", alias_name="group_size")
+
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("content_hash", as_index=False).agg(
+            keeper=("keeper", "min"), group_size=("group_size", "sum")
+        )
+
+    return bucketed_group_agg(
+        partials, ["content_hash"], combine_bucket, approx_rows=n_docs
     )
 
 
@@ -149,20 +159,48 @@ class MinHasher:
         return hv.min(axis=0)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band": [], "band_hash": []}
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.signature(_shingles(text))
-            bands = sig.reshape(N_BANDS, -1)
-            for b in range(N_BANDS):
-                bh = hashlib.sha1(bands[b].tobytes()).hexdigest()[:16]
-                rows["doc_id"].append(doc_id)
-                rows["band"].append(b)
-                rows["band_hash"].append(bh)
-        return pd.DataFrame(rows)
+        n = len(df)
+        sigs = np.zeros((n, N_HASHES), dtype=np.uint64)
+        for i, text in enumerate(df["text"]):
+            sigs[i] = self.signature(_shingles(text))
+        bh = _band_hash_i64(sigs)  # (n, N_BANDS) int64, band folded in
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(
+                    np.asarray(df["doc_id"], dtype=np.int64), N_BANDS
+                ),
+                "band_hash": bh.reshape(-1),
+            }
+        )
+
+
+_BAND_IDX_U64 = np.arange(N_BANDS, dtype=np.uint64)
+
+
+def _band_hash_i64(sigs: np.ndarray) -> np.ndarray:
+    """(n, N_HASHES) uint64 signatures → (n, N_BANDS) int64 bucket keys.
+
+    Splitmix-style wraparound mix over each band's signature values with the
+    band index folded into the seed, so ONE int64 column is the complete
+    LSH bucket key (equal band signature ⇒ equal key; distinct ⇒ distinct at
+    ~2^-64 collision odds — and any stray collision only adds a candidate
+    pair that exact-Jaccard verification then rejects). Replaces the previous
+    per-(doc, band) hashlib.sha1 hex string: at 2M docs × 16 bands that was
+    33M interpreter-level digest calls and a string-keyed shuffle; this is
+    three vectorized uint64 ops per signature value and an 8-byte key."""
+    n = sigs.shape[0]
+    v = sigs.reshape(n, N_BANDS, N_HASHES // N_BANDS)
+    h = np.uint64(0x9E3779B97F4A7C15) ^ _BAND_IDX_U64
+    h = np.broadcast_to(h, (n, N_BANDS)).copy()
+    mult = np.uint64(0xBF58476D1CE4E5B9)
+    for r in range(v.shape[2]):
+        h = (h ^ v[:, :, r]) * mult
+        h ^= h >> np.uint64(29)
+    return h.view(np.int64)
 
 
 # Band-row count below which the bucket-counting / pair-expansion steps run
-# driver-side (value_counts on the tiny (band, band_hash) projection beats
+# driver-side (value_counts on the tiny (band_hash, doc_id) projection beats
 # Ray's shuffle fixed costs); above it, the distributed groupby path — same
 # semantics, tested for path equivalence — takes over. Module-level so tests
 # and large deployments can tune it.
@@ -281,10 +319,12 @@ def minhash_lsh_candidates(sf_dir: str):
 
     Almost every LSH bucket is a singleton; pairing work only exists in
     buckets with ≥2 members. Below ``LSH_DRIVER_PATH_MAX_BAND_ROWS`` the
-    tiny (band, band_hash, doc_id) projection is pulled once to the driver
+    tiny (band_hash, doc_id) projection is pulled once to the driver
     and pair expansion + verification run there (one Ray execution total);
     above it the distributed path runs the same semantics as groupby
-    shuffles (equivalence-tested)."""
+    shuffles (equivalence-tested). The bucket key is a single int64 with
+    the band index folded in (see ``_band_hash_i64``) — 16 bytes/row
+    crossing the shuffle."""
     ds = table(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(minhash_bands, batch_format="pandas")
 
@@ -298,12 +338,10 @@ def minhash_lsh_candidates(sf_dir: str):
         # driver path: band rows are ~40 B each — one to_pandas, then
         # pure-pandas bucket counting, pair expansion and Jaccard verify
         bdf = bands.to_pandas()
-        vc = bdf.value_counts(["band", "band_hash"])
-        multi = vc[vc >= 2].index
-        key = pd.MultiIndex.from_frame(bdf[["band", "band_hash"]])
-        mdf = bdf[key.isin(multi)]
+        vc = bdf["band_hash"].value_counts()
+        mdf = bdf[bdf["band_hash"].isin(vc.index[vc.values >= 2])]
         seen_pairs: set[tuple] = set()
-        for _, g in mdf.groupby(["band", "band_hash"]):
+        for _, g in mdf.groupby("band_hash"):
             ids = sorted(g["doc_id"].unique())
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
@@ -317,46 +355,43 @@ def minhash_lsh_candidates(sf_dir: str):
         docs_df = _fetch_docs_by_id(sf_dir, cand_ids)
         return _verify_pairs(cand, dict(zip(docs_df["doc_id"], docs_df["text"])))
 
-    # distributed path (the 100-TB shape): bucket-key filter broadcast,
-    # per-bucket pair expansion, (a, b)-keyed cross-band dedup, then a
-    # distributed verify over the candidate pairs
+    # distributed path (the 100-TB shape): ONE bucket-keyed shuffle of the
+    # 16-byte band rows, then vectorized dup-detection + pair expansion per
+    # bucket (see bucketed_group_agg's rationale — a per-key
+    # groupby(band_hash) aggregate walks 33M group boundaries in Python and
+    # ran >15 min where this shape takes ~40 s)
     note_path("minhash_lsh_candidates", "distributed")
-    bands = bands.materialize()  # reused by both consumers below
-    multi = (
-        bands.groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n >= 2")
-        .to_pandas()
+
+    def bucket_pairs_vec(g: pd.DataFrame) -> pd.DataFrame:
+        # rows of a bucket: all docs whose band_hash lands here. Keys with
+        # ≥2 docs are LSH collisions → expand to (a, b) pairs via a
+        # vectorized self-merge (collision groups are tiny, mostly size 2,
+        # so the s² merge blowup is bounded)
+        d = g[g["band_hash"].duplicated(keep=False)]
+        if d.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        m = d.merge(d, on="band_hash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {
+                "a": m["doc_id_x"].to_numpy(dtype=np.int64),
+                "b": m["doc_id_y"].to_numpy(dtype=np.int64),
+            }
+        ).drop_duplicates()
+
+    pairs = bucketed_group_agg(
+        bands, ["band_hash"], bucket_pairs_vec, approx_rows=n_band_rows
     )
-    multi_keys = {f"{b}:{h}" for b, h in zip(multi["band"], multi["band_hash"])}
-    keys_ref = ray.put(multi_keys)
-
-    def keep_multi(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized membership: composite string key + pandas isin
-        keys = ray.get(keys_ref)
-        key = df["band"].astype(str) + ":" + df["band_hash"]
-        return df[key.isin(keys)]
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        out = {"a": [], "b": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out["a"].append(ids[i])
-                out["b"].append(ids[j])
-        return pd.DataFrame(out)
-
-    pairs = (
-        bands.map_batches(keep_multi, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        # cross-band dedup as ONE hash aggregate (distinct (a, b) rows) —
-        # a per-pair map_groups(head(1)) would pay a Python call per pair
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    # candidate pairs are near-dups only (tiny vs the corpus); cross-band
+    # repeats of the same (a, b) — ≤ N_BANDS copies — dedup driver-side
+    cand = (
+        pairs.to_pandas()
+        .drop_duplicates()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
     )
-    cand = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
     if not cand_ids:
         return _verify_pairs(cand, {})
@@ -457,10 +492,15 @@ def _components_distributed(pairs_df: pd.DataFrame) -> dict[int, int]:
                 labels.rename(columns={"node": "dst"}), preserve_index=False
             )
         )
+        # per-node min over a near-unique key → bucket-sharded combine
         merged = (
-            prop.union(self_lbl)
-            .groupby("dst")
-            .aggregate(Min("lbl", alias_name="lbl"))
+            bucketed_group_agg(
+                prop.union(self_lbl),
+                ["dst"],
+                lambda g: g.groupby("dst", as_index=False).agg(
+                    lbl=("lbl", "min")
+                ),
+            )
             .to_pandas()
             .rename(columns={"dst": "node"})
         )
@@ -554,10 +594,18 @@ _BIT_IDX = np.arange(64, dtype=np.uint64)
 )
 def simhash_dedup_groups(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
-    return (
-        ds.map_batches(simhash_batch, batch_format="pandas")
-        .groupby("simhash")
-        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="group_size"))
+    sim = ds.map_batches(simhash_batch, batch_format="pandas")
+
+    # simhash is a near-unique dedup key (~1 row/key) → bucket-sharded
+    # combine instead of a per-key aggregate (see bucketed_group_agg)
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("simhash", as_index=False).agg(
+            keeper=("doc_id", "min"), group_size=("doc_id", "size")
+        )
+
+    return bucketed_group_agg(
+        sim, ["simhash"], combine_bucket,
+        approx_rows=table_num_rows(sf_dir, "documents"),
     )
 
 
@@ -879,8 +927,17 @@ def duplicate_ngram_fraction(
             doc_final,
         )
 
-    # at-scale path: per-gram count shuffle + hash join back onto the pairs
-    counts = pairs.groupby("gram_h").aggregate(Count(alias_name="nd"))
+    # at-scale path: per-gram count shuffle + hash join back onto the
+    # pairs. Both gram_h and doc_id are near-unique keys, so both
+    # aggregates go through bucketed_group_agg (per-key Python reduce in
+    # Dataset.aggregate degrades with distinct-key count — see common.py)
+    counts = bucketed_group_agg(
+        pairs.select_columns(["gram_h"]),
+        ["gram_h"],
+        lambda g: g.groupby("gram_h", as_index=False).agg(
+            nd=("gram_h", "size")
+        ),
+    )
     joined = pairs.join(
         counts,
         join_type="inner",
@@ -898,10 +955,12 @@ def duplicate_ngram_fraction(
             }
         )
 
-    per_doc = (
-        joined.map_batches(flag, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_grams"), Sum("dup", alias_name="n_dup"))
+    per_doc = bucketed_group_agg(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        ["doc_id"],
+        lambda g: g.groupby("doc_id", as_index=False).agg(
+            n_grams=("dup", "size"), n_dup=("dup", "sum")
+        ),
     )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")

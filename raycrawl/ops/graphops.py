@@ -24,9 +24,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
-from .common import combine_small, join_partitions, round_half_away, table
+
+from .common import (
+    bucketed_group_agg,
+    combine_small,
+    join_partitions,
+    round_half_away,
+    table,
+)
 from .queries import register
 
 DAMPING = 0.85
@@ -92,11 +98,11 @@ def cosupplier_edges(sf_dir: str, num_partitions: int | None = None) -> ray.data
             .rename_columns(["l_partkey", "l_suppkey"])
         )
 
-    ps = (
-        li.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="_w"))
-        .select_columns(["l_partkey", "l_suppkey"])
+    # (part, supp) is near-unique → bucket-sharded distinct (common.py)
+    ps = bucketed_group_agg(
+        li.map_batches(batch_distinct, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        lambda g: g.drop_duplicates(["l_partkey", "l_suppkey"]),
     )
     right = ps.map_batches(
         lambda t: t.rename_columns(["part_r", "dst"]), batch_format="pyarrow"
@@ -113,11 +119,11 @@ def cosupplier_edges(sf_dir: str, num_partitions: int | None = None) -> ray.data
         keep = t.filter(pc.not_equal(t["l_suppkey"], t["dst"]))
         return pa.table({"src": keep["l_suppkey"], "dst": keep["dst"]})
 
-    return (
-        pairs.map_batches(off_diagonal, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_w"))
-        .select_columns(["src", "dst"])
+    # distinct edges via the same bucket-sharded shape
+    return bucketed_group_agg(
+        pairs.map_batches(off_diagonal, batch_format="pyarrow"),
+        ["src", "dst"],
+        lambda g: g.drop_duplicates(["src", "dst"]),
     )
 
 
@@ -145,12 +151,11 @@ def _node_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
              dst_part]
         )
 
-    from ray.data.aggregate import Sum
-
-    return (
-        edges.map_batches(partial, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("outd", alias_name="outd"))
+    # node is near-unique → bucket-sharded grouped sum (common.py)
+    return bucketed_group_agg(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["node"],
+        lambda g: g.groupby("node", as_index=False).agg(outd=("outd", "sum")),
     )
 
 
@@ -247,12 +252,10 @@ def pagerank(
                 .rename_columns(["dst", "c"])
             )
 
-        from ray.data.aggregate import Sum
-
-        sums = (
-            joined.map_batches(jcontrib, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="c"))
+        sums = bucketed_group_agg(
+            joined.map_batches(jcontrib, batch_format="pyarrow"),
+            ["dst"],
+            lambda g: g.groupby("dst", as_index=False).agg(c=("c", "sum")),
         )
         # left-join back onto the full node set: dangling-dst nodes get
         # teleport only

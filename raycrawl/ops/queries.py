@@ -19,6 +19,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from .common import (
     SMALL_COMBINE_ROWS,
+    bucketed_group_agg,
     combine_small,
     join_partitions,
     table,
@@ -230,10 +231,19 @@ def top_revenue_orders(sf_dir: str):
         )
         top = comb.take(order[:10]).to_pandas()
     else:
-        # beyond the gate: global hash aggregate, then top-k WITHOUT a
-        # global sort — each aggregate block keeps its local top-10, the
-        # ≤10×blocks survivors merge on the driver
-        rev = partials.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
+        # beyond the gate: bucket-sharded combine (l_orderkey is a
+        # near-unique key — Dataset.aggregate's per-key Python reduce
+        # degrades with distinct-key count, see common.bucketed_group_agg),
+        # then top-k WITHOUT a global sort — each combine block keeps its
+        # local top-10, the ≤10×blocks survivors merge on the driver
+        rev = bucketed_group_agg(
+            partials,
+            ["l_orderkey"],
+            lambda g: g.groupby("l_orderkey", as_index=False).agg(
+                rev_c=("rev_c", "sum")
+            ),
+            approx_rows=table_num_rows(sf_dir, "lineitem"),
+        )
 
         def local_top(t: pa.Table) -> pa.Table:
             order = pc.sort_indices(
@@ -408,10 +418,15 @@ def hourly_user_windows(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(trunc, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+    # (user_id, hour) is near-unique at scale → bucket-sharded combine
+    # instead of Dataset.aggregate's per-key Python reduce (common.py)
+    out = bucketed_group_agg(
+        ds.map_batches(trunc, batch_format="pyarrow"),
+        ["user_id", "window_start"],
+        lambda g: g.groupby(["user_id", "window_start"], as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum")
+        ),
+        approx_rows=table_num_rows(sf_dir, "events"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -490,17 +505,21 @@ def lineitem_global_stats(sf_dir: str):
 )
 def exact_dedup_docs(sf_dir: str):
     ds = table(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = table_num_rows(sf_dir, "documents")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, "text")
+            .aggregate([("doc_id", "min"), ([], "count_all")])
+            .rename_columns(["text", "doc_id", "n_dups"])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     # key = the full text, so partial rows carry document bytes — gate the
     # local combine far lower than SMALL_COMBINE_ROWS (driver memory holds
-    # partial TEXT, not 16-byte keys); beyond it, hash-shuffle on the text
-    if table_num_rows(sf_dir, "documents") <= 100_000:
-
-        def partial(t: pa.Table) -> pa.Table:
-            return (
-                pa.TableGroupBy(t, "text")
-                .aggregate([("doc_id", "min"), ([], "count_all")])
-                .rename_columns(["text", "doc_id", "n_dups"])
-            )
+    # partial TEXT, not 16-byte keys); beyond it, a bucket-sharded shuffle
+    # on the text (near-unique key → bucketed_group_agg, common.py)
+    if n_docs <= 100_000:
 
         def final(t: pa.Table) -> pa.Table:
             out = (
@@ -510,11 +529,14 @@ def exact_dedup_docs(sf_dir: str):
             )
             return out.select(["doc_id", "n_dups"])
 
-        return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)
-    return (
-        ds.groupby("text")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
-        .select_columns(["doc_id", "n_dups"])
+        return combine_small(partials, final)
+    return bucketed_group_agg(
+        partials,
+        ["text"],
+        lambda g: g.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum")
+        )[["doc_id", "n_dups"]],
+        approx_rows=n_docs,
     )
 
 
@@ -1312,8 +1334,15 @@ def all_priority_customers(sf_dir: str):
 
     if table_num_rows(sf_dir, "orders") <= SMALL_COMBINE_ROWS:
         return combine_small(partials, finish)
-    agg = partials.groupby("custkey").aggregate(
-        Sum("n_orders", alias_name="n_orders"), Sum("n_hit", alias_name="n_hit")
+    # custkey is near-unique after the per-block partial → bucket-sharded
+    # combine (common.bucketed_group_agg) instead of a per-key aggregate
+    agg = bucketed_group_agg(
+        partials,
+        ["custkey"],
+        lambda g: g.groupby("custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"), n_hit=("n_hit", "sum")
+        ),
+        approx_rows=table_num_rows(sf_dir, "orders"),
     )
     return agg.filter(expr="n_orders == n_hit").map_batches(
         lambda t: pa.table(
