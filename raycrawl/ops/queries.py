@@ -373,18 +373,30 @@ def orders_priority_histogram(sf_dir: str):
 def events_per_minute(sf_dir: str):
     ds = table(sf_dir, "events", ["ts", "event_type"])
 
-    def trunc(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combine: events are roughly time-ordered, so one block
+        # covers few distinct minutes — the shuffle moves ≤ |minutes × types|
+        # rows per block instead of every event row
+        tm = pa.table(
             {
                 "minute": pc.floor_temporal(t["ts"], unit="minute"),
                 "event_type": t["event_type"],
             }
         )
+        return (
+            pa.TableGroupBy(tm, ["minute", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["minute", "event_type", "n"])
+        )
 
-    return (
-        ds.map_batches(trunc, batch_format="pyarrow")
-        .groupby(["minute", "event_type"])
-        .aggregate(Count(alias_name="n"))
+    # (minute × type) cardinality grows unboundedly with the time range →
+    # bucket-sharded final combine (common.bucketed_group_agg)
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["minute", "event_type"],
+        lambda g: g.groupby(["minute", "event_type"], as_index=False).agg(
+            n=("n", "sum")
+        ),
     )
 
 
@@ -755,8 +767,19 @@ def regional_revenue(sf_dir: str):
             nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
         )
     )
-    c2r = dict(zip(cust["c_custkey"], cust["c_nationkey"].map(n2r)))
-    ref = ray.put(c2r)
+    # broadcast as SORTED ARRAYS (custkey → region-code) + the tiny name
+    # list, so the per-batch lookup is one vectorized searchsorted instead
+    # of a per-row dict probe
+    import numpy as np
+
+    r_names = sorted(set(region["r_name"]))
+    name_code = {nm: i for i, nm in enumerate(r_names)}
+    cust_sorted = cust.sort_values("c_custkey")
+    ck = cust_sorted["c_custkey"].to_numpy(dtype=np.int64)
+    codes = (
+        cust_sorted["c_nationkey"].map(n2r).map(name_code).to_numpy(dtype=np.int8)
+    )
+    ref = ray.put((ck, codes, r_names))
 
     orders = table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -781,35 +804,49 @@ def regional_revenue(sf_dir: str):
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    def attach_region(t: pa.Table, *, ref) -> pa.Table:
-        c2r = ray.get(ref)
+    def region_partial(t: pa.Table, *, ref) -> pa.Table:
+        # vectorized custkey→region-code lookup + per-block combine: each
+        # join-output block collapses to ≤|regions| rows, so the join
+        # output never crosses another shuffle (fixed-cardinality key →
+        # combine_small is exact at any scale)
+        import numpy as np
+
+        ck, codes, names = ray.get(ref)
+        code = codes[np.searchsorted(ck, t["o_custkey"].to_numpy(zero_copy_only=False))]
+        rev = t["rev_c"].to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(names), dtype=np.int64)
+        for r in range(len(names)):  # |regions| passes, each vectorized
+            sums[r] = rev[code == r].sum()
+        hit = sums != 0
         return pa.table(
             {
-                "r_name": pa.array(
-                    [c2r[c] for c in t["o_custkey"].to_pylist()],
-                    pa.string(),
-                ),
-                "rev_c": t["rev_c"],
+                "code": pa.array(np.flatnonzero(hit), pa.int32()),
+                "rev_c": pa.array(sums[hit]),
             }
         )
 
-    agg = (
-        joined.map_batches(attach_region, fn_kwargs={"ref": ref},
-                           batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    partials = joined.map_batches(
+        region_partial, fn_kwargs={"ref": ref}, batch_format="pyarrow"
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, "code")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["code", "rev_c"])
+        )
         return pa.table(
             {
-                "r_name": t["r_name"],
-                "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()),
-                                     pa.scalar(100.0)),
+                "r_name": pa.array(
+                    [r_names[c] for c in agg["code"].to_pylist()], pa.string()
+                ),
+                "revenue": pc.divide(
+                    pc.cast(agg["rev_c"], pa.float64()), pa.scalar(100.0)
+                ),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return combine_small(partials, finish)
 
 
 # --------------------------------------------------------------------------
