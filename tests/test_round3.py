@@ -6,6 +6,7 @@ import os
 import re
 import struct
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -242,3 +243,90 @@ def test_lance_roundtrip_real_wheel():
         assert back.sort_by("image_id").equals(t)
         ds = lance.dataset(uri)
         assert ds.version >= 1
+
+
+# ------------------------------------------- bucketed high-cardinality agg
+
+
+class TestBucketedGroupAgg:
+    """common.bucketed_group_agg replaces Dataset.groupby().aggregate() for
+    near-unique keys (the per-key Python reduce scales with distinct-key
+    count — measured 33 s at 4M keys, >15 min at 33M; the bucketed shape
+    took 1.7 s / 39 s). These tests pin its correctness contract: exact
+    equivalence with a global pandas groupby, for int, string and
+    composite keys, across bucket counts."""
+
+    def _run(self, df, key_cols, agg, n_buckets=None):
+        import ray.data as rd
+
+        from raycrawl.ops.common import bucketed_group_agg
+
+        ds = rd.from_pandas(df).repartition(4)
+        out = bucketed_group_agg(ds, key_cols, agg, n_buckets=n_buckets)
+        return (
+            out.to_pandas()
+            .sort_values(key_cols if set(key_cols) <= set(out.schema().names)
+                         else out.schema().names[0])
+            .reset_index(drop=True)
+        )
+
+    def test_int_key_sum_matches_global_groupby(self, ray_session):
+        rng = np.random.Generator(np.random.PCG64(11))
+        df = pd.DataFrame(
+            {"k": rng.integers(0, 5000, 20_000), "v": rng.integers(0, 100, 20_000)}
+        )
+        got = self._run(
+            df, ["k"],
+            lambda g: g.groupby("k", as_index=False).agg(s=("v", "sum"),
+                                                         n=("v", "size")),
+        )
+        want = (
+            df.groupby("k", as_index=False)
+            .agg(s=("v", "sum"), n=("v", "size"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_string_and_composite_keys(self, ray_session):
+        rng = np.random.Generator(np.random.PCG64(12))
+        df = pd.DataFrame(
+            {
+                "a": [f"key-{i % 700}" for i in range(8_000)],
+                "b": rng.integers(0, 3, 8_000),
+                "v": rng.normal(size=8_000),
+            }
+        )
+        got = self._run(
+            df, ["a", "b"],
+            lambda g: g.groupby(["a", "b"], as_index=False).agg(m=("v", "min")),
+        )
+        want = (
+            df.groupby(["a", "b"], as_index=False)
+            .agg(m=("v", "min"))
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_every_key_lands_in_exactly_one_bucket(self, ray_session):
+        """The load-bearing invariant: rows of one key never split across
+        buckets (a split key would double-count). Aggregating group sizes
+        through the helper must reproduce the global value_counts."""
+        rng = np.random.Generator(np.random.PCG64(13))
+        df = pd.DataFrame({"k": rng.integers(0, 50, 10_000)})
+        got = self._run(
+            df, ["k"],
+            lambda g: g.groupby("k", as_index=False).agg(n=("k", "size")),
+            n_buckets=64,
+        )
+        assert int(got["n"].sum()) == len(df)
+        want = df["k"].value_counts().sort_index()
+        assert list(got.sort_values("k")["n"]) == list(want)
+
+    def test_group_buckets_scales_with_rows(self):
+        from raycrawl.ops.common import BUCKET_TARGET_ROWS, group_buckets
+
+        base = group_buckets()
+        assert base >= 8
+        assert group_buckets(approx_rows=BUCKET_TARGET_ROWS * 1000) >= 1000
