@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "top_words_corpus",
     "rollup_revenue",
     "image_exact_dedup_bytes",
+    "image_tier_routing",
     "weighted_sample_docs",
     "local_supplier_revenue",
     "event_followup_5m_by_type",

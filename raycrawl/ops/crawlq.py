@@ -67,6 +67,122 @@ def crawl_payload(sf_dir: str):
     )
 
 
+def payload_delta(dir_a: str, dir_b: str, num_partitions: int | None = None):
+    """Incremental-recrawl delta between two crawl outputs, as a Dataset of
+    (image_id, status) with status ∈ {added, removed, changed, same}
+    relative to dir_a → dir_b.
+
+    image_id is the canonical-URL sha1 (webgraph.py:168), so it is stable
+    across recrawls and keys the FULL OUTER ``Dataset.join``; content
+    identity is the tuple (w, h, fmt, phash, caption) — all derived from
+    the fetched payload, no byte re-read (a production variant with
+    mutable in-place images would add a payload-bytes digest column at
+    fetch time and compare that instead). Both sides stream through
+    ``read_payload`` (suppressed-sidecar anti-filter + column pruning
+    apply), the join is hash-partitioned via ``join_partitions()``, and
+    the status compute is one vectorized pandas pass per block — nothing
+    materializes beyond the join."""
+    import pandas as pd
+
+    from ..crawler import read_payload
+    from .common import join_partitions
+
+    cols = ["image_id", "w", "h", "fmt", "phash", "caption"]
+    a = read_payload(dir_a, columns=cols)
+    b = read_payload(dir_b, columns=cols)
+
+    def tag_b(t):
+        return t.rename_columns([f"{c}_b" for c in t.column_names])
+
+    joined = a.join(
+        b.map_batches(tag_b, batch_format="pyarrow"),
+        join_type="full_outer",
+        num_partitions=num_partitions or join_partitions(),
+        on=("image_id",),
+        right_on=("image_id_b",),
+    )
+
+    def status(df: pd.DataFrame) -> pd.DataFrame:
+        # the join coalesces the key into ``image_id``; side presence is
+        # read off content-column nullity (payload rows never carry nulls)
+        in_a = df["w"].notna()
+        in_b = df["w_b"].notna()
+        same = (
+            (df["w"] == df["w_b"])
+            & (df["h"] == df["h_b"])
+            & (df["fmt"] == df["fmt_b"])
+            & (df["phash"] == df["phash_b"])
+            & (df["caption"] == df["caption_b"])
+        )
+        st = pd.Series("removed", index=df.index)
+        st[~in_a & in_b] = "added"
+        st[in_a & in_b] = "changed"
+        st[in_a & in_b & same] = "same"
+        return pd.DataFrame({"image_id": df["image_id"], "status": st})
+
+    return joined.map_batches(status, batch_format="pandas")
+
+
+def _recrawl_out_dir(sf_dir: str) -> str:
+    """Second cached crawl over a GROWN universe (+2 pages per host, same
+    content seed): the incremental-recrawl scenario — new pages appear,
+    existing page content is unchanged."""
+    key = f"{sf_dir}#recrawl"
+    if key in _CRAWL_CACHE:
+        return _CRAWL_CACHE[key]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(4, n_docs // n_hosts) + 2)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_q/{tag}-re-{os.getpid()}"
+    cfg = CrawlConfig(web=web, out_dir=out, num_shards=4, max_epochs=60,
+                      epoch_seconds=8.0, burst=16.0)
+    run_crawl(cfg, seed_urls(web))
+    _CRAWL_CACHE[key] = out
+    return out
+
+
+@register("crawl_recrawl_delta", sql=None)
+def crawl_recrawl_delta(sf_dir: str):
+    """Per-status row counts of the incremental-recrawl delta between the
+    cached crawl and its grown-universe recrawl (rows-only: two crawls are
+    not SQL-expressible; the delta operator itself is pinned exactly by
+    ``tests/test_round3.py``'s pandas-merge oracle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .common import combine_small
+
+    delta = payload_delta(_crawl_out_dir(sf_dir), _recrawl_out_dir(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        # fixed-cardinality key (4 statuses) → per-block combine + one
+        # local merge; the delta rows never cross another shuffle
+        return (
+            pa.TableGroupBy(t.select(["status"]), "status")
+            .aggregate([([], "count_all")])
+            .rename_columns(["status", "n"])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, "status")
+            .aggregate([("n", "sum")])
+            .rename_columns(["status", "n"])
+        )
+        order = np.argsort(agg["status"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "status": agg["status"].take(pa.array(order)),
+                "n": pc_cast_i64(agg["n"].take(pa.array(order))),
+            }
+        )
+
+    return combine_small(delta.map_batches(partial, batch_format="pyarrow"), finish)
+
+
 def frontier_metrics_frame(out_dir: str):
     """Per-shard lineage metrics from the final checkpoint manifests of any
     crawl output directory. Shared by the registry query and the
@@ -165,6 +281,101 @@ def image_resize_32(sf_dir: str):
                      batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
         .drop_columns(["bytes"])
     )
+
+
+# Resolution-tier router: the fan-out predicate every multi-resolution
+# training pipeline needs (thumbnails → contrastive pretrain, mid-res →
+# captioning, large → detail models). Tier comes from DECODED pixel area
+# (the codec is in the loop, like image_quality_filter_stats), the stats
+# collapse per block to ≤3 rows (fixed-cardinality key → combine_small at
+# any scale), and the SQL oracle replays the deterministic dim
+# construction — a codec round-trip that corrupted dims breaks parity.
+_TIER_THUMB_MAX_AREA = 1_600   # < 40×40 px²
+_TIER_SMALL_MAX_AREA = 2_916   # < 54×54 px²
+
+_IMG_TIER_SQL = f"""
+WITH d AS (
+  SELECT CAST(32 + (doc_id * 7) % 33 AS BIGINT) AS w,
+         CAST(32 + (doc_id * 11) % 33 AS BIGINT) AS h
+  FROM documents),
+t AS (
+  SELECT w, h,
+         CASE WHEN w * h < {_TIER_THUMB_MAX_AREA} THEN 'thumb'
+              WHEN w * h < {_TIER_SMALL_MAX_AREA} THEN 'small'
+              ELSE 'large' END AS tier
+  FROM d)
+SELECT tier, CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(w * h), 6) AS avg_area,
+       CAST(min(w * h) AS BIGINT) AS min_area,
+       CAST(max(w * h) AS BIGINT) AS max_area
+FROM t GROUP BY tier
+"""
+
+
+@register("image_tier_routing", sql=_IMG_TIER_SQL)
+def image_tier_routing(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core.codec import decode_image
+    from .common import combine_small, round_half_away
+
+    images = _payload_images(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        areas = []
+        for blob in t["bytes"].to_pylist():  # decode is inherently per-item
+            px, _ = decode_image(blob)
+            areas.append(px.shape[0] * px.shape[1])
+        area = np.asarray(areas, dtype=np.int64)
+        tier = np.where(
+            area < _TIER_THUMB_MAX_AREA,
+            "thumb",
+            np.where(area < _TIER_SMALL_MAX_AREA, "small", "large"),
+        )
+        tmp = pa.table(
+            {
+                "tier": pa.array(tier, pa.string()),
+                "area": pa.array(area),
+                "area_min": pa.array(area),
+                "area_max": pa.array(area),
+            }
+        )
+        return (
+            pa.TableGroupBy(tmp, "tier")
+            .aggregate(
+                [([], "count_all"), ("area", "sum"), ("area_min", "min"),
+                 ("area_max", "max")]
+            )
+            .rename_columns(["tier", "n", "area_sum", "min_area", "max_area"])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.TableGroupBy(t, "tier")
+            .aggregate(
+                [("n", "sum"), ("area_sum", "sum"), ("min_area", "min"),
+                 ("max_area", "max")]
+            )
+            .rename_columns(["tier", "n", "area_sum", "min_area", "max_area"])
+        )
+        n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "tier": agg["tier"],
+                "n": pc_cast_i64(agg["n"]),
+                "avg_area": pa.array(
+                    round_half_away(
+                        agg["area_sum"].to_numpy(zero_copy_only=False) / n, 6
+                    )
+                ),
+                "min_area": pc_cast_i64(agg["min_area"]),
+                "max_area": pc_cast_i64(agg["max_area"]),
+            }
+        )
+
+    partials = images.map_batches(partial, batch_format="pyarrow", batch_size=64)
+    return combine_small(partials, finish)
 
 
 @register("video_frame_sample_phash", sql=None)

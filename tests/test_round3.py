@@ -330,3 +330,80 @@ class TestBucketedGroupAgg:
         base = group_buckets()
         assert base >= 8
         assert group_buckets(approx_rows=BUCKET_TARGET_ROWS * 1000) >= 1000
+
+
+# ------------------------------------------------- incremental recrawl delta
+
+
+class TestPayloadDelta:
+    """payload_delta's distributed full-outer join + status compute must
+    reproduce a pandas-merge oracle over the same two payloads exactly,
+    and satisfy the per-scenario invariants (identity → all same; grown
+    universe → added > 0; changed content seed → changed rows exist)."""
+
+    CONTENT = ["w", "h", "fmt", "phash", "caption"]
+
+    def _crawl(self, tmp_path, name, **web_kw):
+        from raycrawl.core.webgraph import WebConfig, seed_urls
+        from raycrawl.crawler import CrawlConfig, run_crawl
+
+        web_kw = {"n_hosts": 4, "pages_per_host": 6, **web_kw}
+        web = WebConfig(**web_kw)
+        out = str(tmp_path / name)
+        run_crawl(
+            CrawlConfig(web=web, out_dir=out, num_shards=2, max_epochs=40),
+            seed_urls(web),
+        )
+        return out
+
+    def _oracle(self, dir_a, dir_b):
+        from raycrawl.crawler import read_payload
+
+        cols = ["image_id"] + self.CONTENT
+        a = read_payload(dir_a, columns=cols).to_pandas()
+        b = read_payload(dir_b, columns=cols).to_pandas()
+        m = a.merge(b, on="image_id", how="outer", suffixes=("", "_b"),
+                    indicator=True)
+        same = m[[c + "_b" for c in self.CONTENT]].to_numpy() == \
+            m[self.CONTENT].to_numpy()
+        status = pd.Series("removed", index=m.index)
+        status[m["_merge"] == "right_only"] = "added"
+        both = m["_merge"] == "both"
+        status[both] = "changed"
+        status[both & same.all(axis=1)] = "same"
+        return (
+            pd.DataFrame({"image_id": m["image_id"], "status": status})
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+
+    def _got(self, dir_a, dir_b):
+        from raycrawl.ops.crawlq import payload_delta
+
+        return (
+            payload_delta(dir_a, dir_b)
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+
+    def test_matches_pandas_oracle_and_invariants(self, ray_session, tmp_path):
+        a = self._crawl(tmp_path, "a")
+        b = self._crawl(tmp_path, "b", pages_per_host=8)   # grown universe
+        c = self._crawl(tmp_path, "c", seed=43)            # content change
+
+        # identity: every row same
+        ident = self._got(a, a)
+        assert set(ident["status"]) == {"same"}
+
+        for x, y in ((a, b), (b, a), (a, c)):
+            got = self._got(x, y)
+            want = self._oracle(x, y)
+            pd.testing.assert_frame_equal(got, want)
+
+        grown = self._got(a, b)
+        assert (grown["status"] == "added").sum() > 0
+        assert set(self._got(b, a)["status"]) >= {"removed"} or \
+            (self._got(b, a)["status"] == "removed").sum() > 0
+        reseeded = self._got(a, c)
+        assert (reseeded["status"] == "changed").sum() > 0
