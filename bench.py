@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     "asof_last_purchase",
     "user_sessions_30m",
     "sliding_window_counts",
+    # round-3 additions (image training prep + URL hygiene)
+    "image_aspect_bucket_routing",
+    "clip_alignment_filter_stats",
+    "webdataset_shard_stats",
+    "image_channel_pixel_stats",
+    "crawl_trap_url_flags",
+    "url_canonical_dedup_stats",
 ]
 
 

@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="Ray Data blocks per CPU slot per epoch")
     c.add_argument("--no-fetch-log", action="store_true",
                    help="aggregate lineage metrics only (the at-scale default)")
+    c.add_argument("--trap-links", action="store_true",
+                   help="synthetic web emits calendar-loop trap links")
+    c.add_argument("--trap-filter", action="store_true",
+                   help="frontier denies trap-shaped URLs at offer time")
 
     args = p.parse_args(argv)
 
@@ -66,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
 
-    web = WebConfig(n_hosts=args.hosts, pages_per_host=args.pages_per_host)
+    web = WebConfig(n_hosts=args.hosts, pages_per_host=args.pages_per_host,
+                    trap_links=args.trap_links)
     cfg = CrawlConfig(
         web=web,
         out_dir=args.out,
@@ -81,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         frontier_spill_threshold=args.spill_threshold,
         blocks_per_cpu=args.blocks_per_cpu,
         keep_fetch_log=not args.no_fetch_log,
+        trap_filter=args.trap_filter,
     )
     import signal
 

@@ -64,6 +64,31 @@ def canonicalize_url(url: str, base: str | None = None) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Crawler-trap heuristics (classic spider-trap shapes: calendar loops,
+# session-id mills, facet explosions). Purely URL-shape — no fetch needed,
+# so the frontier can gate offers before spending a politeness token.
+TRAP_MAX_DEPTH = 6    # path segments ≥ this → 'deep'
+TRAP_MAX_PARAMS = 3   # query params ≥ this → 'params'
+
+
+def trap_reason(canonical_url: str) -> str | None:
+    """Classify a canonical URL as a likely crawler trap.
+
+    Returns ``None`` for an ordinary URL, else the first matching reason:
+    ``'deep'`` (path depth ≥ TRAP_MAX_DEPTH), ``'repeat'`` (a path segment
+    occurs more than once — calendar/loop traps), ``'params'`` (≥
+    TRAP_MAX_PARAMS query parameters — facet explosions)."""
+    parts = urlsplit(canonical_url)
+    segs = [s for s in parts.path.split("/") if s]
+    if len(segs) >= TRAP_MAX_DEPTH:
+        return "deep"
+    if len(segs) != len(set(segs)):
+        return "repeat"
+    if parts.query and len(parse_qsl(parts.query, keep_blank_values=True)) >= TRAP_MAX_PARAMS:
+        return "params"
+    return None
+
+
 def url_sha1(canonical_url: str) -> bytes:
     """20-byte SHA-1 of the canonical URL — the frontier/seen key."""
     return hashlib.sha1(canonical_url.encode("utf-8")).digest()

@@ -42,6 +42,15 @@ class WebConfig:
     # when True, every host's page 2 clones host 0's page 2 pixels (+noise):
     # CROSS-host near-duplicates, detectable only by the global phash tier
     cross_host_dup: bool = False
+    # when True, every trap_every-th page also links to a calendar-loop
+    # spelling of ITSELF one level deeper (`cal/2024/cal/2024/.../p/i`):
+    # a synthetic spider trap — infinitely many URLs, same content. The
+    # trap URL canonicalizes to a DISTINCT url (new digest) but _parse
+    # resolves it to the same (host, page), so an unfiltered crawl keeps
+    # fetching ever-deeper spellings until max_epochs; the frontier's
+    # trap_filter gate (urltools.trap_reason) is what stops it.
+    trap_links: bool = False
+    trap_every: int = 5
 
 
 def host_name(k: int) -> str:
@@ -136,7 +145,13 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
     """The synthetic fetch: canonical URL → full page. Deterministic."""
     k, i, private = _parse(canonical_url)
     digest = url_sha1(canonical_url)
-    rng = np.random.Generator(np.random.PCG64(_page_seed(cfg, k, i, private)))
+    # trap spellings (cal/2024/... prefixes) are DISTINCT pages with their
+    # own content — each level deeper reseeds, so the phash near-dup gate
+    # cannot stop the trap; only the frontier's trap_filter can (pairs is
+    # 0 for every ordinary URL, leaving existing universes byte-identical)
+    pairs = canonical_url.split("://", 1)[1].split("/", 1)[1].count("cal/2024/")
+    ps = _page_seed(cfg, k, i, private) + pairs
+    rng = np.random.Generator(np.random.PCG64(ps))
 
     # --- image: near-dup pages clone the previous page's pixels + noise
     is_xhost_dup = cfg.cross_host_dup and (not private) and i == 2 and k > 0
@@ -161,7 +176,7 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
         w = int(rng.integers(cfg.min_dim, cfg.max_dim + 1))
         h = int(rng.integers(cfg.min_dim, cfg.max_dim + 1))
         fmt = "jpeg" if rng.integers(0, 2) else "png"
-        pixels = synth_pixels(_page_seed(cfg, k, i, private), w, h)
+        pixels = synth_pixels(ps, w, h)
 
     data = encode_image(pixels, fmt)
     ph = phash64(pixels)
@@ -177,6 +192,14 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
         ti = int(rng.integers(0, cfg.pages_per_host))
         tpriv = bool(rng.random() < cfg.private_frac)
         outlinks.append(_messy(page_url(tk, ti, tpriv), rng))
+    # trap link LAST and rng-free: appending it never shifts the rng
+    # stream, so trap_links=False universes are byte-identical to before
+    if cfg.trap_links and not private and i % cfg.trap_every == 0:
+        path = canonical_url.split("://", 1)[1].split("/", 1)[1]
+        pairs = path.count("cal/2024/")
+        outlinks.append(
+            f"http://{host_name(k)}/" + "cal/2024/" * (pairs + 2) + f"p/{i}"
+        )
 
     return Page(
         url=canonical_url,

@@ -93,6 +93,9 @@ class CrawlConfig:
     # external frontier queue: per-host in-memory heap capped at this many
     # items, the rest in parquet spill segments (None = all in memory)
     frontier_spill_threshold: int | None = None
+    # gate trap-shaped URLs (urltools.trap_reason: deep / repeated-segment /
+    # param-explosion paths) at offer time, before politeness/robots spend
+    trap_filter: bool = False
     # pull per-row fetch logs + exact seen sets back to the driver at the
     # end (oracle-parity testing only — expensive, not part of the job)
     collect_parity_outputs: bool = False
@@ -141,7 +144,8 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
         return [
             Actor.remote(s, cfg.epoch_seconds, cfg.expected_urls, cfg.phash_radius,
                          cfg.burst, cfg.keep_fetch_log,
-                         cfg.frontier_spill_threshold, spill_dir(s))
+                         cfg.frontier_spill_threshold, spill_dir(s),
+                         cfg.trap_filter)
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from ..core.politeness import HostPoliteness, RobotsCache
 from ..core.sketches import SeenSet, PhashIndex
-from ..core.urltools import shard_of_host
+from ..core.urltools import shard_of_host, trap_reason
 
 _SHARD_CACHE: dict[tuple, int] = {}
 
@@ -112,8 +112,12 @@ class FrontierShard:
         log_enabled: bool = True,
         spill_threshold: int | None = None,
         spill_dir: str | None = None,
+        trap_filter: bool = False,
     ):
         self.shard_id = shard_id
+        # gate trap-shaped URLs (urltools.trap_reason) at offer-merge time,
+        # BEFORE any politeness token or robots lookup is spent on them
+        self.trap_filter = trap_filter
         # external per-host queue: when a host's in-memory heap exceeds
         # spill_threshold, the WORST half spills to parquet segments and the
         # heap keeps only the best items. Invariant: every in-memory item
@@ -144,7 +148,7 @@ class FrontierShard:
         self.host_q: dict[str, list[tuple]] = {}
         self.metrics = dict(
             offered=0, accepted=0, fetched=0, robots_denied=0,
-            phash_suppressed=0, fetch_errors=0,
+            phash_suppressed=0, fetch_errors=0, trap_denied=0,
         )
         self.log: list[dict] = []
         # url → (digest, host, priority, min_depth, discovered_at)
@@ -208,6 +212,14 @@ class FrontierShard:
             self.metrics["offered"] += 1
             if self.seen.check_and_add(digest):
                 continue
+            if self.trap_filter:
+                reason = trap_reason(url)
+                if reason:
+                    self.metrics["trap_denied"] += 1
+                    self._log_append(discovered_at, url, digest, host, pri,
+                                     depth, discovered_at,
+                                     f"trap_denied:{reason}")
+                    continue
             path = "/" + url.split("://", 1)[1].split("/", 1)[1]
             if not self.robots.allowed(host, path):
                 self.metrics["robots_denied"] += 1
@@ -642,6 +654,7 @@ class FrontierShard:
             epoch=epoch,
             burst=self.burst,
             log_enabled=self.log_enabled,
+            trap_filter=self.trap_filter,
             metrics=self.get_metrics(),
             tokens={h: b.tokens for h, b in self.politeness.buckets.items()},
             robots={h: list(r) for h, r in self.robots.rules.items()},
@@ -673,7 +686,8 @@ class FrontierShard:
             manifest = json.load(f)
         self = cls(shard_id, manifest["epoch_seconds"], expected_urls, phash_radius,
                    manifest.get("burst", 8.0), manifest.get("log_enabled", True),
-                   spill_threshold, spill_dir)
+                   spill_threshold, spill_dir,
+                   trap_filter=manifest.get("trap_filter", False))
         npz = np.load(os.path.join(d, "sketches.npz"))
         with open(os.path.join(d, "exact_seen.bin"), "rb") as f:
             exact = f.read()
@@ -714,7 +728,7 @@ class FrontierShard:
         self.metrics = {
             k: manifest["metrics"].get(k, 0)
             for k in ("offered", "accepted", "fetched", "robots_denied",
-                      "phash_suppressed", "fetch_errors")
+                      "phash_suppressed", "fetch_errors", "trap_denied")
         }
         base = os.path.dirname(os.path.dirname(d))  # ckpt_dir
         rows: list[dict] = []

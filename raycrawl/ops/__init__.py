@@ -17,6 +17,7 @@ from . import sketches_ops  # noqa: F401
 from . import mlprep  # noqa: F401
 from . import curation  # noqa: F401
 from . import imageprep  # noqa: F401
+from . import urlops  # noqa: F401
 from . import graphops  # noqa: F401
 from ..pipelines import reference_analogs  # noqa: F401
 from ..pipelines import dashboards  # noqa: F401

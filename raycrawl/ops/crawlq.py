@@ -208,8 +208,9 @@ def frontier_metrics_frame(out_dir: str):
                 epoch=m["epoch"],
                 **{k: m["metrics"].get(k, 0) for k in
                    ("offered", "accepted", "fetched", "robots_denied",
-                    "phash_suppressed", "fetch_errors", "seen_count",
-                    "bloom_cuckoo_false_positives", "robots_fetches")},
+                    "phash_suppressed", "fetch_errors", "trap_denied",
+                    "seen_count", "bloom_cuckoo_false_positives",
+                    "robots_fetches")},
             )
         )
     return pd.DataFrame(rows)

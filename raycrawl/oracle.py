@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
+from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host, trap_reason
 from .core.politeness import host_rate, RobotsCache
 from .core.webgraph import WebConfig, page_for, priority_of, fetch_fails
 from .core.codec import hamming64, phash64, decode_image
@@ -74,6 +74,7 @@ def oracle_crawl(
     burst: float = BURST,
     global_phash_dedup: bool = False,
     num_phash_shards: int = 4,
+    trap_filter: bool = False,
 ) -> OracleResult:
     res = OracleResult()
     seen: dict[int, set[bytes]] = {s: set() for s in range(num_shards)}
@@ -86,7 +87,7 @@ def oracle_crawl(
     robots = RobotsCache()
     metrics = {
         s: dict(offered=0, accepted=0, fetched=0, robots_denied=0,
-                phash_suppressed=0, fetch_errors=0)
+                phash_suppressed=0, fetch_errors=0, trap_denied=0)
         for s in range(num_shards)
     }
 
@@ -98,6 +99,17 @@ def oracle_crawl(
         if digest in seen[shard]:  # first-occurrence-wins, reference D1
             return
         seen[shard].add(digest)
+        if trap_filter:
+            reason = trap_reason(url)
+            if reason:
+                metrics[shard]["trap_denied"] += 1
+                res.fetch_log.append(
+                    {**_log(dict(url=url, digest=digest, host=host, shard=shard,
+                                 priority=priority_of(digest), depth=depth,
+                                 discovered_at=discovered_at), discovered_at),
+                     "status": f"trap_denied:{reason}"}
+                )
+                return
         item = dict(
             url=url,
             digest=digest,
