@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "image_channel_pixel_stats",
     "crawl_trap_url_flags",
     "url_canonical_dedup_stats",
+    "incremental_novelty_dedup",
 ]
 
 

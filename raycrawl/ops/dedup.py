@@ -964,3 +964,162 @@ def duplicate_ngram_fraction(
     )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest dedup: a NEW batch arrives; which of its rows carry a
+# key the accumulated OLD corpus has already seen? At 100 TB the old side
+# is billions of keys, so the scalable shape is a two-phase check:
+#
+#   1. Bloom prefilter — a bit array built distributed over the old keys
+#      (per-block partial bitmaps OR-merged; at >10k blocks the OR becomes
+#      a Ray actor tree instead of one driver reduce), ray.put ONCE and
+#      read inside every new-batch task. "Bit clear" is a PROOF of novelty
+#      — those rows never enter the verify shuffle.
+#   2. Exact verify — only the maybe-seen survivors (true dups + Bloom
+#      false positives, a tiny fraction of the new batch) are shuffled
+#      against the old keys in one bucketed pass.
+#
+# Key here = (user_id, props) over ``events`` split by ingest batch
+# (event_id % 10): "has this user emitted this exact property payload in a
+# previous batch". SQL oracle checks the pair membership directly.
+_NOVELTY_M_BITS = 1 << 23  # 1 MiB bitmap; ~2 bits/key headroom at 4M keys
+_NOVELTY_SQL = """
+WITH e AS (SELECT event_id, user_id, props FROM events),
+old AS (SELECT DISTINCT user_id, props FROM e WHERE event_id % 10 < 7),
+new AS (SELECT user_id, props FROM e WHERE event_id % 10 >= 7)
+SELECT CAST(count(*) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN (user_id, props) IN (SELECT (user_id, props)
+                                               FROM old)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       CAST(sum(CASE WHEN (user_id, props) IN (SELECT (user_id, props)
+                                               FROM old)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_novel
+FROM new
+"""
+
+
+def _novelty_key(df: pd.DataFrame) -> np.ndarray:
+    """Vectorized 64-bit key of (user_id, props) — the two engines compare
+    only key equality, so the convention is internal (unlike md5_u64_le
+    it never has to match a SQL hash)."""
+    return pd.util.hash_pandas_object(
+        df[["user_id", "props"]], index=False
+    ).to_numpy()
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_set(bits: np.ndarray, h: np.ndarray) -> None:
+    for p in (h % np.uint64(_NOVELTY_M_BITS),
+              _splitmix64(h) % np.uint64(_NOVELTY_M_BITS)):
+        np.bitwise_or.at(
+            bits, (p >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
+        )
+
+
+def _bloom_maybe(bits: np.ndarray, h: np.ndarray) -> np.ndarray:
+    out = np.ones(len(h), dtype=bool)
+    for p in (h % np.uint64(_NOVELTY_M_BITS),
+              _splitmix64(h) % np.uint64(_NOVELTY_M_BITS)):
+        byte = bits[(p >> np.uint64(3)).astype(np.int64)]
+        out &= (byte >> (p & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    return out
+
+
+@register("incremental_novelty_dedup", sql=_NOVELTY_SQL)
+def incremental_novelty_dedup(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_id", "user_id", "props"])
+    n_rows = table_num_rows(sf_dir, "events")
+
+    def old_bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_id"].to_numpy() % 10 < 7]
+        bits = np.zeros(_NOVELTY_M_BITS // 8, dtype=np.uint8)
+        if len(df):
+            _bloom_set(bits, _novelty_key(df))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    def or_bits(t: pa.Table) -> np.ndarray:
+        acc = np.zeros(_NOVELTY_M_BITS // 8, dtype=np.uint8)
+        for b in t["bits"].to_pylist():
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return acc
+
+    bloom = combine_small(
+        ds.map_batches(old_bloom_partial, batch_format="pandas"), or_bits
+    )
+    bloom_ref = ray.put(bloom)
+
+    # phase 2: new-batch rows that the Bloom cannot clear (bit set) emit
+    # their key; everything else is PROVEN novel and never shuffles
+    def maybe_rows(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bloom_ref)
+        new = df[df["event_id"].to_numpy() % 10 >= 7]
+        if not len(new):
+            return pd.DataFrame({"h": pd.Series([], dtype="uint64")})
+        h = _novelty_key(new)
+        return pd.DataFrame({"h": h[_bloom_maybe(b, h)]})
+
+    # old keys for the exact verify (hash column only — 8 B/row shuffle)
+    def old_keys(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["event_id"].to_numpy() % 10 < 7]
+        return pd.DataFrame({"h": _novelty_key(old) if len(old)
+                             else np.array([], np.uint64)})
+
+    # exact n_new: one pruned-column counting pass (event_id only)
+    def count_new(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((ids % 10 >= 7).sum())], pa.int64())})
+
+    n_new = int(
+        combine_small(
+            table(sf_dir, "events", ["event_id"]).map_batches(
+                count_new, batch_format="pyarrow"
+            ),
+            lambda t: t,
+        )["n"].to_numpy(zero_copy_only=False).sum()
+    )
+
+    tagged_new = ds.map_batches(maybe_rows, batch_format="pandas").map_batches(
+        lambda t: pa.table({"h": pc_uint64(t["h"]),
+                            "is_old": pa.array(np.zeros(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    )
+    tagged_old = ds.map_batches(old_keys, batch_format="pandas").map_batches(
+        lambda t: pa.table({"h": pc_uint64(t["h"]),
+                            "is_old": pa.array(np.ones(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    )
+
+    def bucket_known(g: pd.DataFrame) -> pd.DataFrame:
+        old_h = g.loc[g["is_old"], "h"].unique()
+        known = int(g.loc[~g["is_old"], "h"].isin(old_h).sum())
+        return pd.DataFrame({"known": [known]})
+
+    parts = bucketed_group_agg(
+        tagged_new.union(tagged_old), ["h"], bucket_known,
+        approx_rows=n_rows,
+    ).to_pandas()
+    n_known = int(parts["known"].sum())
+    return pa.table(
+        {
+            "n_new": pa.array([n_new], pa.int64()),
+            "n_known": pa.array([n_known], pa.int64()),
+            "n_novel": pa.array([n_new - n_known], pa.int64()),
+        }
+    )
+
+
+def pc_uint64(arr):
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.uint64())

@@ -138,3 +138,37 @@ def test_alignment_gate_stub_math():
     assert rows["keep"][1] >= 0.5 and rows["drop"][2] < 0.5
     # score range is structurally [0.2, 1.0]
     assert rows["drop"][1] >= 0.2 and rows["keep"][2] <= 1.0
+
+
+# ------------------------------------------------ incremental novelty dedup
+
+
+def test_bloom_prefilter_contract():
+    """No false negatives ever; false positives rare at the sized load."""
+    import numpy as np
+
+    from raycrawl.ops.dedup import (
+        _NOVELTY_M_BITS, _bloom_maybe, _bloom_set, _splitmix64)
+
+    rng = np.random.default_rng(7)
+    inserted = rng.integers(0, 2**63, 200_000, dtype=np.uint64)
+    probes = rng.integers(0, 2**63, 200_000, dtype=np.uint64)
+    bits = np.zeros(_NOVELTY_M_BITS // 8, dtype=np.uint8)
+    _bloom_set(bits, inserted)
+    assert _bloom_maybe(bits, inserted).all(), "false negative"
+    fresh = probes[~np.isin(probes, inserted)]
+    fp = _bloom_maybe(bits, fresh).mean()
+    assert fp < 0.01, f"false-positive rate {fp:.4f} too high"
+    # splitmix must actually decorrelate the second probe
+    assert (_splitmix64(inserted[:10]) != inserted[:10]).all()
+
+
+def test_incremental_novelty_balanced_at_sf001():
+    from raycrawl.ops.dedup import incremental_novelty_dedup
+
+    t = incremental_novelty_dedup("/root/testdata/sf0.01")
+    n_new = t["n_new"][0].as_py()
+    n_known = t["n_known"][0].as_py()
+    n_novel = t["n_novel"][0].as_py()
+    assert n_new == n_known + n_novel
+    assert n_known > 0 and n_novel > 0, "split should be non-degenerate"
