@@ -39,16 +39,17 @@ from ..core.codec import decode_image, phash64
 # built once per Ray worker process and reused across epochs — same
 # amortization as an actor pool, without per-pipeline spin-up. (Stages
 # with real mutable state — the frontier shards — stay actors.)
-_FETCHERS: dict[tuple, "FetchWorker"] = {}
+_FETCHERS: dict[WebConfig, "FetchWorker"] = {}
 _DECODER: "DecodePhash | None" = None
 
 
 def fetch_batch(batch: pa.Table, web_cfg: WebConfig) -> pa.Table:
-    key = (web_cfg.seed, web_cfg.n_hosts, web_cfg.pages_per_host,
-           web_cfg.neardup_every)
-    f = _FETCHERS.get(key)
+    # cache key = the ENTIRE frozen config: a partial field tuple once let
+    # a second crawl in the same Ray session (different trap_links) reuse
+    # a stale worker and silently crawl the wrong universe
+    f = _FETCHERS.get(web_cfg)
     if f is None:
-        f = _FETCHERS[key] = FetchWorker(web_cfg)
+        f = _FETCHERS[web_cfg] = FetchWorker(web_cfg)
     return f(batch)
 
 

@@ -106,3 +106,22 @@ def test_trap_filter_survives_restore(gated_pair):
     sh.offer(("t", 0), [url], [url_sha1(url)], ["h0.web.test"], [5], [1], 99)
     sh._merge_pending()
     assert sh.metrics["trap_denied"] == before + 1
+
+
+def test_fetch_cache_keyed_on_full_config(ray_session, tmp_path):
+    """Regression: two crawls in ONE Ray session with configs differing
+    only in a field the old partial cache key ignored (trap_links) must
+    not share a FetchWorker — the second crawl silently crawled the
+    trap-free universe and recorded zero denials."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    plain = WebConfig(n_hosts=4, pages_per_host=12)
+    run_crawl(CrawlConfig(web=plain, out_dir=str(tmp_path / "a"),
+                          num_shards=SHARDS, max_epochs=EPOCHS),
+              seed_urls(plain))
+    trappy = WebConfig(n_hosts=4, pages_per_host=12, trap_links=True)
+    stats = run_crawl(
+        CrawlConfig(web=trappy, out_dir=str(tmp_path / "b"),
+                    num_shards=SHARDS, max_epochs=EPOCHS, trap_filter=True),
+        seed_urls(trappy))
+    assert sum(m.get("trap_denied", 0) for m in stats.metrics) > 0

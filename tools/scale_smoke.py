@@ -226,6 +226,21 @@ def main() -> None:
                  "doc_quality_scores", "simhash_dedup_groups"):
         run(name)
 
+    # round-3 additions at 2.05M docs / 2.5M events
+    ab = run("image_aspect_bucket_routing")
+    checks["aspect_buckets_cover_corpus"] = int(ab["n"].sum()) == n_docs
+    px = run("image_channel_pixel_stats")  # decodes 2.05M synthetic images
+    checks["pixel_stats_plausible"] = (
+        len(px) == 3 and all(0 < m < 255 for m in px["mean"])
+    )
+    nv = run("incremental_novelty_dedup")
+    checks["novelty_consistent"] = int(nv["n_new"][0]) == int(
+        nv["n_known"][0]
+    ) + int(nv["n_novel"][0])
+    run("webdataset_shard_stats")
+    run("crawl_trap_url_flags")
+    run("url_canonical_dedup_stats")
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
@@ -239,6 +254,21 @@ def main() -> None:
     crawl_s = round(time.perf_counter() - t0, 3)
     results["crawl"] = crawl_s
     checks["crawl_completed"] = stats.payload_rows > 0
+
+    # trap-gated crawl on a trap-link universe: completion + zero trap
+    # URLs fetched + denials recorded (the unfiltered-growth side is
+    # pinned at test scale by test_trapgate.py)
+    web_t = WebConfig(n_hosts=96, pages_per_host=64, trap_links=True)
+    t0 = time.perf_counter()
+    cfg_t = CrawlConfig(web=web_t, out_dir=os.path.join(args.dir, "_crawl_trap"),
+                        num_shards=8, max_epochs=200, epoch_seconds=8.0,
+                        burst=16.0, trap_filter=True)
+    stats_t = run_crawl(cfg_t, seed_urls(web_t))
+    results["crawl_trap_gated"] = round(time.perf_counter() - t0, 3)
+    checks["trap_crawl_completed"] = stats_t.payload_rows > 0
+    checks["trap_denials_recorded"] = (
+        sum(m.get("trap_denied", 0) for m in stats_t.metrics) > 0
+    )
 
     line = {
         "metric": "scale_smoke_total",
