@@ -222,6 +222,37 @@ def crawl_frontier_metrics(sf_dir: str):
     return frontier_metrics_frame(_crawl_out_dir(sf_dir))
 
 
+def _trap_crawl_out_dir(sf_dir: str) -> str:
+    """Cached trap-gated crawl over a trap-link universe (same sizing as
+    the main cached crawl): the trap-defense scenario end to end."""
+    key = f"{sf_dir}#trap"
+    if key in _CRAWL_CACHE:
+        return _CRAWL_CACHE[key]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(4, n_docs // n_hosts),
+                    trap_links=True)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_q/{tag}-trap-{os.getpid()}"
+    cfg = CrawlConfig(web=web, out_dir=out, num_shards=4, max_epochs=60,
+                      epoch_seconds=8.0, burst=16.0, trap_filter=True)
+    run_crawl(cfg, seed_urls(web))
+    _CRAWL_CACHE[key] = out
+    return out
+
+
+@register("crawl_trap_gate_metrics", sql=None)
+def crawl_trap_gate_metrics(sf_dir: str):
+    """Per-shard lineage metrics of a trap-GATED crawl over a trap-link
+    universe (rows-only: a crawl is not SQL-expressible; the gate's
+    engine⋄oracle parity and growth containment are pinned by
+    tests/test_trapgate.py). Every shard row carries trap_denied > 0-able
+    counts; the payload of this crawl contains zero trap URLs."""
+    return frontier_metrics_frame(_trap_crawl_out_dir(sf_dir))
+
+
 # ----------------------------------------------------------- multimodal
 
 

@@ -125,3 +125,11 @@ def test_fetch_cache_keyed_on_full_config(ray_session, tmp_path):
                     num_shards=SHARDS, max_epochs=EPOCHS, trap_filter=True),
         seed_urls(trappy))
     assert sum(m.get("trap_denied", 0) for m in stats.metrics) > 0
+
+
+def test_trap_gate_metrics_query(ray_session):
+    from raycrawl.ops import REGISTRY
+
+    df = REGISTRY["crawl_trap_gate_metrics"]["fn"]("/root/testdata/sf0.001")
+    assert df["trap_denied"].sum() > 0
+    assert (df["offered"] >= df["accepted"]).all()
