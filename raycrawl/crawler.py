@@ -103,6 +103,14 @@ class CrawlConfig:
     # Data pipeline (None = auto: 16 with payload bytes, 96 without — the
     # crossover where per-row work outgrows the pipeline launch cost)
     small_epoch_max_rows: int | None = None
+    # epochs popping ≤ this many rows run as ONE PLAIN RAY TASK PER CHUNK
+    # (same chunks, same parallelism as the pipeline) instead of a Ray
+    # Data pipeline. None = auto: 24×CPUs with payload bytes (a CPU's
+    # chunk ≈ 24 rows × ~17 ms/row ≈ the ~0.2-0.5 s pipeline spin-up),
+    # 160×CPUs metadata-only (~1-2 ms/row). Epochs above this stay on the
+    # streaming Dataset pipeline — that is the at-scale path; this cap
+    # only reroutes launch-dominated epochs.
+    task_epoch_max_rows: int | None = None
 
 
 @dataclass
@@ -332,6 +340,9 @@ def run_crawl(
         small_max = cfg.small_epoch_max_rows
         if small_max is None:
             small_max = 16 if keep_bytes else 96
+        task_max = cfg.task_epoch_max_rows
+        if task_max is None:
+            task_max = (24 if keep_bytes else 160) * ncpu
         if total <= small_max:
             # one block → one task (tail-epoch fast path, no pipeline launch)
             ray.get(
@@ -344,6 +355,27 @@ def run_crawl(
             stats.last_pipeline_stats = (
                 f"(epoch {epoch}: small-epoch fast path, {total} rows, "
                 "no Ray Data pipeline)"
+            )
+        elif total <= task_max:
+            # launch-dominated epoch: the SAME equal-slice chunks the
+            # pipeline would stream, submitted as one plain Ray task each
+            # (~ms of launch each vs the ~0.2-0.5 s Ray Data pipeline
+            # spin-up). Semantics identical to the single-task path —
+            # every task ray.gets its gate_submits before returning, so
+            # gate_finalize still sees every offer; payload files carry a
+            # per-chunk part base so writers never collide.
+            ray.get([
+                _small_epoch_task.remote(
+                    cfg.web, actors, epoch, keep_bytes, bsz,
+                    os.path.join(payload_dir, f"epoch={epoch}"),
+                    ref, part_base=j * 100_000,
+                )
+                for j, ref in enumerate(refs)
+            ])
+            t = _mark("pipeline", t)
+            stats.last_pipeline_stats = (
+                f"(epoch {epoch}: task fast path, {total} rows in "
+                f"{len(refs)} chunk tasks, no Ray Data pipeline)"
             )
         else:
             ds = ray.data.from_arrow_refs(refs)
@@ -558,7 +590,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
 
 @ray.remote(num_cpus=1)
 def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
-                      out_uri, *tables):
+                      out_uri, *tables, part_base: int = 0):
     """Tail-epoch fast path: a popped set that fits ONE block runs fetch →
     decode/gate-submit → payload write inside a single Ray task, skipping
     the per-epoch Ray Data pipeline launch (~0.15-0.4 s) that dominates
@@ -575,7 +607,10 @@ def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
     written = 0
     for part, off in enumerate(range(0, tbl.num_rows, batch_size)):
         out = decode(fetch_batch(tbl.slice(off, batch_size), web_cfg=web_cfg))
-        lancelike.write_table_flat(out, out_uri, part=part)
+        # part_base namespaces the k-chunk-task path's writers (parquet
+        # filenames; the Lance backend would need concurrent-append
+        # handling — noted env-gated in io/lancelike.py)
+        lancelike.write_table_flat(out, out_uri, part=part_base + part)
         written += out.num_rows
     return written
 
