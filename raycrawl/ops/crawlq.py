@@ -243,6 +243,54 @@ def _trap_crawl_out_dir(sf_dir: str) -> str:
     return out
 
 
+@register("crawl_host_fairness", sql=None)
+def crawl_host_fairness(sf_dir: str):
+    """Per-host skew audit of the cached crawl's payload: politeness
+    should keep any one host from dominating the fetch budget. Per-block
+    (host, n) Arrow partials (fixed cardinality = hosts) + one local
+    combine; rows-only (a crawl is not SQL-expressible; a pandas recompute
+    pytest pins the arithmetic)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..crawler import read_payload
+    from .common import combine_small, round_half_away
+
+    ds = read_payload(_crawl_out_dir(sf_dir), columns=["url"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = [u.split("://", 1)[1].split("/", 1)[0]
+                 for u in t["url"].to_pylist()]
+        tmp = pa.table({"host": pa.array(hosts, pa.string())})
+        return (
+            pa.TableGroupBy(tmp, "host")
+            .aggregate([([], "count_all")])
+            .rename_columns(["host", "n"])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("host", as_index=False)["n"].sum()
+        n = g["n"].to_numpy(dtype=np.float64)
+        total = float(n.sum())
+        return pa.table(
+            {
+                "n_hosts": pa.array([len(g)], pa.int64()),
+                "total_rows": pa.array([int(total)], pa.int64()),
+                "max_host_rows": pa.array([int(n.max())], pa.int64()),
+                "max_over_mean": pa.array(
+                    round_half_away([n.max() / (total / len(g))], 6)
+                ),
+                "top_host_share": pa.array(
+                    round_half_away([n.max() / total], 6)
+                ),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         finish)
+
+
 @register("crawl_trap_gate_metrics", sql=None)
 def crawl_trap_gate_metrics(sf_dir: str):
     """Per-shard lineage metrics of a trap-GATED crawl over a trap-link

@@ -282,3 +282,67 @@ def heavy_hitter_tokens(sf_dir: str):
         )
         out["n"] = out["n"].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# PER-GROUP percentiles via the same rounded-histogram convention: the
+# (event_type, rounded-value) histogram is a per-block Arrow partial of
+# fixed-ish cardinality (types × ≤ distinct cents), one local combine
+# finishes; the discrete "smallest v with cum ≥ q·tot" rule matches the
+# SQL replay exactly — no interpolation-convention drift. At 100 TB the
+# histogram stays ≤ types × value-resolution rows regardless of input
+# size — this is the mergeable-sketch shape for grouped quantiles.
+_GQ_SQL = f"""
+WITH h AS (SELECT event_type, ROUND(value, 2) AS v, count(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1),
+c AS (SELECT h.event_type, v,
+             SUM(n) OVER (PARTITION BY h.event_type ORDER BY v) AS cum,
+             t.tot
+      FROM h JOIN t USING (event_type))
+SELECT event_type,
+       {", ".join(
+           f"MIN(CASE WHEN cum >= {q} * tot THEN v END) AS p{int(q*100)}"
+           for q in _QS)}
+FROM c GROUP BY event_type
+"""
+
+
+@register("event_value_quantiles_by_type", sql=_GQ_SQL)
+def event_value_quantiles_by_type(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table(
+            {
+                "event_type": t["event_type"],
+                "v": pc.round(t["value"], ndigits=2,
+                              round_mode="half_towards_infinity"),
+            }
+        )
+        return (
+            pa.TableGroupBy(tmp, ["event_type", "v"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "v", "n"])
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = (
+            tbl.to_pandas()
+            .groupby(["event_type", "v"], as_index=False)["n"].sum()
+            .sort_values(["event_type", "v"])
+        )
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            cum = g["n"].cumsum()
+            tot = g["n"].sum()
+            row = {"event_type": et}
+            for q in _QS:
+                idx = (cum >= q * tot).idxmax()
+                row[f"p{int(q * 100)}"] = float(g.loc[idx, "v"])
+            rows.append(row)
+        return pa.Table.from_pylist(rows)
+
+    from .common import combine_small
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"), finish)

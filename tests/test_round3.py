@@ -407,3 +407,24 @@ class TestPayloadDelta:
             (self._got(b, a)["status"] == "removed").sum() > 0
         reseeded = self._got(a, c)
         assert (reseeded["status"] == "changed").sum() > 0
+
+
+# ---------------------------------------------------- crawl host fairness
+
+
+def test_crawl_host_fairness_matches_pandas(ray_session):
+    from raycrawl.crawler import read_payload
+    from raycrawl.ops import REGISTRY
+    from raycrawl.ops.crawlq import _crawl_out_dir
+
+    t = REGISTRY["crawl_host_fairness"]["fn"](SF)
+    pay = read_payload(_crawl_out_dir(SF), columns=["url"]).to_pandas()
+    hosts = pay["url"].str.split("://").str[1].str.split("/").str[0]
+    counts = hosts.value_counts()
+    assert t["n_hosts"][0].as_py() == counts.size
+    assert t["total_rows"][0].as_py() == len(pay)
+    assert t["max_host_rows"][0].as_py() == int(counts.max())
+    import pytest as _pt
+
+    assert t["top_host_share"][0].as_py() == _pt.approx(
+        counts.max() / len(pay), abs=1e-6)
