@@ -365,3 +365,77 @@ def image_channel_pixel_stats(sf_dir: str):
         concurrency=(1, 8),
     )
     return combine_small(partials, finish)
+
+
+# --------------------------------------------------------------------------
+# The end-to-end curation pipeline as ONE FUSED vectorized pass: quality
+# gate (decoded-dim rule shared with image_quality_filter_stats) →
+# alignment gate (the CLIP stub) → aspect-bucket routing for survivors,
+# with rejects routed to 'rej:quality' / 'rej:alignment' buckets. One
+# map_batches over (doc_id, text), fixed output cardinality (7 buckets +
+# 2 reject lanes) → per-block Arrow partials + one local combine; zero
+# shuffles at any input scale. This is what a user's "curate my
+# image+caption corpus" job compiles to — each gate is also available as
+# its own audited operator.
+_CURATE_SQL = f"""
+WITH d AS (
+  SELECT CAST(32 + (doc_id * 7) % 33 AS DOUBLE) AS w,
+         CAST(32 + (doc_id * 11) % 33 AS DOUBLE) AS h,
+         CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+           AS u,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\\s+')) END AS tok
+  FROM documents),
+s AS (
+  SELECT w / h AS aspect,
+         (least(w, h) >= 40 AND w / h BETWEEN 0.5 AND 2.0) AS q_ok,
+         0.2 + 0.6 * u
+           + 0.2 * (CASE WHEN tok > 20 THEN 20 ELSE tok END / 20.0) AS score
+  FROM d),
+b AS (
+  SELECT CASE WHEN NOT q_ok THEN 'rej:quality'
+              WHEN score < 0.5 THEN 'rej:alignment'
+              {_ASPECT_SQL_CASE.replace("WHEN aspect", "WHEN q_ok AND score >= 0.5 AND aspect")} END
+           AS bucket
+  FROM s)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket
+"""
+
+
+@register("image_caption_curation_pipeline", sql=_CURATE_SQL)
+def image_caption_curation_pipeline(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        w, h = _dims_from_doc_id(d)
+        w = w.astype(np.float64)
+        h = h.astype(np.float64)
+        aspect = w / h
+        q_ok = (np.minimum(w, h) >= 40) & (aspect >= 0.5) & (aspect <= 2.0)
+        u = ((d * 2654435761) % 4294967296).astype(np.float64) / 4294967296.0
+        tok = df["text"].str.split().str.len().fillna(0).to_numpy(np.float64)
+        score = 0.2 + 0.6 * u + 0.2 * (np.minimum(tok, 20.0) / 20.0)
+        bucket = np.asarray(_ASPECT_BUCKETS, dtype=object)[
+            np.digitize(aspect, _ASPECT_BOUNDS)
+        ]
+        bucket = np.where(~q_ok, "rej:quality",
+                          np.where(score < 0.5, "rej:alignment", bucket))
+        return (
+            pd.DataFrame({"bucket": bucket})
+            .groupby("bucket", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("bucket", as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pandas"),
+                         finish)
