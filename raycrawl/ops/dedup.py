@@ -1039,64 +1039,54 @@ def incremental_novelty_dedup(sf_dir: str):
     ds = table(sf_dir, "events", ["event_id", "user_id", "props"])
     n_rows = table_num_rows(sf_dir, "events")
 
+    # pass 1: ONE scan builds the old-side Bloom partials AND counts the
+    # new side (the exact n_new) — the two folds share the batch split,
+    # so a separate pruned-column counting pass would just re-read events
     def old_bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_id"].to_numpy() % 10 < 7]
+        is_old = df["event_id"].to_numpy() % 10 < 7
+        old = df[is_old]
         bits = np.zeros(_NOVELTY_M_BITS // 8, dtype=np.uint8)
-        if len(df):
-            _bloom_set(bits, _novelty_key(df))
-        return pd.DataFrame({"bits": [bits.tobytes()]})
+        if len(old):
+            _bloom_set(bits, _novelty_key(old))
+        return pd.DataFrame({"bits": [bits.tobytes()],
+                             "n_new": [int((~is_old).sum())]})
 
-    def or_bits(t: pa.Table) -> np.ndarray:
+    def or_bits(t: pa.Table):
         acc = np.zeros(_NOVELTY_M_BITS // 8, dtype=np.uint8)
         for b in t["bits"].to_pylist():
             acc |= np.frombuffer(b, dtype=np.uint8)
-        return acc
+        return acc, int(pa.compute.sum(t["n_new"]).as_py() or 0)
 
-    bloom = combine_small(
+    bloom, n_new = combine_small(
         ds.map_batches(old_bloom_partial, batch_format="pandas"), or_bits
     )
     bloom_ref = ray.put(bloom)
 
-    # phase 2: new-batch rows that the Bloom cannot clear (bit set) emit
-    # their key; everything else is PROVEN novel and never shuffles
-    def maybe_rows(df: pd.DataFrame) -> pd.DataFrame:
+    # pass 2: ONE scan emits both sides of the exact verify — old keys
+    # (hash column only, 8 B/row) and the new-batch rows the Bloom cannot
+    # clear (true dups + false positives); bit-clear rows are PROVEN novel
+    # and never shuffle. No union of two re-scans: one dataset, one pass.
+    def verify_rows(df: pd.DataFrame) -> pd.DataFrame:
         b = ray.get(bloom_ref)
-        new = df[df["event_id"].to_numpy() % 10 >= 7]
-        if not len(new):
-            return pd.DataFrame({"h": pd.Series([], dtype="uint64")})
-        h = _novelty_key(new)
-        return pd.DataFrame({"h": h[_bloom_maybe(b, h)]})
+        is_old = df["event_id"].to_numpy() % 10 < 7
+        old, new = df[is_old], df[~is_old]
+        h_old = _novelty_key(old) if len(old) else np.array([], np.uint64)
+        if len(new):
+            h = _novelty_key(new)
+            h_new = h[_bloom_maybe(b, h)]
+        else:
+            h_new = np.array([], np.uint64)
+        return pd.DataFrame(
+            {
+                "h": np.concatenate([h_old, h_new]),
+                "is_old": np.concatenate(
+                    [np.ones(len(h_old), bool), np.zeros(len(h_new), bool)]
+                ),
+            }
+        )
 
-    # old keys for the exact verify (hash column only — 8 B/row shuffle)
-    def old_keys(df: pd.DataFrame) -> pd.DataFrame:
-        old = df[df["event_id"].to_numpy() % 10 < 7]
-        return pd.DataFrame({"h": _novelty_key(old) if len(old)
-                             else np.array([], np.uint64)})
-
-    # exact n_new: one pruned-column counting pass (event_id only)
-    def count_new(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = t["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table({"n": pa.array([int((ids % 10 >= 7).sum())], pa.int64())})
-
-    n_new = int(
-        combine_small(
-            table(sf_dir, "events", ["event_id"]).map_batches(
-                count_new, batch_format="pyarrow"
-            ),
-            lambda t: t,
-        )["n"].to_numpy(zero_copy_only=False).sum()
-    )
-
-    tagged_new = ds.map_batches(maybe_rows, batch_format="pandas").map_batches(
-        lambda t: pa.table({"h": pc_uint64(t["h"]),
-                            "is_old": pa.array(np.zeros(t.num_rows, bool))}),
-        batch_format="pyarrow",
-    )
-    tagged_old = ds.map_batches(old_keys, batch_format="pandas").map_batches(
-        lambda t: pa.table({"h": pc_uint64(t["h"]),
-                            "is_old": pa.array(np.ones(t.num_rows, bool))}),
+    tagged = ds.map_batches(verify_rows, batch_format="pandas").map_batches(
+        lambda t: pa.table({"h": pc_uint64(t["h"]), "is_old": t["is_old"]}),
         batch_format="pyarrow",
     )
 
@@ -1106,8 +1096,7 @@ def incremental_novelty_dedup(sf_dir: str):
         return pd.DataFrame({"known": [known]})
 
     parts = bucketed_group_agg(
-        tagged_new.union(tagged_old), ["h"], bucket_known,
-        approx_rows=n_rows,
+        tagged, ["h"], bucket_known, approx_rows=n_rows,
     ).to_pandas()
     n_known = int(parts["known"].sum())
     return pa.table(
