@@ -778,6 +778,118 @@ def image_exact_dedup_bytes(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Keep-BEST dedup within image duplicate clusters (the LAION-style "many
+# URLs serve the same image with different alt-texts" case): instead of
+# first-occurrence, each exact-duplicate cluster keeps the member with
+# the most caption tokens (tie → lowest doc_id) so the retained pair has
+# the richest text. Same planted-triple construction and same
+# compute-digest-where-the-bytes-live shape as image_exact_dedup_bytes;
+# the per-block partial ALREADY collapses to one best-member row per
+# digest, so the exchange moves (digest, best, size) rows only, and the
+# argmax-merge is associative (best-of-bests), making the combine safe at
+# any block split. SQL oracle replays the choice with a window function.
+
+_IMG_KEEP_BEST_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id, 3 * (doc_id // 3) AS cluster,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, {{ws}}), '\\s+'))
+         END AS cap_tokens
+  FROM documents),
+best AS (
+  SELECT doc_id, cap_tokens,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY cap_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS group_size
+  FROM pairs)
+SELECT printf('img-%08d', doc_id) AS keeper,
+       CAST(cap_tokens AS BIGINT) AS caption_tokens,
+       CAST(group_size AS BIGINT) AS group_size
+FROM best WHERE rn = 1
+"""
+
+
+@register(
+    "image_dup_keep_best_caption",
+    sql=_IMG_KEEP_BEST_SQL.format(
+        ws="' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    ),
+)
+def image_dup_keep_best_caption(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..core.codec import encode_image, synth_pixels
+    from .common import SMALL_COMBINE_ROWS, combine_small, table_num_rows
+
+    ds = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def best_partial(df: pd.DataFrame) -> pd.DataFrame:
+        digests = []
+        for doc_id in df["doc_id"].to_numpy():
+            seed = int(doc_id) // 3
+            w, h = 36 + seed % 29, 36 + seed % 23
+            fmt = "png" if seed % 2 == 0 else "jpeg"
+            data = encode_image(synth_pixels(seed, w, h), fmt)
+            digests.append(hashlib.sha1(data).hexdigest())
+        s = df["text"].str.strip()
+        toks = s.str.split(r"\s+").str.len()
+        toks[s == ""] = 0
+        part = pd.DataFrame(
+            {
+                "digest": digests,
+                "doc_id": df["doc_id"].to_numpy(),
+                "cap_tokens": toks.to_numpy(np.int64),
+                "group_size": np.ones(len(df), np.int64),
+            }
+        )
+        return _merge_best(part)
+
+    def _merge_best(part: pd.DataFrame) -> pd.DataFrame:
+        # associative partial merge: per digest keep the argmax member
+        # (cap_tokens desc, doc_id asc) and sum the sizes
+        part = part.sort_values(
+            ["digest", "cap_tokens", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        sizes = part.groupby("digest", as_index=False, sort=False)[
+            "group_size"
+        ].sum()
+        best = part.drop_duplicates("digest", keep="first")[
+            ["digest", "doc_id", "cap_tokens"]
+        ]
+        return best.merge(sizes, on="digest")
+
+    partials = ds.map_batches(best_partial, batch_format="pandas",
+                              batch_size=256)
+
+    def final_pd(df: pd.DataFrame) -> pd.DataFrame:
+        m = _merge_best(df)
+        return pd.DataFrame(
+            {
+                "keeper": m["doc_id"].map("img-{:08d}".format),
+                "caption_tokens": m["cap_tokens"].astype("int64"),
+                "group_size": m["group_size"].astype("int64"),
+            }
+        )
+
+    if table_num_rows(sf_dir, "documents") <= SMALL_COMBINE_ROWS:
+        return combine_small(
+            partials, lambda t: pa.Table.from_pandas(
+                final_pd(t.to_pandas()), preserve_index=False
+            )
+        )
+    from .common import bucketed_group_agg
+
+    return bucketed_group_agg(
+        partials, ["digest"], final_pd,
+        approx_rows=table_num_rows(sf_dir, "documents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Image quality filtering (the Gopher-rules analog for images): every
 # payload blob is DECODED in the stage (dims come from the codec, not the
 # builder), then the keep rule — min dimension ≥ 40 px, aspect ratio in

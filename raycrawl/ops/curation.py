@@ -427,3 +427,97 @@ def pack_documents_to_chunks(sf_dir: str):
     return pack_by_running_total(
         ds.map_batches(tokens_with_bucket, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model quality proxy (the CCNet / perplexity-filter
+# shape every LLM ingest pipeline runs): pass 1 FITS a unigram LM over the
+# corpus — per-block token value_counts collapse each block to its local
+# vocabulary before any exchange, so the final (word, count) fold is
+# VOCABULARY-sized, not corpus-sized, and broadcasts whole; pass 2
+# re-streams the corpus and scores every document's average negative
+# log-likelihood against the broadcast table with one C-level categorical
+# map + a segment mean. A production pipeline swaps the broadcast table
+# for a KenLM binary in the same fit-once/score-streaming slot; the
+# two-pass dataflow (and the filter reading `avg_nll`) is identical.
+# Reference analog: the fit-once TF-IDF + score path
+# (`Random_Forest_Classifier.py:53-78`), generalized from 2 fixed terms to
+# the whole vocabulary.
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents),
+freq AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+tot AS (SELECT sum(n) AS total FROM freq)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(-avg(ln(f.n / tot.total)), 6) AS avg_nll
+FROM toks t JOIN freq f USING (word) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@register("unigram_logprob_scores", sql=_UNIGRAM_SQL)
+def unigram_logprob_scores(sf_dir: str):
+    from .common import combine_small, round_half_away
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t["text"])
+        splits = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = splits.values.filter(pc.not_equal(splits.values, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"word": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    def fold_vocab(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, "word")
+            .aggregate([("n", "sum")])
+            .rename_columns(["word", "n"])
+        )
+
+    vocab = combine_small(
+        table(sf_dir, "documents", ["text"]).map_batches(
+            block_counts, batch_format="pyarrow"
+        ),
+        fold_vocab,
+    )
+    n = vocab["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    logp = pd.Series(
+        np.log(n / n.sum()), index=vocab["word"].to_pylist()
+    )
+    lm_ref = ray.put(logp)
+
+    def score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        lm = ray.get(ref)
+        toks = (
+            df["text"].str.lower().str.split(r"[^a-z0-9]+", regex=True)
+        )
+        ex = toks.explode()
+        ex = ex[ex.astype(bool)]  # drop the '' artifacts of split()
+        if not len(ex):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "avg_nll": pd.Series([], dtype="float64")}
+            )
+        nll = -ex.map(lm).to_numpy(np.float64)
+        g = pd.DataFrame(
+            {"doc_id": df["doc_id"].reindex(ex.index).to_numpy(), "nll": nll}
+        ).groupby("doc_id", as_index=False).agg(
+            n_tokens=("nll", "size"), avg_nll=("nll", "mean")
+        )
+        g["avg_nll"] = round_half_away(g["avg_nll"].to_numpy(), 6)
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    return table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, fn_kwargs={"ref": lm_ref}, batch_format="pandas"
+    )
