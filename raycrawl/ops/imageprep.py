@@ -439,3 +439,258 @@ def image_caption_curation_pipeline(sf_dir: str):
 
     return combine_small(ds.map_batches(partial, batch_format="pandas"),
                          finish)
+
+
+# --------------------------------------------------------------------------
+# phash LSH banding — the at-scale near-duplicate candidate generator for
+# the north rule's phash:int64 payload column, SQL-verified END TO END.
+#
+# ``image_phash_neardup_groups`` (crawlq.py) runs the same banding shape
+# over codec-derived phashes (python-oracled: the fake codec is not SQL-
+# replayable). Here the phash is an ARITHMETIC stand-in — FNV-1a over the
+# 8 little-endian bytes of doc_id//2, with 0/1/2 deterministic noise-bit
+# flips on odd ids — so DuckDB replays the ENTIRE chain in HUGEINT
+# mod-2^64: hash → 4×16-bit bands → band-bucket self-join → XOR popcount
+# radius filter. That pins the LSH banding algebra itself (band split,
+# bucket co-location, pigeonhole completeness at radius ≤ 3, first-band
+# pair emission) with a value-hash oracle.
+#
+# Scale shape: band rows are 16 B × 4n; the shuffle moves bands, never
+# images. Pairs are emitted from the FIRST band two hashes share (earlier
+# band inequality checked locally from the two hashes), so no distinct-
+# pair dedup shuffle exists. 16-bit bands assume corpus ≤ ~10^7 per
+# bucket-balance; at 10^9-10^10 images widen to 8×8-bit multi-probe or
+# salt hot bands — same pipeline, different constants (documented
+# DESIGN.md trade-off, matching image_phash_neardup_groups's note).
+
+_PHASH_RADIUS = 3
+
+_FNV_SQL = """
+      list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                     [CAST((kk >> (8 * i)) & 255 AS HUGEINT)
+                      for i in range(0, 8)]),
+        (acc, x) -> (xor(acc, x) * 1099511628211) %
+                    CAST(18446744073709551616 AS HUGEINT)
+      )
+"""
+
+# noise masks: odd ids flip bit 5 (doc_id%3==1) or bits {5,37} (==2)
+_PHASH_SQL_BASE = f"""
+    k AS (SELECT doc_id, CAST(doc_id // 2 AS HUGEINT) AS kk FROM documents),
+    f AS (SELECT doc_id, {_FNV_SQL} AS fh FROM k),
+    p AS (SELECT doc_id,
+                 xor(fh, CASE
+                       WHEN doc_id % 2 = 1 AND doc_id % 3 = 1
+                         THEN CAST(32 AS HUGEINT)
+                       WHEN doc_id % 2 = 1 AND doc_id % 3 = 2
+                         THEN CAST(137438953504 AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END) AS ph
+          FROM f)
+"""
+
+_PHASH_LSH_SQL = f"""
+WITH {_PHASH_SQL_BASE},
+band AS (
+  SELECT doc_id, ph, j, CAST((ph >> (16 * j)) & 65535 AS BIGINT) AS bv
+  FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS image_a, b.doc_id AS image_b,
+         a.ph AS ha, b.ph AS hb
+  FROM band a JOIN band b
+    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT image_a, image_b,
+         bit_count(CAST( xor(ha, hb)        & 65535 AS BIGINT)) +
+         bit_count(CAST((xor(ha, hb) >> 16) & 65535 AS BIGINT)) +
+         bit_count(CAST((xor(ha, hb) >> 32) & 65535 AS BIGINT)) +
+         bit_count(CAST((xor(ha, hb) >> 48) & 65535 AS BIGINT)) AS hamming
+  FROM pairs)
+SELECT image_a, image_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= {_PHASH_RADIUS}
+"""
+
+
+def _arith_phash(doc_id: np.ndarray) -> np.ndarray:
+    """uint64 arithmetic phash: FNV-1a of the 8 LE bytes of doc_id//2,
+    with deterministic noise-bit flips on odd ids (mirrors
+    ``_PHASH_SQL_BASE`` bit for bit)."""
+    d = doc_id.astype(np.int64)
+    k = (d // 2).astype(np.uint64)
+    h = np.full(k.shape, 0xCBF29CE484222325, dtype=np.uint64)
+    for i in range(8):
+        h = (h ^ ((k >> np.uint64(8 * i)) & np.uint64(0xFF))) * np.uint64(
+            0x100000001B3
+        )
+    odd = (d % 2) == 1
+    nb = d % 3
+    mask = np.zeros(k.shape, dtype=np.uint64)
+    mask[odd & (nb == 1)] = np.uint64(1 << 5)
+    mask[odd & (nb == 2)] = np.uint64((1 << 5) | (1 << 37))
+    return h ^ mask
+
+
+def _popcnt_u64(v: np.ndarray) -> np.ndarray:
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+@register("image_phash_band_lsh_pairs", sql=_PHASH_LSH_SQL)
+def image_phash_band_lsh_pairs(sf_dir: str):
+    """Near-dup candidate pairs via 4×16-bit phash banding, radius ≤ 3.
+
+    Shape: (doc_id, phash) rows explode to 4 band rows keyed by
+    ``band_value | band_idx << 16``; ``bucketed_group_agg`` co-locates
+    each band bucket (high-cardinality key → bucketed shuffle, not a
+    per-key Python reduce); inside a bucket only keys with ≥ 2 members
+    survive a vectorized size filter, then per-collision-group XOR +
+    popcount emits in-radius pairs — from the FIRST shared band only
+    (earlier-band equality recheck is local arithmetic on the two
+    hashes), so pairs are globally distinct without a dedup shuffle."""
+    from .common import bucketed_group_agg, table_num_rows
+
+    n_rows = table_num_rows(sf_dir, "documents")
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def bands(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        ph = _arith_phash(d)
+        keys, ids, phs = [], [], []
+        for j in range(4):
+            bv = (ph >> np.uint64(16 * j)) & np.uint64(0xFFFF)
+            keys.append((bv | np.uint64(j << 16)).astype(np.int64))
+            ids.append(d.astype(np.int64))
+            phs.append(ph.view(np.int64))
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(keys)),
+                "doc_id": pa.array(np.concatenate(ids)),
+                "phash": pa.array(np.concatenate(phs)),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("band_key")["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        # loop bounded by COLLIDING keys (≈ pair count), not bucket rows
+        for bk, gg in g.groupby("band_key", sort=False):
+            j = int(bk) >> 16
+            ids = gg["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            phu = gg["phash"].to_numpy()[order].view(np.uint64)
+            x = phu[:, None] ^ phu[None, :]
+            ham = _popcnt_u64(x)
+            ok = np.triu(ham <= _PHASH_RADIUS, k=1)
+            for jp in range(j):  # first-shared-band emission
+                sh = np.uint64(16 * jp)
+                bva = (phu >> sh) & np.uint64(0xFFFF)
+                ok &= bva[:, None] != bva[None, :]
+            ai, bi = np.where(ok)
+            if len(ai):
+                out_a.append(ids[ai])
+                out_b.append(ids[bi])
+                out_h.append(ham[ai, bi].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "image_a": pd.Series([], dtype="int64"),
+                    "image_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "image_a": np.concatenate(out_a),
+                "image_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    band_rows = ds.map_batches(bands, batch_format="pyarrow")
+    return bucketed_group_agg(
+        band_rows, ["band_key"], pairs_in_bucket, approx_rows=4 * n_rows
+    )
+
+
+# --------------------------------------------------------------------------
+# Keep-highest-resolution per EXACT-phash group — the canonical-variant
+# selection step after hash dedup (keep the best master, drop re-encodes).
+# Same arithmetic phash as above (SQL-replayable); keeper = max pixel
+# count, doc_id ascending tie-break; only multi-member groups are emitted
+# (output is bounded by the duplicate count, not the corpus).
+
+_PHASH_BESTRES_SQL = f"""
+WITH {_PHASH_SQL_BASE},
+d AS (
+  SELECT doc_id, ph,
+         32 + (doc_id * 7) % 33 AS w,
+         32 + (doc_id * 11) % 33 AS hh
+  FROM p),
+r AS (
+  SELECT doc_id, ph, w, hh,
+         ROW_NUMBER() OVER (PARTITION BY ph
+                            ORDER BY w * hh DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY ph) AS n
+  FROM d)
+SELECT doc_id AS keeper, CAST(n AS BIGINT) AS group_n,
+       CAST(w AS BIGINT) AS keep_w, CAST(hh AS BIGINT) AS keep_h
+FROM r WHERE rn = 1 AND n >= 2
+"""
+
+
+@register("image_phash_best_resolution", sql=_PHASH_BESTRES_SQL)
+def image_phash_best_resolution(sf_dir: str):
+    """One keeper row per exact-phash duplicate group: the member with
+    the most pixels (doc_id tie-break). High-cardinality key (≈ one
+    group per image) → ``bucketed_group_agg``; dims come from the payload
+    schema (input_hint w/h), recomputed here from doc_id like every
+    imageprep op so the SQL side replays them."""
+    from .common import bucketed_group_agg, table_num_rows
+
+    n_rows = table_num_rows(sf_dir, "documents")
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        ph = _arith_phash(d).view(np.int64)
+        w, hh = _dims_from_doc_id(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "phash": pa.array(ph),
+                "w": pa.array(w.astype(np.int64)),
+                "h": pa.array(hh.astype(np.int64)),
+            }
+        )
+
+    def best_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(pixels=g["w"] * g["h"])
+        g = g.sort_values(
+            ["phash", "pixels", "doc_id"], ascending=[True, False, True]
+        )
+        n = g.groupby("phash")["doc_id"].transform("size")
+        first = ~g["phash"].duplicated()
+        keep = g[first & (n >= 2)]
+        return pd.DataFrame(
+            {
+                "keeper": keep["doc_id"].to_numpy(),
+                "group_n": n[first & (n >= 2)].to_numpy().astype(np.int64),
+                "keep_w": keep["w"].to_numpy(),
+                "keep_h": keep["h"].to_numpy(),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(rows, batch_format="pyarrow"),
+        ["phash"],
+        best_in_bucket,
+        approx_rows=n_rows,
+    )

@@ -615,3 +615,108 @@ def ann_hard_negatives(sf_dir: str):
         g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
         out.append(g)
     return pd.concat(out, ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# kNN label-consistency retrieval eval (recall@1 / recall@5 per label) —
+# the standard embedding-quality probe a training pipeline runs after
+# every encoder update: does nearest-neighbor retrieval return items of
+# the same class?  Every vector queries the full eval set; the index
+# matrix (vec_id-sorted, L2-normalized float64) is ``ray.put`` once and
+# each batch does ONE matmul against it — same broadcast-index shape as
+# ann_bruteforce_topk, and like it this is an EVAL-SET operator: the
+# broadcast is bounded by the eval sample (thousands of rows), never the
+# corpus.  Cosines round to 4 decimals before ranking with a vec_id
+# ascending tie-break (the repo-wide float-determinism idiom) so the
+# DuckDB window replay ranks identically.  Recall numerators stay integer
+# counts until one final division — no float summation-order hazard.
+
+_KNN_RECALL_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+s AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid,
+         b.label AS nlabel,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS c
+  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+r AS (
+  SELECT qid, qlabel, nlabel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+  FROM s),
+t AS (
+  SELECT qid, qlabel,
+         MAX(CASE WHEN rnk = 1 AND nlabel = qlabel THEN 1 ELSE 0 END)
+           AS hit1,
+         SUM(CASE WHEN rnk <= 5 AND nlabel = qlabel THEN 1 ELSE 0 END)
+           AS hit5
+  FROM r GROUP BY qid, qlabel)
+SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(hit1) AS DOUBLE) / count(*), 6) AS recall_at_1,
+       ROUND(CAST(SUM(hit5) AS DOUBLE) / (5 * count(*)), 6) AS recall_at_5
+FROM t GROUP BY qlabel
+"""
+
+
+@register("knn_label_recall", sql=_KNN_RECALL_SQL)
+def knn_label_recall(sf_dir: str):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from .common import combine_small
+
+    # eval-set index: one bounded driver read, broadcast once
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding", "label"]
+    )
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    idx_ids = df["vec_id"].to_numpy().astype(np.int64)
+    idx_labels = df["label"].to_numpy().astype(np.int64)
+    ref = ray.put((mat, idx_ids, idx_labels))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m, ids, labels = ray.get(ref)
+        q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        cos = round_half_away(q @ m.T, 4)
+        qids = batch["vec_id"].to_numpy().astype(np.int64)
+        qlabels = batch["label"].to_numpy().astype(np.int64)
+        # exclude self; index is vec_id-sorted so stable argsort on -cos
+        # tie-breaks by ascending vec_id exactly like the SQL window
+        cos[qids[:, None] == ids[None, :]] = -np.inf
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :TOP_K]
+        top_labels = labels[order]
+        hit1 = (top_labels[:, 0] == qlabels).astype(np.int64)
+        hit5 = (top_labels == qlabels[:, None]).sum(axis=1).astype(np.int64)
+        return (
+            pd.DataFrame({"label": qlabels, "n": 1, "hit1": hit1,
+                          "hit5": hit5})
+            .groupby("label", as_index=False)
+            .sum()
+        )
+
+    def finish(tt: pa.Table) -> pa.Table:
+        g = tt.to_pandas().groupby("label", as_index=False).sum()
+        n = g["n"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array(g["label"].to_numpy(dtype=np.int64),
+                                  pa.int32()),
+                "n": pa.array(n),
+                "recall_at_1": pa.array(
+                    round_half_away(g["hit1"].to_numpy(np.float64) / n, 6)
+                ),
+                "recall_at_5": pa.array(
+                    round_half_away(
+                        g["hit5"].to_numpy(np.float64) / (TOP_K * n), 6
+                    )
+                ),
+            }
+        )
+
+    ds = table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return combine_small(ds.map_batches(score, batch_format="pandas"),
+                         finish)

@@ -1,0 +1,117 @@
+"""Round-3 session-3 operators: SQL-replayable phash LSH banding,
+keep-best-resolution exact-phash dedup, and the kNN label-recall eval.
+
+The DuckDB value-hash parity for all three lives in the registry gate
+(tools/check_correctness.py); these tests pin the SEMANTIC invariants the
+hash alone doesn't explain — pigeonhole completeness, keeper argmax, and
+the integer-numerator recall bounds."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    from raycrawl.ops import REGISTRY
+
+    return REGISTRY
+
+
+def _df(registry, name, sf=SF):
+    out = registry[name]["fn"](sf)
+    try:
+        return out.to_pandas()
+    except AttributeError:
+        return out
+
+
+# ------------------------------------------------ phash LSH banding pairs
+
+
+def test_phash_lsh_pairs_complete_and_in_radius(registry):
+    """Every planted (2k, 2k+1) pair must be found (noise flips ≤ 2 bits,
+    radius 3, 4 bands → pigeonhole guarantees ≥ 2 shared bands), each
+    exactly once, with the hamming the noise mask predicts."""
+    import pyarrow.parquet as pq
+
+    df = _df(registry, "image_phash_band_lsh_pairs")
+    assert (df["hamming"] <= 3).all()
+    # globally distinct pairs (first-shared-band emission, no dedup pass)
+    keys = list(zip(df["image_a"], df["image_b"]))
+    assert len(keys) == len(set(keys))
+    assert (df["image_a"] < df["image_b"]).all()
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    found = dict(((a, b), h) for (a, b), h in zip(keys, df["hamming"]))
+    for k in range(n // 2):
+        a, b = 2 * k, 2 * k + 1
+        expect = {0: 0, 1: 1, 2: 2}[b % 3]
+        assert found.get((a, b)) == expect, (a, b, expect, found.get((a, b)))
+
+
+def test_arith_phash_matches_band_extraction():
+    """The numpy FNV fold is the documented byte fold (independent scalar
+    replay), and band values round-trip the key packing."""
+    from raycrawl.ops.imageprep import _arith_phash
+
+    ids = np.array([0, 1, 2, 3, 4, 5, 100001], dtype=np.int64)
+    ph = _arith_phash(ids)
+
+    def scalar(doc_id: int) -> int:
+        k = doc_id // 2
+        h = 0xCBF29CE484222325
+        for i in range(8):
+            h = ((h ^ ((k >> (8 * i)) & 0xFF)) * 0x100000001B3) & (2**64 - 1)
+        if doc_id % 2 == 1:
+            nb = doc_id % 3
+            if nb == 1:
+                h ^= 1 << 5
+            elif nb == 2:
+                h ^= (1 << 5) | (1 << 37)
+        return h
+
+    assert [int(x) for x in ph] == [scalar(int(d)) for d in ids]
+
+
+# ----------------------------------------------- keep-best-resolution
+
+
+def test_phash_best_resolution_keeper_is_argmax(registry):
+    """Exact-phash groups are precisely the (2k, 2k+1) pairs whose odd
+    member flips no bits (odd id % 3 == 0); the keeper is the larger
+    pixel count with doc_id tie-break."""
+    df = _df(registry, "image_phash_best_resolution")
+    assert (df["group_n"] == 2).all()  # construction makes pairs only
+
+    def dims(d):
+        return 32 + (d * 7) % 33, 32 + (d * 11) % 33
+
+    for keeper, kw, kh in zip(df["keeper"], df["keep_w"], df["keep_h"]):
+        a = int(keeper) // 2 * 2
+        b = a + 1
+        assert b % 3 == 0  # only zero-noise pairs collapse
+        wa, ha = dims(a)
+        wb, hb = dims(b)
+        best = a if (wa * ha, -a) >= (wb * hb, -b) else b
+        assert int(keeper) == best
+        assert (kw, kh) == dims(int(keeper))
+
+
+# ----------------------------------------------------- kNN label recall
+
+
+def test_knn_label_recall_bounds_and_totals(registry):
+    import pyarrow.parquet as pq
+
+    df = _df(registry, "knn_label_recall")
+    n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert df["n"].sum() == n_vecs
+    for col in ("recall_at_1", "recall_at_5"):
+        assert ((df[col] >= 0) & (df[col] <= 1)).all()
+    # recall@1 is a 0/1 mean over n (rounded to 6 dp, so × n is within
+    # n·5e-7 of the integer hit count)
+    err = np.abs(df["recall_at_1"] * df["n"] -
+                 np.round(df["recall_at_1"] * df["n"]))
+    assert (err <= df["n"] * 5e-7 + 1e-9).all()
