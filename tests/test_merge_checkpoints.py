@@ -1,0 +1,141 @@
+"""Federated-crawl checkpoint merge: two partial crawls over disjoint seed
+lists merge into one resumable checkpoint; resuming it to exhaustion must
+cover exactly what a single union-seed crawl covers — same seen-set, same
+fetched URL set, no refetch of either source crawl's pages."""
+
+import glob
+import json
+import os
+
+import pyarrow.dataset as pads
+import pytest
+
+from raycrawl.core.urltools import url_sha1
+from raycrawl.core.webgraph import WebConfig, seed_urls
+
+# neardup_every=1 disables synthetic near-dups: phash suppression gates
+# link re-enqueue, so WHICH of two near-dup pages is suppressed (a crawl-
+# order property) changes the offered-URL set — the union-coverage oracle
+# below is exact only in a suppression-free universe. The merge itself
+# carries the phash index regardless (unioned, asserted in the manifest
+# test), and suppression parity under fixed order is covered by
+# test_crawl_parity.
+WEB = WebConfig(n_hosts=6, pages_per_host=12, neardup_every=1)
+SHARDS = 3
+
+
+def _run(out, seeds, max_epochs, resume=False):
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=max_epochs,
+        saving_period=3, collect_parity_outputs=True,
+    )
+    return run_crawl(cfg, seeds, resume=resume)
+
+
+def _covered_hashes(out) -> set[bytes]:
+    """payload ∪ suppressed as url_hash set (every successful fetch lands
+    in exactly one of the two sidecars)."""
+    urls = set()
+    pay = glob.glob(os.path.join(out, "payload", "**", "*.parquet"),
+                    recursive=True)
+    if pay:
+        for u in pads.dataset(pay).to_table(columns=["url"])["url"].to_pylist():
+            urls.add(url_sha1(u))
+    sup = glob.glob(os.path.join(out, "suppressed", "**", "*.parquet"),
+                    recursive=True)
+    if sup:
+        urls |= set(
+            pads.dataset(sup).to_table(columns=["url_hash"])["url_hash"]
+            .to_pylist()
+        )
+    return urls
+
+
+def _all_seen(stats) -> set[bytes]:
+    s = set()
+    for shard_seen in stats.seen.values():
+        s |= set(shard_seen)
+    return s
+
+
+def test_merged_resume_matches_union_crawl(ray_session, tmp_path):
+    from raycrawl.frontier.merge import merge_checkpoints
+
+    seeds = seed_urls(WEB)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    out_m, out_f = str(tmp_path / "m"), str(tmp_path / "f")
+
+    # two partial crawls over disjoint seed halves (frontiers non-empty)
+    _run(out_a, seeds[:3], max_epochs=4)
+    _run(out_b, seeds[3:], max_epochs=4)
+
+    summary = merge_checkpoints(out_a, out_b, out_m)
+    assert summary["shards"] == SHARDS
+
+    # resume the merged checkpoint to exhaustion
+    merged = _run(out_m, [], max_epochs=60, resume=True)
+
+    # oracle: one union-seed crawl to exhaustion
+    full = _run(out_f, seeds, max_epochs=60)
+
+    assert _all_seen(merged) == _all_seen(full)
+
+    covered = (
+        _covered_hashes(out_a) | _covered_hashes(out_b)
+        | _covered_hashes(out_m)
+    )
+    assert covered == _covered_hashes(out_f)
+
+    # no refetch: pages fetched by A or B never reappear in the merged run
+    refetched = (_covered_hashes(out_m)
+                 & (_covered_hashes(out_a) | _covered_hashes(out_b)))
+    assert not refetched
+
+
+def test_merge_rejects_mismatched_shard_layouts(ray_session, tmp_path):
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.frontier.merge import merge_checkpoints
+
+    seeds = seed_urls(WEB)
+    out_a, out_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    run_crawl(
+        CrawlConfig(web=WEB, out_dir=out_a, num_shards=2, max_epochs=3),
+        seeds[:2],
+    )
+    run_crawl(
+        CrawlConfig(web=WEB, out_dir=out_b, num_shards=4, max_epochs=3),
+        seeds[2:],
+    )
+    with pytest.raises(ValueError, match="shard layouts differ"):
+        merge_checkpoints(out_a, out_b, str(tmp_path / "sm"))
+
+
+def test_merge_manifest_lineage(ray_session, tmp_path):
+    """The merged checkpoint records its provenance and sums lineage
+    counters, and the driver manifest marks the merge."""
+    seeds = seed_urls(WEB)
+    out_a, out_b = str(tmp_path / "la"), str(tmp_path / "lb")
+    out_m = str(tmp_path / "lm")
+    sa = _run(out_a, seeds[:3], max_epochs=3)
+    sb = _run(out_b, seeds[3:], max_epochs=3)
+
+    from raycrawl.frontier.merge import merge_checkpoints
+
+    merge_checkpoints(out_a, out_b, out_m)
+
+    fetched = 0
+    for sid in range(SHARDS):
+        with open(os.path.join(out_m, "checkpoints", "epoch=0",
+                               f"shard={sid}", "manifest.json")) as f:
+            man = json.load(f)
+        assert [m["dir"] for m in man["merged_from"]] == [out_a, out_b]
+        fetched += man["metrics"]["fetched"]
+    a_f = sum(m["fetched"] for m in sa.metrics)
+    b_f = sum(m["fetched"] for m in sb.metrics)
+    assert fetched == a_f + b_f
+
+    with open(os.path.join(out_m, "checkpoints", "epoch=0",
+                           "driver_manifest.json")) as f:
+        assert json.load(f)["merged_from"] == [out_a, out_b]
