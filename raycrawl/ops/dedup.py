@@ -1112,3 +1112,189 @@ def pc_uint64(arr):
     import pyarrow.compute as pc
 
     return pc.cast(arr, pa.uint64())
+
+
+# --------------------------------------------------------------------------
+# duplicated-n-gram SPAN extraction — the positional form of the analysis
+# above and the core of substring-level training-data dedup (find the
+# boilerplate PASSAGES, not just per-doc fractions; the remover then cuts
+# exactly these [span_start, span_end] word ranges). A word position is
+# "duplicated" when any 5-gram starting there occurs in ≥ 2 distinct
+# docs; maximal runs of duplicated gram positions merge into spans
+# covering words [min_pos, max_pos + 4].
+#
+# Shapes share duplicate_ngram_fraction's gate: under it, the dup-gram
+# set broadcasts as one sorted int64 array and span merging runs INSIDE
+# the emitting batch (gram positions of a doc are contiguous there) —
+# ZERO shuffles; past it, counts come from a bucketed gram shuffle, the
+# flags from a hash join, and spans from a per-doc bucketed regroup —
+# rows are fixed-width (gram_h, doc_id, pos) triples, text never moves.
+# Path equivalence is pinned by tests/test_round3b.py.
+
+_DUP_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(len(words) - 4)) AS pos,
+         unnest([array_to_string(words[i+1:i+5], ' ')
+                 for i in range(len(words) - 4)]) AS gram
+  FROM toks WHERE len(words) >= 5),
+gd AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+  WHERE nd >= 2),
+d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM gd)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS n_words
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+def _spans_from_positions(doc_ids, positions):
+    """Vectorized gaps-and-islands over (doc_id, pos) rows that are
+    already sorted per doc (construction order): island boundaries are
+    where doc changes or pos jumps by ≠ 1."""
+    if not len(doc_ids):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+                "n_words": pd.Series([], dtype="int64"),
+            }
+        )
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    positions = np.asarray(positions, dtype=np.int64)
+    new = np.ones(len(doc_ids), dtype=bool)
+    new[1:] = (doc_ids[1:] != doc_ids[:-1]) | (positions[1:] != positions[:-1] + 1)
+    starts = np.where(new)[0]
+    ends = np.r_[starts[1:] - 1, len(doc_ids) - 1]
+    s, e = positions[starts], positions[ends] + 4
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids[starts],
+            "span_start": s,
+            "span_end": e,
+            "n_words": e - s + 1,
+        }
+    )
+
+
+@register("duplicate_ngram_spans", sql=_DUP_SPAN_SQL)
+def duplicate_ngram_spans(
+    sf_dir: str,
+    force_shuffle_path: bool | None = None,
+):
+    import pyarrow.compute as pc
+
+    docs = table(sf_dir, "documents", ["doc_id", "text"])
+    n = _DUP_NGRAM_N
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        """(gram_h, doc_id, pos) per gram position — per-doc contiguous
+        and pos-ascending by construction."""
+        rx = _word_re()
+        ids: list[int] = []
+        poss: list[int] = []
+        hs: list[int] = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = rx.findall(text.lower())
+            if len(toks) < n:
+                continue
+            for i in range(len(toks) - n + 1):
+                ids.append(did)
+                poss.append(i)
+                hs.append(md5_u64_le(" ".join(toks[i : i + n])))
+        gram_h = np.fromiter(hs, dtype=np.uint64, count=len(hs)).view(np.int64)
+        return pa.table(
+            {
+                "gram_h": pa.array(gram_h, pa.int64()),
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "pos": pa.array(np.asarray(poss, dtype=np.int64)),
+            }
+        )
+
+    if force_shuffle_path is None:
+        small = table_num_rows(sf_dir, "documents") <= SMALL_COMBINE_ROWS // 4
+    else:
+        small = not force_shuffle_path
+
+    if small:
+        note_path("duplicate_ngram_spans", "broadcast")
+        # pass 1: dup-gram set. Partials emit DISTINCT (gram, doc) PAIRS —
+        # not per-batch counts — because a batch boundary can split one
+        # doc's gram rows (map_batches re-batches blocks at ~1k rows), and
+        # counting a pair once per fragment would over-flag nd. The global
+        # dedup happens in the single local combine, which under this gate
+        # holds ≤ the corpus's distinct-pair count (the same bound
+        # duplicate_ngram_fraction's combine carries).
+        def distinct_partial(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"gram_h": t["gram_h"], "doc_id": t["doc_id"]}
+            ).group_by(["gram_h", "doc_id"]).aggregate([])
+
+        def combine(t: pa.Table) -> pa.Table:
+            uniq = t.group_by(["gram_h", "doc_id"]).aggregate([])
+            agg = (
+                pa.TableGroupBy(uniq, "gram_h")
+                .aggregate([([], "count_all")])
+                .rename_columns(["gram_h", "nd"])
+            )
+            return agg.filter(pc.greater_equal(agg["nd"], 2))
+
+        grams = docs.map_batches(gram_rows, batch_format="pyarrow")
+        dup = combine_small(
+            grams.map_batches(distinct_partial, batch_format="pyarrow"),
+            combine,
+        )
+        dup_sorted = np.sort(dup["gram_h"].to_numpy(zero_copy_only=False))
+        import ray as _ray
+
+        dup_ref = _ray.put(dup_sorted)
+
+        def spans(t: pa.Table) -> pd.DataFrame:
+            arr = _ray.get(dup_ref)
+            g = gram_rows(t)
+            gh = g["gram_h"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(arr, gh)
+            hit = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == gh)
+            return _spans_from_positions(
+                g["doc_id"].to_numpy(zero_copy_only=False)[hit],
+                g["pos"].to_numpy(zero_copy_only=False)[hit],
+            )
+
+        return docs.map_batches(spans, batch_format="pyarrow")
+
+    # distributed path: gram-count shuffle + join + per-doc regroup
+    note_path("duplicate_ngram_spans", "shuffle")
+    grams = docs.map_batches(gram_rows, batch_format="pyarrow").materialize()
+
+    def nd_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.drop_duplicates(["gram_h", "doc_id"]).groupby("gram_h").size()
+        nd = nd[nd >= 2]
+        return pd.DataFrame({"gram_h": nd.index.to_numpy(), "nd": nd.to_numpy()})
+
+    dup_ds = bucketed_group_agg(grams, ["gram_h"], nd_in_bucket)
+    flagged = grams.join(
+        dup_ds,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("gram_h",),
+    ).select_columns(["doc_id", "pos"])
+
+    def doc_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        return _spans_from_positions(
+            g["doc_id"].to_numpy(), g["pos"].to_numpy()
+        )
+
+    return bucketed_group_agg(flagged, ["doc_id"], doc_spans)

@@ -115,3 +115,32 @@ def test_knn_label_recall_bounds_and_totals(registry):
     err = np.abs(df["recall_at_1"] * df["n"] -
                  np.round(df["recall_at_1"] * df["n"]))
     assert (err <= df["n"] * 5e-7 + 1e-9).all()
+
+
+# ------------------------------------------- duplicated n-gram spans
+
+
+def test_dup_ngram_spans_path_equivalence(registry, ray_session):
+    """The broadcast (gated) and shuffle (at-scale) paths must produce the
+    identical span set; spans must be maximal and non-overlapping per doc."""
+    import pandas as pd
+
+    from raycrawl.ops.dedup import duplicate_ngram_spans
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return (
+            df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+        )
+
+    a = norm(duplicate_ngram_spans(SF, force_shuffle_path=False))
+    b = norm(duplicate_ngram_spans(SF, force_shuffle_path=True))
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+    assert (a["n_words"] == a["span_end"] - a["span_start"] + 1).all()
+    assert (a["n_words"] >= 5).all()  # a span covers ≥ one 5-gram
+    # non-overlapping and non-adjacent (maximality): next start > end + 1
+    g = a.groupby("doc_id")
+    prev_end = g["span_end"].shift(1)
+    same_doc = ~prev_end.isna()
+    assert (a.loc[same_doc, "span_start"] > prev_end[same_doc] + 1).all()
