@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "crawl_trap_url_flags",
     "url_canonical_dedup_stats",
     "incremental_novelty_dedup",
+    # round-3 session-3 additions (phash LSH algebra, span dedup, kNN eval)
+    "image_phash_band_lsh_pairs",
+    "image_phash_best_resolution",
+    "duplicate_ngram_spans",
+    "knn_label_recall",
 ]
 
 

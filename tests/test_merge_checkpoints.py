@@ -139,3 +139,16 @@ def test_merge_manifest_lineage(ray_session, tmp_path):
     with open(os.path.join(out_m, "checkpoints", "epoch=0",
                            "driver_manifest.json")) as f:
         assert json.load(f)["merged_from"] == [out_a, out_b]
+
+
+def test_crawl_merge_coverage_query(ray_session):
+    """The registry entry's self-reported reconciliation must hold: union
+    coverage equals the full-crawl coverage and nothing is refetched."""
+    from raycrawl.ops import REGISTRY
+
+    df = REGISTRY["crawl_merge_coverage"]["fn"]("/root/testdata/sf0.001")
+    row = df.iloc[0]
+    assert bool(row["union_matches_full"])
+    assert int(row["refetched"]) == 0
+    assert int(row["covered_union"]) == int(row["covered_full"])
+    assert int(row["covered_resumed"]) > 0  # the merged frontier had work
