@@ -1189,10 +1189,14 @@ def _spans_from_positions(doc_ids, positions):
     )
 
 
+DUP_SPAN_BROADCAST_MAX = 5_000_000  # sorted int64 broadcast ≈ 40 MB
+
+
 @register("duplicate_ngram_spans", sql=_DUP_SPAN_SQL)
 def duplicate_ngram_spans(
     sf_dir: str,
     force_shuffle_path: bool | None = None,
+    force_broadcast_flags: bool | None = None,
 ):
     import pyarrow.compute as pc
 
@@ -1274,8 +1278,14 @@ def duplicate_ngram_spans(
 
         return docs.map_batches(spans, batch_format="pyarrow")
 
-    # distributed path: gram-count shuffle + join + per-doc regroup
-    note_path("duplicate_ngram_spans", "shuffle")
+    # distributed path: ONE bucketed gram shuffle computes the global
+    # dup-gram table; what happens next adapts to its SIZE (the realistic
+    # web-corpus case: dup grams ≪ corpus grams):
+    #   * dup table ≤ DUP_SPAN_BROADCAST_MAX rows → sort + broadcast it and
+    #     re-derive spans inside the doc-streaming pass (no second shuffle,
+    #     gram rows move exactly once);
+    #   * bigger → hash-join the flags back and regroup per doc (three
+    #     fixed-width exchanges, the worst-case-honest shape).
     grams = docs.map_batches(gram_rows, batch_format="pyarrow").materialize()
 
     def nd_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1283,9 +1293,39 @@ def duplicate_ngram_spans(
         nd = nd[nd >= 2]
         return pd.DataFrame({"gram_h": nd.index.to_numpy(), "nd": nd.to_numpy()})
 
-    dup_ds = bucketed_group_agg(grams, ["gram_h"], nd_in_bucket)
+    dup_mat = bucketed_group_agg(grams, ["gram_h"], nd_in_bucket).materialize()
+
+    if (force_broadcast_flags is True
+            or (force_broadcast_flags is None
+                and dup_mat.count() <= DUP_SPAN_BROADCAST_MAX)):
+        note_path("duplicate_ngram_spans", "shuffle+broadcast")
+        import ray as _ray
+
+        dup_sorted = np.sort(
+            dup_mat.to_pandas()["gram_h"].to_numpy()  # bounded by the gate
+        )
+        dup_ref = _ray.put(dup_sorted)
+
+        def spans_bcast(t: pa.Table) -> pd.DataFrame:
+            arr = _ray.get(dup_ref)
+            gh = t["gram_h"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(arr, gh)
+            hit = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == gh)
+            return _spans_from_positions(
+                t["doc_id"].to_numpy(zero_copy_only=False)[hit],
+                t["pos"].to_numpy(zero_copy_only=False)[hit],
+            )
+
+        # gram rows are per-doc contiguous within their original block;
+        # batch_size=None keeps map_batches on whole blocks so a doc's run
+        # of positions is never split mid-island
+        return grams.map_batches(
+            spans_bcast, batch_format="pyarrow", batch_size=None
+        )
+
+    note_path("duplicate_ngram_spans", "shuffle+join")
     flagged = grams.join(
-        dup_ds,
+        dup_mat,
         join_type="inner",
         num_partitions=join_partitions(),
         on=("gram_h",),
@@ -1298,3 +1338,143 @@ def duplicate_ngram_spans(
         )
 
     return bucketed_group_agg(flagged, ["doc_id"], doc_spans)
+
+
+# --------------------------------------------------------------------------
+# Duplicated-span REMOVAL accounting — the per-document effect of cutting
+# every span duplicate_ngram_spans found: how many words survive, per doc
+# (the number a curation pipeline thresholds on before dropping or
+# trimming a document). One row per tokenizable doc, zero-span docs
+# included.
+#
+# Shape: reuses duplicate_ngram_spans (adaptive broadcast/join inside),
+# collapses its output to per-doc removed-word counts (span rows are
+# bounded by the duplicate volume), then attaches them to the streamed
+# per-doc token counts — broadcast when the dup-doc map fits
+# (REMOVAL_BROADCAST_MAX), hash join past it.
+
+REMOVAL_BROADCAST_MAX = 5_000_000
+
+_SPAN_REMOVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(len(words) - 4)) AS pos,
+         unnest([array_to_string(words[i+1:i+5], ' ')
+                 for i in range(len(words) - 4)]) AS gram
+  FROM toks WHERE len(words) >= 5),
+gd AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+  WHERE nd >= 2),
+d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM gd)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d),
+spans AS (
+  SELECT doc_id, MAX(pos) + 5 - MIN(pos) AS span_words
+  FROM isl GROUP BY doc_id, grp),
+rem AS (SELECT doc_id, SUM(span_words) AS n_removed FROM spans
+        GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.words) AS BIGINT) AS n_words,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       ROUND(CAST(COALESCE(r.n_removed, 0) AS DOUBLE) / len(t.words), 6)
+         AS removed_frac
+FROM toks t LEFT JOIN rem r USING (doc_id)
+WHERE len(t.words) > 0
+"""
+
+
+@register("duplicate_span_removal_stats", sql=_SPAN_REMOVAL_SQL)
+def duplicate_span_removal_stats(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from .common import round_half_away
+
+    spans = duplicate_ngram_spans(sf_dir)
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False)["n_words"].sum()
+        return s.rename(columns={"n_words": "n_removed"})
+
+    rem = bucketed_group_agg(spans, ["doc_id"], sum_bucket).materialize()
+
+    docs = table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        rx = _word_re()
+        nw = np.array(
+            [len(rx.findall(s.lower())) for s in t["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        keep = nw > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "n_words": pa.array(nw[keep]),
+            }
+        )
+
+    counts = docs.map_batches(tok_counts, batch_format="pyarrow")
+
+    if rem.count() <= REMOVAL_BROADCAST_MAX:
+        note_path("duplicate_span_removal_stats", "broadcast")
+        rdf = rem.to_pandas().sort_values("doc_id")  # bounded by the gate
+        import ray as _ray
+
+        ref = _ray.put(
+            (rdf["doc_id"].to_numpy(np.int64),
+             rdf["n_removed"].to_numpy(np.int64))
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            ids, nrem = _ray.get(ref)
+            did = t["doc_id"].to_numpy(zero_copy_only=False)
+            nw = t["n_words"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ids, did)
+            hit = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == did)
+            nr = np.where(hit, nrem[np.minimum(idx, len(ids) - 1)], 0)
+            return pa.table(
+                {
+                    "doc_id": pa.array(did),
+                    "n_words": pa.array(nw),
+                    "n_removed": pa.array(nr.astype(np.int64)),
+                    "removed_frac": pa.array(
+                        round_half_away(nr / nw.astype(np.float64), 6)
+                    ),
+                }
+            )
+
+        return counts.map_batches(attach, batch_format="pyarrow")
+
+    note_path("duplicate_span_removal_stats", "join")
+    joined = counts.join(
+        rem,
+        join_type="left_outer",
+        num_partitions=join_partitions(),
+        on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = t["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = t["n_removed"].to_numpy(zero_copy_only=False)
+        nr = np.where(np.isnan(nr.astype(np.float64)), 0, nr).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_words": pa.array(nw),
+                "n_removed": pa.array(nr),
+                "removed_frac": pa.array(
+                    round_half_away(nr / nw.astype(np.float64), 6)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

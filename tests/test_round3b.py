@@ -134,8 +134,12 @@ def test_dup_ngram_spans_path_equivalence(registry, ray_session):
         )
 
     a = norm(duplicate_ngram_spans(SF, force_shuffle_path=False))
-    b = norm(duplicate_ngram_spans(SF, force_shuffle_path=True))
+    b = norm(duplicate_ngram_spans(SF, force_shuffle_path=True,
+                                   force_broadcast_flags=False))
+    c = norm(duplicate_ngram_spans(SF, force_shuffle_path=True,
+                                   force_broadcast_flags=True))
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, c.astype(a.dtypes.to_dict()))
 
     assert (a["n_words"] == a["span_end"] - a["span_start"] + 1).all()
     assert (a["n_words"] >= 5).all()  # a span covers ≥ one 5-gram
@@ -144,3 +148,24 @@ def test_dup_ngram_spans_path_equivalence(registry, ray_session):
     prev_end = g["span_end"].shift(1)
     same_doc = ~prev_end.isna()
     assert (a.loc[same_doc, "span_start"] > prev_end[same_doc] + 1).all()
+
+
+def test_span_removal_stats_reconciles_with_spans(registry, ray_session):
+    """Per-doc removed-word counts must equal the span table's sums, be
+    bounded by the doc length, and cover every tokenizable doc."""
+    import pyarrow.parquet as pq
+
+    spans = _df(registry, "duplicate_ngram_spans")
+    stats = _df(registry, "duplicate_span_removal_stats")
+
+    assert (stats["n_removed"] <= stats["n_words"]).all()
+    assert (stats["removed_frac"] <= 1.0).all()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(stats) == n_docs  # corpus has no empty-token docs
+
+    per_doc = spans.groupby("doc_id")["n_words"].sum()
+    merged = stats.set_index("doc_id")["n_removed"]
+    for doc_id, expect in per_doc.items():
+        assert merged[doc_id] == expect
+    zero = merged.drop(per_doc.index)
+    assert (zero == 0).all()

@@ -241,6 +241,22 @@ def main() -> None:
     run("crawl_trap_url_flags")
     run("url_canonical_dedup_stats")
 
+    # round-3 session-3 additions
+    lp = run("image_phash_band_lsh_pairs")  # 4×n band rows, bucketed
+    # every (2k, 2k+1) planted pair found exactly once at 2M+ docs
+    checks["phash_lsh_all_pairs"] = len(lp) >= n_docs // 2 and not (
+        lp.duplicated(["image_a", "image_b"]).any()
+    )
+    br = run("image_phash_best_resolution")
+    # exact-phash groups = odd-id%3==0 pairs → n_docs//6 ± boundary
+    checks["phash_bestres_group_count"] = abs(len(br) - n_docs / 6) < 2
+    sp = run("duplicate_ngram_spans")  # >500k docs → shuffle branch
+    checks["dup_spans_distributed"] = PATH_LOG.get(
+        "duplicate_ngram_spans", ""
+    ).startswith("shuffle")
+    checks["dup_spans_found_seeded"] = len(sp) > 0
+    run("knn_label_recall")
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
