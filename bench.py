@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "image_phash_best_resolution",
     "duplicate_ngram_spans",
     "knn_label_recall",
+    "image_letterbox_plan",
 ]
 
 

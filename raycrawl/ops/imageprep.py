@@ -694,3 +694,144 @@ def image_phash_best_resolution(sf_dir: str):
         best_in_bucket,
         approx_rows=n_rows,
     )
+
+
+# --------------------------------------------------------------------------
+# Letterbox resize planning — for each aspect bucket, the fixed training
+# canvas and the per-image resize+pad arithmetic (the numbers the decode
+# actor pool needs: scale factor, resized dims, pad pixels). Pure
+# metadata arithmetic over the payload dims (no decode), fixed output
+# cardinality (7 buckets) → per-block partials + one local combine, zero
+# shuffles at any scale. Scale sums are accumulated as integer
+# micro-units so Ray's and DuckDB's float summation orders cannot
+# diverge; the per-image scale/floor arithmetic is replayed in SQL with
+# the IDENTICAL expression shapes (same IEEE doubles both sides).
+
+# per-bucket target canvas (w, h): ~0.26 MPix each, aspect-matched
+_CANVAS = {
+    "1:2": (352, 704),
+    "2:3": (416, 624),
+    "3:4": (448, 592),
+    "1:1": (512, 512),
+    "4:3": (592, 448),
+    "3:2": (624, 416),
+    "2:1": (704, 352),
+}
+
+_CANVAS_SQL_W = " ".join(
+    f"WHEN '{b}' THEN {w}" for b, (w, _h) in _CANVAS.items()
+)
+_CANVAS_SQL_H = " ".join(
+    f"WHEN '{b}' THEN {h}" for b, (_w, h) in _CANVAS.items()
+)
+
+_LETTERBOX_SQL = f"""
+WITH d AS (
+  SELECT CAST(32 + (doc_id * 7) % 33 AS BIGINT) AS w,
+         CAST(32 + (doc_id * 11) % 33 AS BIGINT) AS h
+  FROM documents),
+b AS (
+  SELECT w, h,
+         CASE {_ASPECT_SQL_CASE.replace('aspect',
+                                        'CAST(w AS DOUBLE) / CAST(h AS DOUBLE)')}
+           END AS bucket
+  FROM d),
+c AS (
+  SELECT w, h, bucket,
+         CASE bucket {_CANVAS_SQL_W} END AS cw,
+         CASE bucket {_CANVAS_SQL_H} END AS ch
+  FROM b),
+p AS (
+  SELECT bucket, cw, ch,
+         LEAST(CAST(cw AS DOUBLE) / w, CAST(ch AS DOUBLE) / h) AS scale,
+         CAST(FLOOR(w * LEAST(CAST(cw AS DOUBLE) / w,
+                              CAST(ch AS DOUBLE) / h)) AS BIGINT) AS rw,
+         CAST(FLOOR(h * LEAST(CAST(cw AS DOUBLE) / w,
+                              CAST(ch AS DOUBLE) / h)) AS BIGINT) AS rh
+  FROM c)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(MAX(cw) AS BIGINT) AS canvas_w,
+       CAST(MAX(ch) AS BIGINT) AS canvas_h,
+       ROUND(CAST(SUM(CAST(ROUND(scale * 1000000) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * count(*)), 6) AS avg_scale,
+       CAST(SUM(cw * ch - rw * rh) AS BIGINT) AS pad_pixels
+FROM p GROUP BY bucket
+"""
+
+
+@register("image_letterbox_plan", sql=_LETTERBOX_SQL)
+def image_letterbox_plan(sf_dir: str):
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    bucket_names = np.asarray(_ASPECT_BUCKETS, dtype=object)
+    cw_by_bucket = {b: w for b, (w, _h) in _CANVAS.items()}
+    ch_by_bucket = {b: h for b, (_w, h) in _CANVAS.items()}
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        w, h = _dims_from_doc_id(d)
+        w = w.astype(np.int64)
+        h = h.astype(np.int64)
+        aspect = w.astype(np.float64) / h.astype(np.float64)
+        bucket = bucket_names[np.digitize(aspect, _ASPECT_BOUNDS)]
+        cw = np.array([cw_by_bucket[b] for b in bucket], dtype=np.int64)
+        ch = np.array([ch_by_bucket[b] for b in bucket], dtype=np.int64)
+        scale = np.minimum(cw.astype(np.float64) / w,
+                           ch.astype(np.float64) / h)
+        rw = np.floor(w * scale).astype(np.int64)
+        rh = np.floor(h * scale).astype(np.int64)
+        from .common import round_half_away
+
+        tmp = pa.table(
+            {
+                "bucket": pa.array(bucket, pa.string()),
+                "cw": pa.array(cw),
+                "ch": pa.array(ch),
+                "scale_u": pa.array(
+                    round_half_away(scale * 1_000_000, 0).astype(np.int64)
+                ),
+                "pad": pa.array(cw * ch - rw * rh),
+            }
+        )
+        return (
+            pa.TableGroupBy(tmp, "bucket")
+            .aggregate(
+                [([], "count_all"), ("cw", "max"), ("ch", "max"),
+                 ("scale_u", "sum"), ("pad", "sum")]
+            )
+            .rename_columns(
+                ["bucket", "n", "canvas_w", "canvas_h", "scale_u", "pad"]
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from .common import round_half_away
+
+        g = (
+            pa.TableGroupBy(t, "bucket")
+            .aggregate(
+                [("n", "sum"), ("canvas_w", "max"), ("canvas_h", "max"),
+                 ("scale_u", "sum"), ("pad", "sum")]
+            )
+            .rename_columns(
+                ["bucket", "n", "canvas_w", "canvas_h", "scale_u", "pad"]
+            )
+        )
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        su = g["scale_u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "bucket": g["bucket"],
+                "n": _i64(g["n"]),
+                "canvas_w": _i64(g["canvas_w"]),
+                "canvas_h": _i64(g["canvas_h"]),
+                "avg_scale": pa.array(
+                    round_half_away(su / (1_000_000.0 * n), 6)
+                ),
+                "pad_pixels": _i64(g["pad"]),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         finish)

@@ -169,3 +169,19 @@ def test_span_removal_stats_reconciles_with_spans(registry, ray_session):
         assert merged[doc_id] == expect
     zero = merged.drop(per_doc.index)
     assert (zero == 0).all()
+
+
+def test_letterbox_plan_invariants(registry):
+    """Canvas lookups match the declared ladder; the plan never upscales
+    beyond the canvas (pad ≥ 0) and covers the whole corpus."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.imageprep import _CANVAS
+
+    df = _df(registry, "image_letterbox_plan")
+    assert (df["pad_pixels"] >= 0).all()
+    assert (df["avg_scale"] > 0).all()
+    for _, r in df.iterrows():
+        assert (r["canvas_w"], r["canvas_h"]) == _CANVAS[r["bucket"]]
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert df["n"].sum() == n_docs
