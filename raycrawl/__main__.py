@@ -62,7 +62,29 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--expected-urls", type=int, default=1 << 14)
     m.add_argument("--phash-radius", type=int, default=2)
 
+    r = sub.add_parser(
+        "reshard-checkpoints",
+        help="re-partition a crawl's latest checkpoint onto a different "
+        "shard count (bridge for mismatched-layout merges / bigger "
+        "clusters)",
+    )
+    r.add_argument("src_dir")
+    r.add_argument("--out", required=True)
+    r.add_argument("--shards", type=int, required=True)
+    r.add_argument("--expected-urls", type=int, default=1 << 14)
+    r.add_argument("--phash-radius", type=int, default=2)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "reshard-checkpoints":
+        from raycrawl.frontier.merge import reshard_checkpoint
+
+        print(json.dumps(reshard_checkpoint(
+            args.src_dir, args.out, args.shards,
+            expected_urls=args.expected_urls,
+            phash_radius=args.phash_radius,
+        )))
+        return 0
 
     if args.cmd == "merge-checkpoints":
         from raycrawl.frontier.merge import merge_checkpoints

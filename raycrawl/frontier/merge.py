@@ -37,8 +37,8 @@ concatenation of the three payload trees.
 Scale note: this is a per-shard driver loop over checkpoint FILES (state
 sketches + frontier parquet), not over corpus data — at 10^10 URLs each
 shard's state is bounded by its frontier + sketch arrays, and shards merge
-independently (embarrassingly parallel; run one Ray task per shard via
-``merge_checkpoints_ray`` below when shard state is too big for one node).
+independently (embarrassingly parallel; wrap ``merge_shard`` in one Ray
+task per shard when shard state outgrows the driver).
 """
 
 from __future__ import annotations
@@ -245,5 +245,192 @@ def merge_checkpoints(
     return {
         "shards": len(manifests),
         "seen_count": sum(m["seen_count"] for m in manifests),
+        "out_dir": out_dir,
+    }
+
+
+def reshard_checkpoint(
+    src_dir: str,
+    out_dir: str,
+    new_num_shards: int,
+    expected_urls: int = 1 << 14,
+    phash_radius: int = 2,
+) -> dict:
+    """Re-partition a crawl's latest checkpoint onto a DIFFERENT shard
+    count (grow a crawl from 8 to 32 shards before moving to a bigger
+    cluster, or shrink one; also the bridge that lets two crawls with
+    mismatched layouts merge: reshard one, then ``merge_checkpoints``).
+
+    What redistributes EXACTLY: frontier items and pending offers carry
+    their host, so they move to ``shard_of_host(host, new_n)`` — the same
+    function the crawler routes offers with; robots rules / delays and
+    politeness token balances are per-host and follow their host.
+
+    What replicates as a UNION: seen digests are stored host-less, so
+    every new shard receives the union seen-set. That is CORRECT (a
+    shard only ever membership-tests URLs of its own hosts, and the
+    union answers those identically) but costs new_n × |seen| memory —
+    the test-scale trade. At 10^10 URLs reshard the seen-set from the
+    canonical-URL lineage table instead (url_hash is there
+    host-attributed), same tool shape.
+
+    The phash near-dup index must NOT be union-replicated: the per-shard
+    gate suppresses against its OWN hosts' images, and a union index
+    would suppress across shard boundaries — dropping pages (and their
+    outlinks) a correctly-laid-out crawl would fetch (this exact failure
+    was caught by test_reshard_resume_matches_full_crawl). Index
+    contents are exactly the phashes of payload-emitted pages
+    (shard.py gate_finalize), and payload rows carry (url, phash) — so
+    ownership is rebuilt EXACTLY from the payload sidecar of epochs
+    ≤ the checkpoint epoch (column-pruned read; at 10^10 the same read
+    over the payload's metadata columns is a distributed map). If the
+    payload tree is missing/diverges from the checkpointed index, the
+    tool falls back to union replication (≥ as strict gating, noted in
+    the manifest) rather than silently under-gating; with the global
+    phash tier (`global_phash_dedup`) gating is layout-independent
+    anyway.
+
+    Lineage counters are crawl totals, not per-host — they cannot be
+    split truthfully, so the totals land on new shard 0 (reconciliation
+    queries sum over shards; documented in the manifest via
+    ``resharded_from``)."""
+    from ..core.urltools import shard_of_host
+
+    epoch = _latest_epoch(src_dir)
+    old_ids = _shard_ids(src_dir, epoch)
+
+    union_seen: set[bytes] = set()
+    phashes = []
+    frontier_rows = []  # (host, item)
+    pending_rows = []  # (url, digest, host, pri, depth, disc)
+    robots_rules: dict = {}
+    robots_delays: dict = {}
+    tokens: dict = {}
+    counters = {k: 0 for k in _COUNTERS}
+    robots_fetches = 0
+    man0 = None
+    for sid in old_ids:
+        man, seen, ph, fr, pe = _load_shard(src_dir, epoch, sid)
+        man0 = man0 or man
+        union_seen |= seen
+        phashes.append(np.asarray(ph, np.uint64))
+        for url, digest, pri, depth, disc, host in zip(
+            fr["url"].to_pylist(), fr["url_hash"].to_pylist(),
+            fr["priority"].to_pylist(), fr["depth"].to_pylist(),
+            fr["discovered_at"].to_pylist(), fr["host"].to_pylist(),
+        ):
+            frontier_rows.append((host, (-pri, depth, disc, digest, url)))
+        for url, digest, host, pri, depth, disc in zip(
+            pe["url"].to_pylist(), pe["url_hash"].to_pylist(),
+            pe["host"].to_pylist(), pe["priority"].to_pylist(),
+            pe["depth"].to_pylist(), pe["discovered_at"].to_pylist(),
+        ):
+            pending_rows.append((url, digest, host, pri, depth, disc))
+        robots_rules.update({h: tuple(r) for h, r in man["robots"].items()})
+        robots_delays.update(man.get("robots_delays", {}))
+        tokens.update(man.get("tokens", {}))
+        for k in _COUNTERS:
+            counters[k] += man["metrics"].get(k, 0)
+        robots_fetches += man["metrics"]["robots_fetches"]
+
+    union_ph = np.unique(np.concatenate(phashes)) if phashes else np.array(
+        [], np.uint64
+    )
+    # exact per-new-shard phash ownership from the payload sidecar
+    import glob as _glob
+
+    from ..core.urltools import host_of
+
+    ph_by_shard: dict[int, list] | None = {}
+    pay_files = []
+    for f in _glob.glob(
+        os.path.join(src_dir, "payload", "epoch=*", "*.parquet")
+    ):
+        ep = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        if ep <= epoch:
+            pay_files.append(f)
+    if pay_files:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(pay_files).to_table(columns=["url", "phash"])
+        owners = np.array(
+            [shard_of_host(host_of(u), new_num_shards)
+             for u in t["url"].to_pylist()],
+            dtype=np.int64,
+        )
+        pay_ph = t["phash"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ).view(np.uint64)
+        if set(np.unique(pay_ph).tolist()) == set(union_ph.tolist()):
+            for sid in range(new_num_shards):
+                ph_by_shard[sid] = pay_ph[owners == sid]
+        else:  # payload/index divergence → conservative union fallback
+            ph_by_shard = None
+    else:
+        ph_by_shard = None if len(union_ph) else {}
+
+    seen_sorted = sorted(union_seen)
+
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    for sid in range(new_num_shards):
+        shard = FrontierShard(
+            sid,
+            man0["epoch_seconds"],
+            expected_urls,
+            phash_radius,
+            man0.get("burst", 8.0),
+            man0.get("log_enabled", True),
+            trap_filter=man0.get("trap_filter", False),
+        )
+        for digest in seen_sorted:
+            shard.seen.check_and_add(digest)
+        if ph_by_shard is not None:
+            shard.phash = PhashIndex.restore(
+                np.sort(np.asarray(ph_by_shard.get(sid, []), np.uint64)),
+                phash_radius,
+            )
+        else:
+            shard.phash = PhashIndex.restore(union_ph, phash_radius)
+        for host, item in frontier_rows:
+            if shard_of_host(host, new_num_shards) == sid:
+                shard._push(host, item)
+        for url, digest, host, pri, depth, disc in pending_rows:
+            if shard_of_host(host, new_num_shards) == sid:
+                cur = shard.pending.get(url)
+                if cur is None or depth < cur[3]:
+                    shard.pending[url] = (digest, host, pri, depth, disc)
+        own = lambda h: shard_of_host(h, new_num_shards) == sid  # noqa: E731
+        shard.robots.rules = {h: r for h, r in robots_rules.items() if own(h)}
+        shard.robots.delays = {
+            h: d for h, d in robots_delays.items() if own(h)
+        }
+        for h in shard.robots.rules:
+            shard.robots.delays.setdefault(h, None)
+        for h, t in tokens.items():
+            if own(h):
+                shard.politeness.bucket(h).tokens = t
+        if sid == 0:
+            shard.metrics = dict(counters)
+            shard.robots.fetches = robots_fetches
+        manifest = shard.checkpoint(ckpt_dir, 0)
+        manifest["resharded_from"] = {
+            "dir": src_dir, "epoch": epoch, "num_shards": len(old_ids),
+            "phash_ownership": "exact" if ph_by_shard is not None
+            else "union_fallback",
+        }
+        d = os.path.join(ckpt_dir, "epoch=0", f"shard={sid}")
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+    d = os.path.join(ckpt_dir, "epoch=0")
+    with open(os.path.join(d, "driver_manifest.json"), "w") as f:
+        json.dump({"epoch": 0, "resharded_from": src_dir,
+                   "phase_seconds": {}}, f)
+    with open(os.path.join(d, "COMPLETE"), "w") as f:
+        f.write("resharded\n")
+    return {
+        "shards": new_num_shards,
+        "seen_count": len(union_seen),
+        "frontier_items": len(frontier_rows),
         "out_dir": out_dir,
     }

@@ -152,3 +152,83 @@ def test_crawl_merge_coverage_query(ray_session):
     assert int(row["refetched"]) == 0
     assert int(row["covered_union"]) == int(row["covered_full"])
     assert int(row["covered_resumed"]) > 0  # the merged frontier had work
+
+
+def test_reshard_resume_matches_full_crawl(ray_session, tmp_path):
+    """Reshard a partial 3-shard crawl onto 5 shards; resuming the
+    resharded checkpoint to exhaustion must cover exactly what the
+    uninterrupted crawl covers, with zero refetches."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.frontier.merge import reshard_checkpoint
+
+    seeds = seed_urls(WEB)
+    out_src = str(tmp_path / "rsrc")
+    out_r, out_f = str(tmp_path / "rout"), str(tmp_path / "rfull")
+
+    src = _run(out_src, seeds, max_epochs=4)
+    summary = reshard_checkpoint(out_src, out_r, 5)
+    assert summary["shards"] == 5
+
+    resumed = run_crawl(
+        CrawlConfig(web=WEB, out_dir=out_r, num_shards=5, max_epochs=60,
+                    collect_parity_outputs=True),
+        [],
+        resume=True,
+    )
+    # oracle runs at 5 shards too, so per-shard phash-gate scoping is
+    # identical to the resumed crawl's
+    full = run_crawl(
+        CrawlConfig(web=WEB, out_dir=out_f, num_shards=5, max_epochs=60,
+                    collect_parity_outputs=True),
+        seeds,
+    )
+
+    assert _all_seen(resumed) == _all_seen(full)
+    covered = _covered_hashes(out_src) | _covered_hashes(out_r)
+    assert covered == _covered_hashes(out_f)
+    assert not (_covered_hashes(out_r) & _covered_hashes(out_src))
+    # phash ownership was rebuilt exactly (no union fallback), and
+    # lineage totals carried through the reshard + resume
+    with open(os.path.join(out_r, "checkpoints", "epoch=0", "shard=0",
+                           "manifest.json")) as f:
+        assert json.load(f)["resharded_from"]["phash_ownership"] == "exact"
+    src_fetched = sum(m["fetched"] for m in src.metrics)
+    res_fetched = sum(m["fetched"] for m in resumed.metrics)
+    full_fetched = sum(m["fetched"] for m in full.metrics)
+    assert res_fetched == full_fetched == src_fetched + len(
+        _covered_hashes(out_r))
+
+
+def test_reshard_bridges_mismatched_merge(ray_session, tmp_path):
+    """2-shard and 3-shard crawls can merge after resharding one of them."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.frontier.merge import merge_checkpoints, reshard_checkpoint
+
+    seeds = seed_urls(WEB)
+    out_a, out_b = str(tmp_path / "ba"), str(tmp_path / "bb")
+    run_crawl(
+        CrawlConfig(web=WEB, out_dir=out_a, num_shards=2, max_epochs=4),
+        seeds[:3],
+    )
+    run_crawl(
+        CrawlConfig(web=WEB, out_dir=out_b, num_shards=3, max_epochs=4),
+        seeds[3:],
+    )
+    out_a3 = str(tmp_path / "ba3")
+    reshard_checkpoint(out_a, out_a3, 3)
+    out_m = str(tmp_path / "bm")
+    summary = merge_checkpoints(out_a3, out_b, out_m)
+    assert summary["shards"] == 3
+
+    merged = run_crawl(
+        CrawlConfig(web=WEB, out_dir=out_m, num_shards=3, max_epochs=60,
+                    collect_parity_outputs=True),
+        [],
+        resume=True,
+    )
+    out_f = str(tmp_path / "bf")
+    full = _run(out_f, seeds, max_epochs=60)
+    assert _all_seen(merged) == _all_seen(full)
+    covered = (_covered_hashes(out_a) | _covered_hashes(out_b)
+               | _covered_hashes(out_m))
+    assert covered == _covered_hashes(out_f)
