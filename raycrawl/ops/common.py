@@ -197,6 +197,11 @@ def bucketed_group_agg(
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy(deep=False)
+        if not len(df):
+            # an empty upstream block can arrive schema-less — emit an
+            # empty bucketed frame instead of KeyError'ing on key_cols
+            df["_bucket"] = pd.Series([], dtype="int64")
+            return df
         df["_bucket"] = (
             pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
             % np.uint64(k)

@@ -1159,6 +1159,14 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def _isin_sorted(arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``vals`` in SORTED ``arr`` (empty-safe)."""
+    if not len(arr):
+        return np.zeros(len(vals), dtype=bool)
+    idx = np.searchsorted(arr, vals)
+    return (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == vals)
+
+
 def _spans_from_positions(doc_ids, positions):
     """Vectorized gaps-and-islands over (doc_id, pos) rows that are
     already sorted per doc (construction order): island boundaries are
@@ -1269,8 +1277,7 @@ def duplicate_ngram_spans(
             arr = _ray.get(dup_ref)
             g = gram_rows(t)
             gh = g["gram_h"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(arr, gh)
-            hit = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == gh)
+            hit = _isin_sorted(arr, gh)
             return _spans_from_positions(
                 g["doc_id"].to_numpy(zero_copy_only=False)[hit],
                 g["pos"].to_numpy(zero_copy_only=False)[hit],
@@ -1301,16 +1308,15 @@ def duplicate_ngram_spans(
         note_path("duplicate_ngram_spans", "shuffle+broadcast")
         import ray as _ray
 
-        dup_sorted = np.sort(
-            dup_mat.to_pandas()["gram_h"].to_numpy()  # bounded by the gate
-        )
+        ddf = dup_mat.to_pandas()  # bounded by the gate
+        dup_sorted = (np.sort(ddf["gram_h"].to_numpy())
+                      if len(ddf) else np.array([], dtype=np.int64))
         dup_ref = _ray.put(dup_sorted)
 
         def spans_bcast(t: pa.Table) -> pd.DataFrame:
             arr = _ray.get(dup_ref)
             gh = t["gram_h"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(arr, gh)
-            hit = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == gh)
+            hit = _isin_sorted(arr, gh)
             return _spans_from_positions(
                 t["doc_id"].to_numpy(zero_copy_only=False)[hit],
                 t["pos"].to_numpy(zero_copy_only=False)[hit],
@@ -1426,21 +1432,30 @@ def duplicate_span_removal_stats(sf_dir: str):
 
     if rem.count() <= REMOVAL_BROADCAST_MAX:
         note_path("duplicate_span_removal_stats", "broadcast")
-        rdf = rem.to_pandas().sort_values("doc_id")  # bounded by the gate
+        rdf = rem.to_pandas()  # bounded by the gate
         import ray as _ray
 
-        ref = _ray.put(
-            (rdf["doc_id"].to_numpy(np.int64),
-             rdf["n_removed"].to_numpy(np.int64))
-        )
+        if len(rdf):
+            rdf = rdf.sort_values("doc_id")
+            ref = _ray.put(
+                (rdf["doc_id"].to_numpy(np.int64),
+                 rdf["n_removed"].to_numpy(np.int64))
+            )
+        else:  # span-free corpus: empty map, zero removals everywhere
+            ref = _ray.put(
+                (np.array([], np.int64), np.array([], np.int64))
+            )
 
         def attach(t: pa.Table) -> pa.Table:
             ids, nrem = _ray.get(ref)
             did = t["doc_id"].to_numpy(zero_copy_only=False)
             nw = t["n_words"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(ids, did)
-            hit = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == did)
-            nr = np.where(hit, nrem[np.minimum(idx, len(ids) - 1)], 0)
+            hit = _isin_sorted(ids, did)
+            if len(ids):
+                idx = np.minimum(np.searchsorted(ids, did), len(ids) - 1)
+                nr = np.where(hit, nrem[idx], 0)
+            else:
+                nr = np.zeros(len(did), dtype=np.int64)
             return pa.table(
                 {
                     "doc_id": pa.array(did),

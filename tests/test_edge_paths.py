@@ -135,3 +135,48 @@ def test_outer_join_stats_with_no_matching_orders(ray_session, tmp_path):
     assert len(got) == 3
     assert (got["n_urgent"] == 0).all()
     assert (got["urgent_spend"] == 0.0).all()
+
+
+def test_session3_ops_on_tiny_and_dupfree_corpus(ray_session, tmp_path):
+    """Session-3 ops vs their DuckDB oracles on a 3-doc corpus with no
+    duplicated n-grams and no text long enough for a 5-gram in one case:
+    the span ops must emit zero spans / zero removals (not error), the
+    phash ops must handle the id range, each side agreeing exactly."""
+    from raycrawl.ops import REGISTRY
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype="int64"),
+            "text": ["alpha beta", "gamma delta epsilon zeta eta theta",
+                     "iota kappa lambda"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": np.array([10, 34, 17], dtype="int64"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs),
+                   os.path.join(sf, "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+
+    for name in ("duplicate_ngram_spans", "duplicate_span_removal_stats",
+                 "image_phash_band_lsh_pairs",
+                 "image_phash_best_resolution", "image_letterbox_plan"):
+        got = REGISTRY[name]["fn"](sf)
+        try:
+            got = got.to_pandas()
+        except AttributeError:
+            pass
+        want = con.execute(REGISTRY[name]["sql"]).df()
+        assert len(got) == len(want), name
+        if name == "duplicate_ngram_spans":
+            assert len(got) == 0  # no shared 5-grams in the corpus
+        if name == "duplicate_span_removal_stats":
+            got = got.sort_values("doc_id").reset_index(drop=True)
+            assert (got["n_removed"] == 0).all()
+            assert list(got["n_words"]) == [2, 6, 3]
