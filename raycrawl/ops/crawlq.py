@@ -1376,3 +1376,149 @@ def crawl_merge_coverage(sf_dir: str):
             "merged_shards": [summary["shards"]],
         }
     )
+
+
+# --------------------------------------------------------------------------
+# PSNR verification of phash near-dup candidate pairs — the north rule's
+# per-row invariant (decoded-pixel allclose, PSNR ≥ 40 dB for lossy
+# formats) applied as a PIPELINE STAGE: LSH banding proposes pairs, then
+# both members decode and compare pixels, confirming or rejecting the
+# candidate. Rows-only (the codec is not SQL-expressible); the pytest
+# oracle recomputes PSNR locally and pins the planted-pair pass rate.
+#
+# Scale shape: candidate EDGES are bounded by the near-dup volume, so the
+# edge→pair-id map broadcasts; ONE streamed pass over the payload emits
+# (pair_id, image_id, bytes) rows for involved images only — bytes of
+# non-candidates never leave their build task — and a groupby(pair_id)
+# co-locates each pair's two blobs for the decode+PSNR kernel. The
+# shuffle moves candidate-pair bytes only, never the corpus.
+@register("phash_pair_psnr_verify", sql=None)
+def phash_pair_psnr_verify(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from ..core.codec import decode_image, encode_image, phash64, psnr, synth_pixels
+
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        # same planted universe as image_phash_neardup_groups: pairs
+        # 2k/2k+1 share a base image, odd member gets ±1 pixel noise
+        ids, blobs, phs = [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            base_seed = doc_id // 2
+            w, h = 40 + base_seed % 17, 40 + base_seed % 13
+            px = synth_pixels(base_seed, w, h)
+            if doc_id % 2 == 1:
+                rng = np.random.Generator(np.random.PCG64(doc_id))
+                px = np.clip(
+                    px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+                ).astype(np.uint8)
+            ids.append(f"img-{doc_id:08d}")
+            blobs.append(encode_image(px, "png"))
+            phs.append(phash64(decode_image(blobs[-1])[0]))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+                "phash": pa.array(phs, pa.int64()),
+            }
+        )
+
+    payload = ds.map_batches(build, batch_format="pyarrow", batch_size=128)
+
+    # stage 1: LSH chunk-bucket candidate edges over (id, phash) METADATA
+    def explode_chunks(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        phu = ph.view(np.uint64)
+        keys = []
+        for j in range(4):
+            keys.append(
+                (phu >> np.uint64(16 * j)) & np.uint64(0xFFFF)
+                | np.uint64(j << 16)
+            )
+        return pa.table(
+            {
+                "chunk_key": pa.array(
+                    np.concatenate(keys).astype(np.int64), pa.int64()
+                ),
+                "image_id": pa.concat_arrays(
+                    [t["image_id"].combine_chunks()] * 4
+                ),
+                "phash": pa.concat_arrays([t["phash"].combine_chunks()] * 4),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object")})
+        phu = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = g["image_id"].to_numpy()
+        d = _popcount64(phu[:, None] ^ phu[None, :])
+        ai, bi = np.where(np.triu(d <= PHASH_GROUP_RADIUS, k=1))
+        a, b = ids[ai], ids[bi]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    edges = (
+        payload.select_columns(["image_id", "phash"])
+        .map_batches(explode_chunks, batch_format="pyarrow")
+        .groupby("chunk_key")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded by candidate-pair count, not the corpus
+    )
+    edges = edges.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    pair_of: dict[str, list[tuple[int, str]]] = {}
+    for pid, (a, b) in enumerate(zip(edges["a"], edges["b"])):
+        pair_of.setdefault(a, []).append((pid, "a"))
+        pair_of.setdefault(b, []).append((pid, "b"))
+    pair_ref = _ray.put(pair_of)
+
+    # stage 2: one streamed pass emits bytes ONLY for candidate images
+    def expand(t: pa.Table) -> pa.Table:
+        m = _ray.get(pair_ref)
+        pids, roles, blobs = [], [], []
+        for iid, blob in zip(t["image_id"].to_pylist(),
+                             t["bytes"].to_pylist()):
+            for pid, role in m.get(iid, ()):
+                pids.append(pid)
+                roles.append(role)
+                blobs.append(blob)
+        return pa.table(
+            {
+                "pair_id": pa.array(pids, pa.int64()),
+                "role": pa.array(roles, pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    # stage 3: co-locate each pair's two blobs; decode + PSNR
+    edges_ref = _ray.put((edges["a"].to_numpy(), edges["b"].to_numpy()))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids = _ray.get(edges_ref)
+        pid = int(g["pair_id"].iloc[0])
+        by_role = dict(zip(g["role"], g["bytes"]))
+        pa_px, _ = decode_image(by_role["a"])
+        pb_px, _ = decode_image(by_role["b"])
+        if pa_px.shape != pb_px.shape:
+            val, ok = 0.0, False
+        else:
+            val = float(psnr(pa_px, pb_px))
+            ok = val >= 40.0
+        return pd.DataFrame(
+            {
+                "image_a": [a_ids[pid]],
+                "image_b": [b_ids[pid]],
+                "psnr_db": [round(val, 3)],
+                "confirmed_40db": [ok],
+            }
+        )
+
+    return (
+        payload.map_batches(expand, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(verify, batch_format="pandas")
+    )

@@ -185,3 +185,39 @@ def test_letterbox_plan_invariants(registry):
         assert (r["canvas_w"], r["canvas_h"]) == _CANVAS[r["bucket"]]
     n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert df["n"].sum() == n_docs
+
+
+def test_phash_pair_psnr_verify_oracle(registry, ray_session):
+    """Every planted near-dup pair (±1 pixel noise on a shared base) must
+    be confirmed at ≥ 40 dB, and the reported PSNR must equal a local
+    recompute of the same decode."""
+    from raycrawl.core.codec import decode_image, encode_image, psnr, synth_pixels
+
+    df = _df(registry, "phash_pair_psnr_verify")
+    assert len(df) > 0
+    planted = df[
+        df.apply(lambda r: int(r["image_a"][4:]) // 2
+                 == int(r["image_b"][4:]) // 2, axis=1)
+    ]
+    assert len(planted) > 0
+    assert planted["confirmed_40db"].all()
+
+    r = planted.iloc[0]
+    a, b = int(r["image_a"][4:]), int(r["image_b"][4:])
+
+    def blob(doc_id):
+        import numpy as np
+
+        base = doc_id // 2
+        w, h = 40 + base % 17, 40 + base % 13
+        px = synth_pixels(base, w, h)
+        if doc_id % 2 == 1:
+            rng = np.random.Generator(np.random.PCG64(doc_id))
+            px = np.clip(px.astype(np.int16)
+                         + rng.integers(-1, 2, px.shape), 0, 255
+                         ).astype(np.uint8)
+        return encode_image(px, "png")
+
+    want = round(float(psnr(decode_image(blob(a))[0],
+                            decode_image(blob(b))[0])), 3)
+    assert float(r["psnr_db"]) == want
