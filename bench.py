@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "duplicate_ngram_spans",
     "knn_label_recall",
     "image_letterbox_plan",
+    "phash_pair_psnr_verify",
 ]
 
 

@@ -1400,36 +1400,35 @@ def phash_pair_psnr_verify(sf_dir: str):
     import ray as _ray
 
     from ..core.codec import decode_image, encode_image, phash64, psnr, synth_pixels
+    from .common import bucketed_group_agg
 
     ds = table(sf_dir, "documents", ["doc_id"])
 
-    def build(t: pa.Table) -> pa.Table:
-        # same planted universe as image_phash_neardup_groups: pairs
-        # 2k/2k+1 share a base image, odd member gets ±1 pixel noise
-        ids, blobs, phs = [], [], []
+    def _pixels(doc_id: int) -> "np.ndarray":
+        base_seed = doc_id // 2
+        w, h = 40 + base_seed % 17, 40 + base_seed % 13
+        px = synth_pixels(base_seed, w, h)
+        if doc_id % 2 == 1:
+            rng = np.random.Generator(np.random.PCG64(doc_id))
+            px = np.clip(
+                px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+            ).astype(np.uint8)
+        return px
+
+    # stage 1: METADATA pass — phash only, no encode (png round-trip is
+    # lossless, so phash64(pixels) == phash64(decode(encode(pixels))))
+    def build_meta(t: pa.Table) -> pa.Table:
+        ids, phs = [], []
         for doc_id in t["doc_id"].to_pylist():
-            base_seed = doc_id // 2
-            w, h = 40 + base_seed % 17, 40 + base_seed % 13
-            px = synth_pixels(base_seed, w, h)
-            if doc_id % 2 == 1:
-                rng = np.random.Generator(np.random.PCG64(doc_id))
-                px = np.clip(
-                    px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
-                ).astype(np.uint8)
             ids.append(f"img-{doc_id:08d}")
-            blobs.append(encode_image(px, "png"))
-            phs.append(phash64(decode_image(blobs[-1])[0]))
+            phs.append(phash64(_pixels(doc_id)))
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),
-                "bytes": pa.array(blobs, pa.large_binary()),
                 "phash": pa.array(phs, pa.int64()),
             }
         )
 
-    payload = ds.map_batches(build, batch_format="pyarrow", batch_size=128)
-
-    # stage 1: LSH chunk-bucket candidate edges over (id, phash) METADATA
     def explode_chunks(t: pa.Table) -> pa.Table:
         ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
         phu = ph.view(np.uint64)
@@ -1452,40 +1451,56 @@ def phash_pair_psnr_verify(sf_dir: str):
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        sizes = g.groupby("chunk_key")["image_id"].transform("size")
+        g = g[sizes >= 2]
+        out_a, out_b = [], []
+        for _ck, gg in g.groupby("chunk_key", sort=False):
+            phu = gg["phash"].to_numpy().astype(np.int64).view(np.uint64)
+            ids = gg["image_id"].to_numpy()
+            d = _popcount64(phu[:, None] ^ phu[None, :])
+            ai, bi = np.where(np.triu(d <= PHASH_GROUP_RADIUS, k=1))
+            if len(ai):
+                out_a.append(np.minimum(ids[ai], ids[bi]))
+                out_b.append(np.maximum(ids[ai], ids[bi]))
+        if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="object"),
                                  "b": pd.Series([], dtype="object")})
-        phu = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
-        ids = g["image_id"].to_numpy()
-        d = _popcount64(phu[:, None] ^ phu[None, :])
-        ai, bi = np.where(np.triu(d <= PHASH_GROUP_RADIUS, k=1))
-        a, b = ids[ai], ids[bi]
-        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
+    meta = ds.map_batches(build_meta, batch_format="pyarrow")
     edges = (
-        payload.select_columns(["image_id", "phash"])
-        .map_batches(explode_chunks, batch_format="pyarrow")
-        .groupby("chunk_key")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        bucketed_group_agg(
+            meta.map_batches(explode_chunks, batch_format="pyarrow"),
+            ["chunk_key"],
+            pairs_in_bucket,
+        )
         .to_pandas()  # bounded by candidate-pair count, not the corpus
+        .drop_duplicates(["a", "b"])
+        .reset_index(drop=True)
     )
-    edges = edges.drop_duplicates(["a", "b"]).reset_index(drop=True)
     pair_of: dict[str, list[tuple[int, str]]] = {}
     for pid, (a, b) in enumerate(zip(edges["a"], edges["b"])):
         pair_of.setdefault(a, []).append((pid, "a"))
         pair_of.setdefault(b, []).append((pid, "b"))
     pair_ref = _ray.put(pair_of)
 
-    # stage 2: one streamed pass emits bytes ONLY for candidate images
+    # stage 2: encode bytes ONLY for candidate images, tagged by pair —
+    # non-candidates never encode and corpus bytes never shuffle
     def expand(t: pa.Table) -> pa.Table:
         m = _ray.get(pair_ref)
         pids, roles, blobs = [], [], []
-        for iid, blob in zip(t["image_id"].to_pylist(),
-                             t["bytes"].to_pylist()):
-            for pid, role in m.get(iid, ()):
+        for doc_id in t["doc_id"].to_pylist():
+            iid = f"img-{doc_id:08d}"
+            hits = m.get(iid)
+            if not hits:
+                continue
+            data = encode_image(_pixels(doc_id), "png")
+            for pid, role in hits:
                 pids.append(pid)
                 roles.append(role)
-                blobs.append(blob)
+                blobs.append(data)
         return pa.table(
             {
                 "pair_id": pa.array(pids, pa.int64()),
@@ -1494,31 +1509,37 @@ def phash_pair_psnr_verify(sf_dir: str):
             }
         )
 
-    # stage 3: co-locate each pair's two blobs; decode + PSNR
     edges_ref = _ray.put((edges["a"].to_numpy(), edges["b"].to_numpy()))
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    # stage 3: bucketed co-location (one shuffle of candidate bytes),
+    # decode + PSNR per pair inside the bucket (loop bounded by pairs)
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         a_ids, b_ids = _ray.get(edges_ref)
-        pid = int(g["pair_id"].iloc[0])
-        by_role = dict(zip(g["role"], g["bytes"]))
-        pa_px, _ = decode_image(by_role["a"])
-        pb_px, _ = decode_image(by_role["b"])
-        if pa_px.shape != pb_px.shape:
-            val, ok = 0.0, False
-        else:
-            val = float(psnr(pa_px, pb_px))
-            ok = val >= 40.0
+        rows_a, rows_b, vals, oks = [], [], [], []
+        for pid, gg in g.groupby("pair_id", sort=False):
+            by_role = dict(zip(gg["role"], gg["bytes"]))
+            pa_px, _ = decode_image(by_role["a"])
+            pb_px, _ = decode_image(by_role["b"])
+            if pa_px.shape != pb_px.shape:
+                val, ok = 0.0, False
+            else:
+                val = float(psnr(pa_px, pb_px))
+                ok = val >= 40.0
+            rows_a.append(a_ids[int(pid)])
+            rows_b.append(b_ids[int(pid)])
+            vals.append(round(val, 3))
+            oks.append(ok)
         return pd.DataFrame(
             {
-                "image_a": [a_ids[pid]],
-                "image_b": [b_ids[pid]],
-                "psnr_db": [round(val, 3)],
-                "confirmed_40db": [ok],
+                "image_a": rows_a,
+                "image_b": rows_b,
+                "psnr_db": vals,
+                "confirmed_40db": oks,
             }
         )
 
-    return (
-        payload.map_batches(expand, batch_format="pyarrow")
-        .groupby("pair_id")
-        .map_groups(verify, batch_format="pandas")
+    return bucketed_group_agg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["pair_id"],
+        verify_bucket,
     )
