@@ -15,7 +15,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..core.webgraph import WebConfig, seed_urls
-from .common import table
+from .common import pool_size, table
 from .queries import register
 
 _CRAWL_CACHE: dict[str, str] = {}
@@ -312,8 +312,11 @@ def _payload_images(sf_dir: str) -> ray.data.Dataset:
     import pyarrow as pa
 
     from ..core.codec import encode_image, phash64, synth_pixels
+    from .common import table_spread
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    # encode+phash is per-row-expensive: spread the single-file test read
+    # across the cluster (no-op at scale where inputs are many files)
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
         ids, blobs, ws, hs, fmts, phs = [], [], [], [], [], []
@@ -347,7 +350,7 @@ def image_feature_extract(sf_dir: str):
     from ..stages.multimodal import ImageFeatures
 
     return _payload_images(sf_dir).map_batches(
-        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
     )
 
 
@@ -358,7 +361,7 @@ def image_resize_32(sf_dir: str):
     return (
         _payload_images(sf_dir)
         .map_batches(ImageResize, fn_constructor_args=(32, 32),
-                     batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
+                     batch_format="pyarrow", batch_size=64, concurrency=pool_size())
         .drop_columns(["bytes"])
     )
 
@@ -479,7 +482,7 @@ def video_frame_sample_phash(sf_dir: str):
 
     return ds.map_batches(build, batch_format="pyarrow", batch_size=64).map_batches(
         FrameSampler, fn_constructor_args=(2,), batch_format="pyarrow",
-        batch_size=32, concurrency=(1, 8),
+        batch_size=32, concurrency=pool_size(),
     )
 
 
@@ -503,7 +506,7 @@ def audio_feature_extract(sf_dir: str):
         )
 
     return ds.map_batches(build, batch_format="pyarrow", batch_size=128).map_batches(
-        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
     )
 
 
@@ -617,8 +620,9 @@ def image_phash_neardup_groups(sf_dir: str):
     from ray.data.aggregate import Count
 
     from ..core.codec import encode_image, phash64, synth_pixels, decode_image
+    from .common import table_spread
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
         ids, blobs, phs = [], [], []
@@ -726,9 +730,11 @@ def image_exact_dedup_bytes(sf_dir: str):
     from ray.data.aggregate import Min, Sum
 
     from ..core.codec import encode_image, synth_pixels
-    from .common import SMALL_COMBINE_ROWS, combine_small, table_num_rows
+    from .common import (
+        SMALL_COMBINE_ROWS, combine_small, table_num_rows, table_spread,
+    )
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def build_hash(t: pa.Table) -> pa.Table:
         ids, digests = [], []
@@ -1204,7 +1210,7 @@ def video_scene_cuts(sf_dir: str):
         _build_scene_videos, batch_format="pyarrow", batch_size=64
     ).map_batches(
         SceneCutDetector, batch_format="pyarrow", batch_size=32,
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
 
 
@@ -1219,7 +1225,7 @@ def image_augment_train(sf_dir: str):
 
     return _payload_images(sf_dir).map_batches(
         ImageAugment, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
 
 
@@ -1271,7 +1277,7 @@ def audio_speech_segments(sf_dir: str):
 
     return ds.map_batches(build, batch_format="pyarrow", batch_size=64).map_batches(
         SpeechSegments, batch_format="pyarrow", batch_size=32,
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
 
 
@@ -1288,7 +1294,7 @@ def video_shot_keyframes(sf_dir: str):
         _build_scene_videos, batch_format="pyarrow", batch_size=64
     ).map_batches(
         ShotKeyframes, batch_format="pyarrow", batch_size=32,
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
 
 
@@ -1400,9 +1406,9 @@ def phash_pair_psnr_verify(sf_dir: str):
     import ray as _ray
 
     from ..core.codec import decode_image, encode_image, phash64, psnr, synth_pixels
-    from .common import bucketed_group_agg
+    from .common import bucketed_group_agg, table_spread
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def _pixels(doc_id: int) -> "np.ndarray":
         base_seed = doc_id // 2

@@ -30,7 +30,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .common import combine_small, round_half_away, table
+from .common import combine_small, pool_size, round_half_away, table
 from .queries import register
 
 
@@ -362,7 +362,7 @@ def image_channel_pixel_stats(sf_dir: str):
 
     partials = _payload_images(sf_dir).map_batches(
         ChannelPartials, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
     return combine_small(partials, finish)
 
