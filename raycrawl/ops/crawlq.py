@@ -15,7 +15,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..core.webgraph import WebConfig, seed_urls
-from .common import pool_size, table
+from .common import pool_size, table, table_spread
 from .queries import register
 
 _CRAWL_CACHE: dict[str, str] = {}
@@ -467,7 +467,7 @@ def video_frame_sample_phash(sf_dir: str):
 
     from ..stages.multimodal import FrameSampler, synth_video
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -492,7 +492,7 @@ def audio_feature_extract(sf_dir: str):
 
     from ..stages.multimodal import AudioFeatures, synth_audio
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -525,7 +525,7 @@ def frontier_compaction(sf_dir: str):
 
     # deterministic duplicated link-log derived from documents: each doc
     # contributes its URL at two different depths (two "source runs")
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
         urls, depths, discs = [], [], []
@@ -829,7 +829,7 @@ def image_dup_keep_best_caption(sf_dir: str):
     from ..core.codec import encode_image, synth_pixels
     from .common import SMALL_COMBINE_ROWS, combine_small, table_num_rows
 
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "text"])
 
     def best_partial(df: pd.DataFrame) -> pd.DataFrame:
         digests = []
@@ -1014,7 +1014,7 @@ def pair_phash_hamming_histogram(sf_dir: str):
     from ..core.codec import encode_image, phash64, synth_pixels, decode_image
     from .common import combine_small
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
         pids, phs = [], []
@@ -1205,7 +1205,7 @@ def _build_scene_videos(t: "pa.Table") -> "pa.Table":
 def video_scene_cuts(sf_dir: str):
     from ..stages.multimodal import SceneCutDetector
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
     return ds.map_batches(
         _build_scene_videos, batch_format="pyarrow", batch_size=64
     ).map_batches(
@@ -1245,7 +1245,7 @@ def audio_speech_segments(sf_dir: str):
 
     from ..stages.multimodal import AUDIO_MAGIC, SAMPLE_RATE, SpeechSegments
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
         sr = SAMPLE_RATE
@@ -1289,7 +1289,7 @@ def video_shot_keyframes(sf_dir: str):
     python-oracle replays the construction exactly."""
     from ..stages.multimodal import ShotKeyframes
 
-    ds = table(sf_dir, "documents", ["doc_id"])
+    ds = table_spread(sf_dir, "documents", ["doc_id"])
     return ds.map_batches(
         _build_scene_videos, batch_format="pyarrow", batch_size=64
     ).map_batches(

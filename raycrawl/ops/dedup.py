@@ -37,6 +37,7 @@ from .common import (
     note_path,
     table,
     table_num_rows,
+    table_spread,
 )
 from .queries import register
 
@@ -53,7 +54,7 @@ from .queries import register
     """,
 )
 def exact_dedup_by_hash(sf_dir: str):
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_partial(t: pa.Table) -> pa.Table:
         # hash distributed (text bytes never leave the read task), then
@@ -222,7 +223,7 @@ def _fetch_docs_by_id(sf_dir: str, cand_ids) -> pd.DataFrame:
         return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(ids_ref)))
 
     return (
-        table(sf_dir, "documents", ["doc_id", "text"])
+        table_spread(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(keep, batch_format="pyarrow")
         .to_pandas()  # bounded: candidate docs only
     )
@@ -325,7 +326,7 @@ def minhash_lsh_candidates(sf_dir: str):
     shuffles (equivalence-tested). The bucket key is a single int64 with
     the band index folded in (see ``_band_hash_i64``) — 16 bytes/row
     crossing the shuffle."""
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(minhash_bands, batch_format="pandas")
 
     # Path gate from parquet-footer metadata only: banding emits exactly
@@ -546,7 +547,7 @@ def minhash_dedup_clusters(sf_dir: str):
             }
         )
 
-    return table(sf_dir, "documents", ["doc_id"]).map_batches(
+    return table_spread(sf_dir, "documents", ["doc_id"]).map_batches(
         attach, batch_format="pyarrow"
     )
 
@@ -593,7 +594,7 @@ _BIT_IDX = np.arange(64, dtype=np.uint64)
     """,
 )
 def simhash_dedup_groups(sf_dir: str):
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "text"])
     sim = ds.map_batches(simhash_batch, batch_format="pandas")
 
     # simhash is a near-unique dedup key (~1 row/key) → bucket-sharded
@@ -694,7 +695,7 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
     """,
 )
 def ngram_jaccard_neardups(sf_dir: str, threshold: float = 0.6):
-    ds = table(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "text", "n_chars"])
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         def grams(s: str) -> set:
@@ -809,7 +810,7 @@ def duplicate_ngram_fraction(
 ):
     import pyarrow.compute as pc
 
-    docs = table(sf_dir, "documents", ["doc_id", "text"])
+    docs = table_spread(sf_dir, "documents", ["doc_id", "text"])
     n = _DUP_NGRAM_N
 
     def gram_pairs(t: pa.Table) -> pa.Table:
@@ -1036,7 +1037,7 @@ def _bloom_maybe(bits: np.ndarray, h: np.ndarray) -> np.ndarray:
 
 @register("incremental_novelty_dedup", sql=_NOVELTY_SQL)
 def incremental_novelty_dedup(sf_dir: str):
-    ds = table(sf_dir, "events", ["event_id", "user_id", "props"])
+    ds = table_spread(sf_dir, "events", ["event_id", "user_id", "props"])
     n_rows = table_num_rows(sf_dir, "events")
 
     # pass 1: ONE scan builds the old-side Bloom partials AND counts the
@@ -1208,7 +1209,7 @@ def duplicate_ngram_spans(
 ):
     import pyarrow.compute as pc
 
-    docs = table(sf_dir, "documents", ["doc_id", "text"])
+    docs = table_spread(sf_dir, "documents", ["doc_id", "text"])
     n = _DUP_NGRAM_N
 
     def gram_rows(t: pa.Table) -> pa.Table:
@@ -1410,7 +1411,7 @@ def duplicate_span_removal_stats(sf_dir: str):
 
     rem = bucketed_group_agg(spans, ["doc_id"], sum_bucket).materialize()
 
-    docs = table(sf_dir, "documents", ["doc_id", "text"])
+    docs = table_spread(sf_dir, "documents", ["doc_id", "text"])
 
     def tok_counts(t: pa.Table) -> pa.Table:
         rx = _word_re()

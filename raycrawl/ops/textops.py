@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
-from .common import round_half_away, table
+from .common import round_half_away, table, table_spread
 from .queries import register
 
 # Topics config — the M5/M6 routing table analog (Readme.md:31-43 format)
@@ -45,7 +45,7 @@ _kw_sql = " UNION ALL ".join(
 
 @register("keyword_containment_counts", sql=_kw_sql)
 def keyword_containment_counts(sf_dir: str):
-    ds = table(sf_dir, "documents", ["text"])
+    ds = table_spread(sf_dir, "documents", ["text"])
 
     def count_kws(t: pa.Table) -> pa.Table:
         # per-batch partial counts (combiner) → tiny global aggregate
@@ -93,7 +93,7 @@ _tk_values = ", ".join(
     """,
 )
 def topic_routing_counts(sf_dir: str):
-    ds = table(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "lang", "text"])
 
     def route(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -139,7 +139,7 @@ def topic_routing_counts(sf_dir: str):
     """,
 )
 def first_token_counts(sf_dir: str):
-    ds = table(sf_dir, "documents", ["text"])
+    ds = table_spread(sf_dir, "documents", ["text"])
 
     def extract(t: pa.Table) -> pa.Table:
         ext = pc.extract_regex(t["text"], pattern=r"^(?P<tok>\w+)")
@@ -163,7 +163,7 @@ def first_token_counts(sf_dir: str):
     """,
 )
 def token_count_stats(sf_dir: str):
-    ds = table(sf_dir, "documents", ["text"])
+    ds = table_spread(sf_dir, "documents", ["text"])
 
     def toks(t: pa.Table) -> pa.Table:
         splits = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
@@ -192,7 +192,7 @@ def token_count_stats(sf_dir: str):
     """,
 )
 def doc_quality_scores(sf_dir: str):
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(_quality_score_batch, batch_format="pandas")
 
 
@@ -266,7 +266,7 @@ _WS_TRIM = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     """,
 )
 def gopher_quality_flags(sf_dir: str):
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(_gopher_batch, batch_format="pandas")
 
 
@@ -344,7 +344,7 @@ _LANG_MARKERS = {
     """,
 )
 def langid_confusion(sf_dir: str):
-    ds = table(sf_dir, "documents", ["lang", "text"])
+    ds = table_spread(sf_dir, "documents", ["lang", "text"])
 
     def predict(t: pa.Table) -> pa.Table:
         txt = t["text"]
@@ -404,7 +404,7 @@ def langid_confusion(sf_dir: str):
     """,
 )
 def doc_fingerprints(sf_dir: str):
-    ds = table(sf_dir, "documents", ["doc_id", "text"])
+    ds = table_spread(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -497,7 +497,7 @@ def bm25_top_docs(sf_dir: str):
 
     from .common import combine_small
 
-    docs = table(sf_dir, "documents", ["doc_id", "text"])
+    docs = table_spread(sf_dir, "documents", ["doc_id", "text"])
     terms = _BM25_TERMS
 
     def stats_partial(t: pa.Table) -> pa.Table:
@@ -594,7 +594,7 @@ ORDER BY n DESC, word LIMIT 50
 def top_words_corpus(sf_dir: str):
     from .common import combine_small
 
-    docs = table(sf_dir, "documents", ["text"])
+    docs = table_spread(sf_dir, "documents", ["text"])
 
     def block_counts(t: pa.Table) -> pa.Table:
         lower = pc.utf8_lower(t["text"])
