@@ -225,6 +225,9 @@ class PhashIndex:
     """
 
     def __init__(self, radius: int = 2):
+        """radius=-1 disables matching entirely (query always misses) —
+        the knob coverage-invariant tests use to turn the suppression
+        gate off while keeping every code path identical."""
         if radius > 3:
             raise ValueError("chunk index guarantees recall only for radius<=3")
         self.radius = radius

@@ -226,13 +226,31 @@ def merge_checkpoints(
             "re-shard one crawl first (host→shard mapping must match)"
         )
     os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
-    manifests = [
-        merge_shard(
-            dir_a, dir_b, out_dir, sid, epoch_a, epoch_b,
-            expected_urls, phash_radius,
-        )
-        for sid in ids_a
-    ]
+    # Shards merge independently (disjoint host sets, disjoint output
+    # dirs) — fan out one Ray task per shard when a session is live so a
+    # many-shard merge isn't serialized through the driver; checkpoint
+    # trees live on shared storage in a real cluster, so the tasks read/
+    # write the same paths the driver loop would. Falls back to the
+    # in-process loop outside a Ray session (library code never inits).
+    import ray
+
+    if ray.is_initialized() and len(ids_a) > 1:
+        task = ray.remote(num_cpus=1)(merge_shard)
+        manifests = ray.get([
+            task.remote(
+                dir_a, dir_b, out_dir, sid, epoch_a, epoch_b,
+                expected_urls, phash_radius,
+            )
+            for sid in ids_a
+        ])
+    else:
+        manifests = [
+            merge_shard(
+                dir_a, dir_b, out_dir, sid, epoch_a, epoch_b,
+                expected_urls, phash_radius,
+            )
+            for sid in ids_a
+        ]
     d = os.path.join(out_dir, "checkpoints", "epoch=0")
     with open(os.path.join(d, "driver_manifest.json"), "w") as f:
         json.dump(
@@ -247,6 +265,65 @@ def merge_checkpoints(
         "seen_count": sum(m["seen_count"] for m in manifests),
         "out_dir": out_dir,
     }
+
+
+def _reshard_build_shard(sid: int, state) -> None:
+    """Build + checkpoint ONE new shard from the collected redistribution
+    state (runs in-process or as a Ray task; ``state`` may arrive as an
+    ObjectRef-resolved dict either way)."""
+    from ..core.urltools import shard_of_host
+
+    s = state
+    man0 = s["man0"]
+    new_n = s["new_num_shards"]
+    shard = FrontierShard(
+        sid,
+        man0["epoch_seconds"],
+        s["expected_urls"],
+        s["phash_radius"],
+        man0.get("burst", 8.0),
+        man0.get("log_enabled", True),
+        trap_filter=man0.get("trap_filter", False),
+    )
+    for digest in s["seen_sorted"]:
+        shard.seen.check_and_add(digest)
+    if s["ph_by_shard"] is not None:
+        shard.phash = PhashIndex.restore(
+            np.sort(np.asarray(s["ph_by_shard"].get(sid, []), np.uint64)),
+            s["phash_radius"],
+        )
+    else:
+        shard.phash = PhashIndex.restore(s["union_ph"], s["phash_radius"])
+    for host, item in s["frontier_rows"]:
+        if shard_of_host(host, new_n) == sid:
+            shard._push(host, tuple(item))
+    for url, digest, host, pri, depth, disc in s["pending_rows"]:
+        if shard_of_host(host, new_n) == sid:
+            cur = shard.pending.get(url)
+            if cur is None or depth < cur[3]:
+                shard.pending[url] = (digest, host, pri, depth, disc)
+    own = lambda h: shard_of_host(h, new_n) == sid  # noqa: E731
+    shard.robots.rules = {h: tuple(r) for h, r in s["robots_rules"].items()
+                          if own(h)}
+    shard.robots.delays = {h: d for h, d in s["robots_delays"].items()
+                           if own(h)}
+    for h in shard.robots.rules:
+        shard.robots.delays.setdefault(h, None)
+    for h, t in s["tokens"].items():
+        if own(h):
+            shard.politeness.bucket(h).tokens = t
+    if sid == 0:
+        shard.metrics = dict(s["counters"])
+        shard.robots.fetches = s["robots_fetches"]
+    manifest = shard.checkpoint(s["ckpt_dir"], 0)
+    manifest["resharded_from"] = {
+        "dir": s["src_dir"], "epoch": s["epoch"], "num_shards": s["old_n"],
+        "phash_ownership": "exact" if s["ph_by_shard"] is not None
+        else "union_fallback",
+    }
+    d = os.path.join(s["ckpt_dir"], "epoch=0", f"shard={sid}")
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
 
 
 def reshard_checkpoint(
@@ -373,55 +450,30 @@ def reshard_checkpoint(
 
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
-    for sid in range(new_num_shards):
-        shard = FrontierShard(
-            sid,
-            man0["epoch_seconds"],
-            expected_urls,
-            phash_radius,
-            man0.get("burst", 8.0),
-            man0.get("log_enabled", True),
-            trap_filter=man0.get("trap_filter", False),
-        )
-        for digest in seen_sorted:
-            shard.seen.check_and_add(digest)
-        if ph_by_shard is not None:
-            shard.phash = PhashIndex.restore(
-                np.sort(np.asarray(ph_by_shard.get(sid, []), np.uint64)),
-                phash_radius,
-            )
-        else:
-            shard.phash = PhashIndex.restore(union_ph, phash_radius)
-        for host, item in frontier_rows:
-            if shard_of_host(host, new_num_shards) == sid:
-                shard._push(host, item)
-        for url, digest, host, pri, depth, disc in pending_rows:
-            if shard_of_host(host, new_num_shards) == sid:
-                cur = shard.pending.get(url)
-                if cur is None or depth < cur[3]:
-                    shard.pending[url] = (digest, host, pri, depth, disc)
-        own = lambda h: shard_of_host(h, new_num_shards) == sid  # noqa: E731
-        shard.robots.rules = {h: r for h, r in robots_rules.items() if own(h)}
-        shard.robots.delays = {
-            h: d for h, d in robots_delays.items() if own(h)
-        }
-        for h in shard.robots.rules:
-            shard.robots.delays.setdefault(h, None)
-        for h, t in tokens.items():
-            if own(h):
-                shard.politeness.bucket(h).tokens = t
-        if sid == 0:
-            shard.metrics = dict(counters)
-            shard.robots.fetches = robots_fetches
-        manifest = shard.checkpoint(ckpt_dir, 0)
-        manifest["resharded_from"] = {
-            "dir": src_dir, "epoch": epoch, "num_shards": len(old_ids),
-            "phash_ownership": "exact" if ph_by_shard is not None
-            else "union_fallback",
-        }
-        d = os.path.join(ckpt_dir, "epoch=0", f"shard={sid}")
-        with open(os.path.join(d, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
+    state = {
+        "man0": man0, "seen_sorted": seen_sorted, "union_ph": union_ph,
+        "ph_by_shard": ph_by_shard, "frontier_rows": frontier_rows,
+        "pending_rows": pending_rows, "robots_rules": robots_rules,
+        "robots_delays": robots_delays, "tokens": tokens,
+        "counters": counters, "robots_fetches": robots_fetches,
+        "src_dir": src_dir, "epoch": epoch, "old_n": len(old_ids),
+        "new_num_shards": new_num_shards, "expected_urls": expected_urls,
+        "phash_radius": phash_radius, "ckpt_dir": ckpt_dir,
+    }
+    # new shards build independently from the collected redistribution
+    # state — fan out one Ray task per shard when a session is live
+    # (state ships ONCE via ray.put / plasma, not once per task);
+    # in-process loop otherwise (library code never inits Ray)
+    import ray
+
+    if ray.is_initialized() and new_num_shards > 1:
+        state_ref = ray.put(state)
+        task = ray.remote(num_cpus=1)(_reshard_build_shard)
+        ray.get([task.remote(sid, state_ref)
+                 for sid in range(new_num_shards)])
+    else:
+        for sid in range(new_num_shards):
+            _reshard_build_shard(sid, state)
     d = os.path.join(ckpt_dir, "epoch=0")
     with open(os.path.join(d, "driver_manifest.json"), "w") as f:
         json.dump({"epoch": 0, "resharded_from": src_dir,

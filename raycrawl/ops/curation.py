@@ -521,3 +521,90 @@ def unigram_logprob_scores(sf_dir: str):
     return table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         score, fn_kwargs={"ref": lm_ref}, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# RAG / pretraining CHUNKING: split every document into overlapping
+# token windows (window=64 words, stride=48 → 16-word overlap) and emit
+# one row per chunk with its token extent and a 64-bit content address
+# (md5 of the chunk text — the key downstream chunk-dedup or vector
+# indexing joins on). Pure per-doc math: a single streamed map_batches,
+# no shuffle at any scale; text leaves the stage only as an 8-byte hash.
+
+CHUNK_W = 64
+CHUNK_S = 48
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS words
+  FROM documents),
+n AS (SELECT doc_id, words, len(words) AS nw FROM toks
+      WHERE len(words) >= 1),
+c AS (
+  SELECT doc_id, nw, words,
+         unnest(range(CASE WHEN nw <= {CHUNK_W} THEN 1
+                      ELSE CAST(ceil((nw - {CHUNK_W}) / {CHUNK_S}.0)
+                           AS BIGINT) + 1 END)) AS chunk_idx
+  FROM n)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_S} AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_W}, nw - chunk_idx * {CHUNK_S}) AS BIGINT)
+           AS n_tokens,
+       -- two's-complement wrap to BIGINT: the repo-wide signed-int64
+       -- convention for hash output columns (see doc_fingerprints)
+       CAST(CASE WHEN h >= CAST(1 AS HUGEINT) << 63
+                 THEN CAST(h AS HUGEINT) - (CAST(1 AS HUGEINT) << 64)
+                 ELSE CAST(h AS HUGEINT) END AS BIGINT) AS chunk_h
+FROM (SELECT *, md5_number_upper(array_to_string(
+          words[chunk_idx*{CHUNK_S}+1:chunk_idx*{CHUNK_S}+{CHUNK_W}], ' '))
+          AS h FROM c) q
+"""
+
+
+@register("chunk_overlap_windows", sql=_CHUNK_SQL)
+def chunk_overlap_windows(sf_dir: str):
+    import re
+
+    from .common import table_spread
+
+    rx = re.compile(r"[a-z0-9]+")
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        idxs: list[int] = []
+        starts: list[int] = []
+        lens: list[int] = []
+        hs: list[int] = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = rx.findall(text.lower())
+            nw = len(toks)
+            if nw < 1:
+                continue
+            n_chunks = (1 if nw <= CHUNK_W
+                        else -(-(nw - CHUNK_W) // CHUNK_S) + 1)
+            for i in range(n_chunks):
+                s = i * CHUNK_S
+                block = toks[s : s + CHUNK_W]
+                ids.append(did)
+                idxs.append(i)
+                starts.append(s)
+                lens.append(len(block))
+                hs.append(md5_u64_le(" ".join(block)))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64)),
+                "chunk_idx": pa.array(np.asarray(idxs, np.int64)),
+                "start_tok": pa.array(np.asarray(starts, np.int64)),
+                "n_tokens": pa.array(np.asarray(lens, np.int64)),
+                "chunk_h": pa.array(
+                    np.fromiter(hs, np.uint64, count=len(hs)).view(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return table_spread(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )

@@ -1017,19 +1017,21 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
-def _bloom_set(bits: np.ndarray, h: np.ndarray) -> None:
-    for p in (h % np.uint64(_NOVELTY_M_BITS),
-              _splitmix64(h) % np.uint64(_NOVELTY_M_BITS)):
+def _bloom_set(bits: np.ndarray, h: np.ndarray,
+               m_bits: int = _NOVELTY_M_BITS) -> None:
+    for p in (h % np.uint64(m_bits),
+              _splitmix64(h) % np.uint64(m_bits)):
         np.bitwise_or.at(
             bits, (p >> np.uint64(3)).astype(np.int64),
             (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
         )
 
 
-def _bloom_maybe(bits: np.ndarray, h: np.ndarray) -> np.ndarray:
+def _bloom_maybe(bits: np.ndarray, h: np.ndarray,
+                 m_bits: int = _NOVELTY_M_BITS) -> np.ndarray:
     out = np.ones(len(h), dtype=bool)
-    for p in (h % np.uint64(_NOVELTY_M_BITS),
-              _splitmix64(h) % np.uint64(_NOVELTY_M_BITS)):
+    for p in (h % np.uint64(m_bits),
+              _splitmix64(h) % np.uint64(m_bits)):
         byte = bits[(p >> np.uint64(3)).astype(np.int64)]
         out &= (byte >> (p & np.uint64(7)).astype(np.uint8)) & 1 > 0
     return out
@@ -1040,15 +1042,34 @@ def incremental_novelty_dedup(sf_dir: str):
     ds = table_spread(sf_dir, "events", ["event_id", "user_id", "props"])
     n_rows = table_num_rows(sf_dir, "events")
 
-    # pass 1: ONE scan builds the old-side Bloom partials AND counts the
-    # new side (the exact n_new) — the two folds share the batch split,
-    # so a separate pruned-column counting pass would just re-read events
-    def old_bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+    # ONE scan of the wide input: hash (user_id, props) per row, keep only
+    # (h uint64, is_old bool) — 9 B/row. Materializing this intermediate
+    # is what makes the op single-scan: the expensive string-hash pass
+    # over the full events table runs once, and both downstream consumers
+    # (Bloom build, verify filter) re-read the tiny cached columns. At
+    # 100 TB the intermediate is ~9 B / avg-row-width of the input (a few
+    # percent), streamed to the object store with spill — never the
+    # driver. (Previous shape re-scanned full events twice: 3.3 s →
+    # this, 1.9 s at sf0.1.)
+    def hash_tag(df: pd.DataFrame) -> pd.DataFrame:
         is_old = df["event_id"].to_numpy() % 10 < 7
-        old = df[is_old]
+        h = (_novelty_key(df) if len(df)
+             else np.array([], np.uint64))
+        return pd.DataFrame({"h": h, "is_old": is_old})
+
+    tagged = ds.map_batches(hash_tag, batch_format="pandas").map_batches(
+        lambda t: pa.table({"h": pc_uint64(t["h"]), "is_old": t["is_old"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # Bloom partials + exact n_new from the cached 9-B rows (per-block
+    # bitmap OR-merged; at >10k blocks this reduce becomes an actor tree)
+    def old_bloom_partial(t: pa.Table) -> pd.DataFrame:
+        is_old = t["is_old"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bits = np.zeros(_NOVELTY_M_BITS // 8, dtype=np.uint8)
-        if len(old):
-            _bloom_set(bits, _novelty_key(old))
+        if is_old.any():
+            _bloom_set(bits, h[is_old])
         return pd.DataFrame({"bits": [bits.tobytes()],
                              "n_new": [int((~is_old).sum())]})
 
@@ -1059,47 +1080,48 @@ def incremental_novelty_dedup(sf_dir: str):
         return acc, int(pa.compute.sum(t["n_new"]).as_py() or 0)
 
     bloom, n_new = combine_small(
-        ds.map_batches(old_bloom_partial, batch_format="pandas"), or_bits
+        tagged.map_batches(old_bloom_partial, batch_format="pyarrow"), or_bits
     )
     bloom_ref = ray.put(bloom)
 
-    # pass 2: ONE scan emits both sides of the exact verify — old keys
-    # (hash column only, 8 B/row) and the new-batch rows the Bloom cannot
-    # clear (true dups + false positives); bit-clear rows are PROVEN novel
-    # and never shuffle. No union of two re-scans: one dataset, one pass.
-    def verify_rows(df: pd.DataFrame) -> pd.DataFrame:
+    # Verify input: old keys pass through; new keys the Bloom cannot
+    # clear (true dups + false positives) enter the exchange; bit-clear
+    # rows are PROVEN novel and never leave their task.
+    def verify_rows(t: pa.Table) -> pa.Table:
         b = ray.get(bloom_ref)
-        is_old = df["event_id"].to_numpy() % 10 < 7
-        old, new = df[is_old], df[~is_old]
-        h_old = _novelty_key(old) if len(old) else np.array([], np.uint64)
-        if len(new):
-            h = _novelty_key(new)
-            h_new = h[_bloom_maybe(b, h)]
-        else:
-            h_new = np.array([], np.uint64)
-        return pd.DataFrame(
-            {
-                "h": np.concatenate([h_old, h_new]),
-                "is_old": np.concatenate(
-                    [np.ones(len(h_old), bool), np.zeros(len(h_new), bool)]
-                ),
-            }
-        )
+        is_old = t["is_old"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = is_old | _bloom_maybe(b, h) if len(h) else is_old
+        return pa.table({"h": pa.array(h[keep], pa.uint64()),
+                         "is_old": pa.array(is_old[keep])})
 
-    tagged = ds.map_batches(verify_rows, batch_format="pandas").map_batches(
-        lambda t: pa.table({"h": pc_uint64(t["h"]), "is_old": t["is_old"]}),
-        batch_format="pyarrow",
-    )
+    tagged = tagged.map_batches(verify_rows, batch_format="pyarrow")
 
-    def bucket_known(g: pd.DataFrame) -> pd.DataFrame:
-        old_h = g.loc[g["is_old"], "h"].unique()
-        known = int(g.loc[~g["is_old"], "h"].isin(old_h).sum())
-        return pd.DataFrame({"known": [known]})
+    if n_rows <= SMALL_COMBINE_ROWS:
+        # under the gate the survivors are ≤2M 9-B rows — one local
+        # sorted-array membership beats the groupby exchange's multi-
+        # second fixed cost (same gate exact_dedup_by_hash uses)
+        note_path("incremental_novelty_dedup", "combine_small")
 
-    parts = bucketed_group_agg(
-        tagged, ["h"], bucket_known, approx_rows=n_rows,
-    ).to_pandas()
-    n_known = int(parts["known"].sum())
+        def count_known(t: pa.Table):
+            is_old = t["is_old"].to_numpy(zero_copy_only=False)
+            h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            old_sorted = np.unique(h[is_old])
+            return int(_isin_sorted(old_sorted, h[~is_old]).sum())
+
+        n_known = combine_small(tagged, count_known)
+    else:
+        note_path("incremental_novelty_dedup", "distributed")
+
+        def bucket_known(g: pd.DataFrame) -> pd.DataFrame:
+            old_h = g.loc[g["is_old"], "h"].unique()
+            known = int(g.loc[~g["is_old"], "h"].isin(old_h).sum())
+            return pd.DataFrame({"known": [known]})
+
+        parts = bucketed_group_agg(
+            tagged, ["h"], bucket_known, approx_rows=n_rows,
+        ).to_pandas()
+        n_known = int(parts["known"].sum())
     return pa.table(
         {
             "n_new": pa.array([n_new], pa.int64()),
@@ -1206,6 +1228,7 @@ def duplicate_ngram_spans(
     sf_dir: str,
     force_shuffle_path: bool | None = None,
     force_broadcast_flags: bool | None = None,
+    force_bloom_prefilter: bool | None = None,
 ):
     import pyarrow.compute as pc
 
@@ -1331,7 +1354,48 @@ def duplicate_ngram_spans(
         )
 
     note_path("duplicate_ngram_spans", "shuffle+join")
-    flagged = grams.join(
+    # Bloom prefilter before the join: on a real web corpus dup POSITIONS
+    # are a small fraction of all gram rows, so shuffling every row into
+    # the hash join wastes most of the exchange. Build a Bloom over the
+    # dup-gram keys (~12 bits/key, 2 hashes → ~2% FPR) and drop
+    # proven-clean gram rows BEFORE they enter the join; false positives
+    # are removed by the inner join itself, so exactness is untouched.
+    # The bitmap is built by streaming dup_mat's blocks through the driver
+    # (memory = bitmap + one 8-B-key block; at >10k blocks this fold
+    # becomes a Ray actor tree like the novelty-dedup combine), then
+    # ray.put ONCE and read zero-copy in every filter task.
+    #
+    # Skip gate: each dup gram contributes ≥2 gram rows, so hit rows ≥
+    # 2·n_dup. When that floor already exceeds ~25% of all gram rows
+    # (n_dup > rows/8 — a boilerplate-saturated corpus, e.g. the scale
+    # smoke's seeded replicas), the filter can't remove enough to pay
+    # for its pass and the rows go straight to the join.
+    n_dup = dup_mat.count()
+    left = grams
+    if (force_bloom_prefilter is True
+            or (force_bloom_prefilter is None
+                and n_dup <= grams.count() // 8)):
+        m_bits = 1 << max(23, min(31, (16 * max(n_dup, 1) - 1).bit_length()))
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        for ref in dup_mat.to_arrow_refs():
+            blk = ray.get(ref)
+            if blk.num_rows:
+                keys = blk["gram_h"].to_numpy(zero_copy_only=False)
+                _bloom_set(bits, keys.astype(np.int64).view(np.uint64),
+                           m_bits)
+        bloom_ref = ray.put(bits)
+        note_path("duplicate_ngram_spans", "shuffle+join+bloom")
+
+        def bloom_prefilter(t: pa.Table) -> pa.Table:
+            b = ray.get(bloom_ref)
+            gh = t["gram_h"].to_numpy(zero_copy_only=False)
+            keep = _bloom_maybe(b, gh.astype(np.int64).view(np.uint64),
+                                m_bits)
+            return t.filter(pa.array(keep))
+
+        left = grams.map_batches(bloom_prefilter, batch_format="pyarrow")
+
+    flagged = left.join(
         dup_mat,
         join_type="inner",
         num_partitions=join_partitions(),
@@ -1494,3 +1558,125 @@ def duplicate_span_removal_stats(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# CCNet-style repeated-PARAGRAPH dedup: split every document into fixed
+# 8-word paragraphs, drop every paragraph whose exact text already
+# occurred earlier in the corpus (global order = (doc_id, para_idx) —
+# first occurrence wins), and report the per-document effect. This is
+# the paragraph-level complement of duplicate_ngram_spans: boilerplate
+# removal keyed on whole blocks instead of gram islands (CCNet dedups
+# paragraph hashes the same way before its LM scoring).
+#
+# Scale shape: paragraphs stream out as fixed-width (para_h, doc_id,
+# para_idx, n_words) rows — text never shuffles. ONE bucketed exchange
+# on para_h puts every occurrence of a paragraph in the same bucket,
+# where the winner is the min (doc_id, para_idx) pair; the bucket then
+# collapses to per-doc PARTIALS, and a second tiny exchange on doc_id
+# sums them. Both exchanges move O(paragraphs) 32-byte rows.
+
+_PARA_W = 8
+_PARA_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS words
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(words) / {_PARA_W}.0) AS BIGINT)))
+             AS para_idx,
+         unnest([array_to_string(
+                     words[i*{_PARA_W}+1:i*{_PARA_W}+{_PARA_W}], ' ')
+                 for i in range(CAST(ceil(len(words) / {_PARA_W}.0)
+                                     AS BIGINT))]) AS para,
+         unnest([len(words[i*{_PARA_W}+1:i*{_PARA_W}+{_PARA_W}])
+                 for i in range(CAST(ceil(len(words) / {_PARA_W}.0)
+                                     AS BIGINT))]) AS nw
+  FROM toks WHERE len(words) >= 1),
+r AS (
+  SELECT doc_id, nw,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM p)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN rn = 1 THEN nw ELSE 0 END) AS BIGINT)
+           AS n_words_kept
+FROM r GROUP BY doc_id
+"""
+
+
+@register("repeated_paragraph_dedup", sql=_PARA_DEDUP_SQL)
+def repeated_paragraph_dedup(sf_dir: str):
+    docs = table_spread(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = table_num_rows(sf_dir, "documents")
+
+    def para_rows(t: pa.Table) -> pa.Table:
+        rx = _word_re()
+        ids: list[int] = []
+        idxs: list[int] = []
+        hs: list[int] = []
+        nws: list[int] = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = rx.findall(text.lower())
+            for i in range(0, len(toks), _PARA_W):
+                block = toks[i : i + _PARA_W]
+                ids.append(did)
+                idxs.append(i // _PARA_W)
+                hs.append(md5_u64_le(" ".join(block)))
+                nws.append(len(block))
+        h = np.fromiter(hs, dtype=np.uint64, count=len(hs)).view(np.int64)
+        return pa.table(
+            {
+                "para_h": pa.array(h, pa.int64()),
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "para_idx": pa.array(np.asarray(idxs, dtype=np.int64)),
+                "nw": pa.array(np.asarray(nws, dtype=np.int64)),
+            }
+        )
+
+    paras = docs.map_batches(para_rows, batch_format="pyarrow")
+
+    # bucket on para_h: every occurrence of one paragraph is in exactly
+    # one bucket → winner = min (doc_id, para_idx); collapse to per-doc
+    # partials before leaving the bucket (vectorized idxmin + masks)
+    def bucket_winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["para_h", "doc_id", "para_idx"])
+        first = ~g["para_h"].duplicated()
+        kept_w = g["nw"].to_numpy() * first.to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_paras": 1,
+                "n_removed": (~first).to_numpy().astype(np.int64),
+                "n_words_kept": kept_w,
+            }
+        )
+        return out.groupby("doc_id", as_index=False).sum()
+
+    partials = bucketed_group_agg(
+        paras, ["para_h"], bucket_winners,
+        approx_rows=max(n_docs * 8, 1),
+    )
+
+    def sum_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).agg(
+            n_paras=("n_paras", "sum"),
+            n_removed=("n_removed", "sum"),
+            n_words_kept=("n_words_kept", "sum"),
+        )
+
+    out = bucketed_group_agg(partials, ["doc_id"], sum_doc,
+                             approx_rows=n_docs)
+
+    def cast_out(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {c: pc.cast(t[c], pa.int64())
+             for c in ("doc_id", "n_paras", "n_removed", "n_words_kept")}
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow")

@@ -924,3 +924,92 @@ def doc_embedding_label_mix(sf_dir: str, broadcast_max: int | None = None):
     from .common import combine_small
 
     return combine_small(joined_partials, finish)
+
+
+# --------------------------------------------------------------------------
+# Scalar INT8 quantization of the embedding corpus — the compression step
+# an ANN index (or a 100-TB vector store) applies before serving: per
+# dimension, learn (min, max) over the corpus, code every value to
+# round((x - min) / scale) with scale = (max - min)/255, and report the
+# per-dimension code mass + absolute reconstruction error. Two streamed
+# passes: pass 1 reduces per-block (min, max) partials to 64 rows (fixed
+# cardinality = dim count → combine_small needs no row gate); pass 2
+# broadcasts the 64-float quantizer via ray.put and folds code sums /
+# abs-error partials the same way. Vector data never shuffles.
+
+_INT8_QUANT_SQL = """
+WITH x AS (
+  SELECT unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+mm AS (
+  SELECT dim, CAST(min(v) AS DOUBLE) AS dmin, CAST(max(v) AS DOUBLE) AS dmax
+  FROM x GROUP BY dim),
+q AS (
+  SELECT x.dim, mm.dmin, mm.dmax,
+         ROUND((CAST(v AS DOUBLE) - dmin) / ((dmax - dmin) / 255.0)) AS c,
+         CAST(v AS DOUBLE) AS v
+  FROM x JOIN mm ON x.dim = mm.dim)
+SELECT dim,
+       round(dmin, 6) AS dmin,
+       round(dmax, 6) AS dmax,
+       CAST(sum(c) AS BIGINT) AS sum_codes,
+       round(sum(abs(v - (dmin + c * ((dmax - dmin) / 255.0)))), 6)
+           AS abs_err_sum
+FROM q GROUP BY dim, dmin, dmax
+"""
+
+
+@register("embedding_int8_quantize_stats", sql=_INT8_QUANT_SQL)
+def embedding_int8_quantize_stats(sf_dir: str):
+    from .common import combine_small
+
+    ds = table(sf_dir, "embeddings", ["embedding"])
+
+    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"dim": np.arange(m.shape[1], dtype=np.int64),
+             "dmin": m.min(axis=0), "dmax": m.max(axis=0)}
+        )
+
+    def minmax_combine(t: pa.Table):
+        g = t.to_pandas().groupby("dim")
+        return g["dmin"].min().to_numpy(), g["dmax"].max().to_numpy()
+
+    dmin, dmax = combine_small(
+        ds.map_batches(minmax_partial, batch_format="pandas"), minmax_combine
+    )
+    scale = (dmax - dmin) / 255.0
+    quant_ref = ray.put((dmin, scale))
+
+    def code_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo, sc = ray.get(quant_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        c = round_half_away((m - lo) / sc, 0)
+        err = np.abs(m - (lo + c * sc))
+        return pd.DataFrame(
+            {"dim": np.arange(m.shape[1], dtype=np.int64),
+             "sum_codes": c.sum(axis=0).astype(np.int64),
+             "abs_err_sum": err.sum(axis=0)}
+        )
+
+    def code_combine(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby("dim", as_index=False)
+             .agg(sum_codes=("sum_codes", "sum"),
+                  abs_err_sum=("abs_err_sum", "sum")))
+        return pa.table(
+            {
+                "dim": pa.array(g["dim"].to_numpy(np.int64)),
+                "dmin": pa.array(round_half_away(dmin, 6)),
+                "dmax": pa.array(round_half_away(dmax, 6)),
+                "sum_codes": pa.array(g["sum_codes"].to_numpy(np.int64)),
+                "abs_err_sum": pa.array(
+                    round_half_away(g["abs_err_sum"].to_numpy(), 6)
+                ),
+            }
+        )
+
+    return combine_small(
+        ds.map_batches(code_partial, batch_format="pandas"), code_combine
+    )

@@ -1402,3 +1402,155 @@ def _attach_custkey(t: pa.Table, *, ref) -> pa.Table:
     return t.append_column(
         "o_custkey", pa.array(ck[np.searchsorted(ok, keys)], pa.int64())
     )
+
+
+# --------------------------------------------------------------------------
+# INTERVAL (range) JOIN — the non-equi join Ray Data has no native
+# operator for: each part defines a price interval
+# [p_retailprice - 850, p_retailprice - 850 + 4·p_size) and the query
+# counts/sums the events whose value falls inside it (intervals overlap,
+# so one event can hit many parts — a true range join, not binning).
+#
+# Shape: the interval side is the SMALL side by construction (a range
+# join's build side must fit a broadcast the same way a hash join's
+# does) — ship (lo, hi, partkey) once via ray.put; each event batch then
+# answers ALL intervals at once by sorting its values and taking
+# searchsorted(hi) - searchsorted(lo) (counts) and prefix-sum diffs
+# (sums). Per-block partials are exactly n_parts fixed-width rows, so
+# the final combine is bounded by broadcast-size × blocks — the same
+# budget the broadcast itself already set. No shuffle at any scale.
+
+_RANGE_JOIN_SQL = """
+WITH iv AS (
+  SELECT p_partkey, p_retailprice - 850 AS lo,
+         p_retailprice - 850 + 4 * p_size AS hi
+  FROM part)
+SELECT iv.p_partkey,
+       CAST(count(e.value) AS BIGINT) AS n_events,
+       round(coalesce(sum(e.value), 0), 2) AS sum_value
+FROM iv LEFT JOIN events e ON e.value >= iv.lo AND e.value < iv.hi
+GROUP BY iv.p_partkey
+"""
+
+
+@register("part_price_range_join", sql=_RANGE_JOIN_SQL)
+def part_price_range_join(sf_dir: str):
+    import numpy as np
+
+    from .common import round_half_away
+
+    p = table(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    pdf = p.to_pandas()  # dimension table — the broadcastable build side
+    keys = pdf["p_partkey"].to_numpy(np.int64)
+    lo = pdf["p_retailprice"].to_numpy(np.float64) - 850.0
+    hi = lo + 4.0 * pdf["p_size"].to_numpy(np.float64)
+    iv_ref = ray.put((lo, hi))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lo_, hi_ = ray.get(iv_ref)
+        v = np.sort(t["value"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        csum = np.concatenate([[0.0], np.cumsum(v)])
+        i_lo = np.searchsorted(v, lo_, side="left")
+        i_hi = np.searchsorted(v, hi_, side="left")
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(len(lo_), dtype=np.int64)),
+                "n": pa.array(i_hi - i_lo),
+                "s": pa.array(csum[i_hi] - csum[i_lo]),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby("idx")
+             .agg(n=("n", "sum"), s=("s", "sum")))
+        g = g.reindex(np.arange(len(keys)), fill_value=0)
+        return pa.table(
+            {
+                "p_partkey": pa.array(keys),
+                "n_events": pa.array(g["n"].to_numpy(np.int64)),
+                "sum_value": pa.array(
+                    round_half_away(g["s"].to_numpy(np.float64), 2)
+                ),
+            }
+        )
+
+    ev = table(sf_dir, "events", ["value"])
+    return combine_small(ev.map_batches(partial, batch_format="pyarrow"),
+                         combine)
+
+
+# --------------------------------------------------------------------------
+# SALTED two-phase distinct aggregation — the hot-key skew defense the
+# scale notes elsewhere only describe. COUNT(DISTINCT v) per key cannot
+# map-side-combine (partials are sets, not counts), so the naive shape
+# shuffles every (key, v) row to ONE reducer per key — a single hot key
+# (one user emitting 1% of 100 TB) serializes its reducer. Salting fixes
+# it: phase 1 shuffles on (key, salt) with salt = hash(v) % K, so one
+# key's rows spread over K reducers, AND the same value always lands in
+# the same salt bucket — per-(key,salt) distinct counts are therefore
+# disjoint and phase 2 just SUMS the ≤K small partials per key. Both
+# phases are bucketed_group_agg exchanges of fixed-width hash rows.
+
+_SALT_K = 16
+
+_SALTED_DISTINCT_SQL = """
+SELECT user_id, CAST(count(DISTINCT props) AS BIGINT) AS n_distinct_props
+FROM events GROUP BY user_id
+"""
+
+
+@register("user_distinct_props_salted", sql=_SALTED_DISTINCT_SQL)
+def user_distinct_props_salted(sf_dir: str):
+    import numpy as np
+
+    ds = table(sf_dir, "events", ["user_id", "props"])
+    n_rows = table_num_rows(sf_dir, "events")
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        # hash the VALUE (not the row) so duplicate values collapse into
+        # the same salt bucket — what makes per-salt distinct counts
+        # disjoint; rows shrink to (user_id, v_hash, salt) before any
+        # exchange
+        vh = pd.util.hash_pandas_object(df["props"], index=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "v_hash": vh,
+                "_salt": (vh % np.uint64(_SALT_K)).astype(np.int64),
+            }
+        )
+
+    def salt_partial(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("user_id")["v_hash"].nunique()
+        return pd.DataFrame(
+            {"user_id": nd.index.to_numpy(), "nd": nd.to_numpy(np.int64)}
+        )
+
+    partials = bucketed_group_agg(
+        ds.map_batches(add_salt, batch_format="pandas"),
+        ["user_id", "_salt"],
+        salt_partial,
+        approx_rows=n_rows,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id")["nd"].sum()
+        return pd.DataFrame(
+            {
+                "user_id": s.index.to_numpy(),
+                "n_distinct_props": s.to_numpy(np.int64),
+            }
+        )
+
+    out = bucketed_group_agg(partials, ["user_id"], merge)
+
+    def cast_out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_distinct_props": pc.cast(t["n_distinct_props"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow")

@@ -286,6 +286,71 @@ def main() -> None:
         sum(m.get("trap_denied", 0) for m in stats_t.metrics) > 0
     )
 
+    # federated merge + reshard at the 96-host scale: two partial crawls
+    # over disjoint seed halves splice into one frontier; resharding the
+    # merged checkpoint 8 → 12 shards and resuming must cover exactly the
+    # exhaustive crawl above (same trap-free universe), with zero refetch
+    from raycrawl.frontier.merge import merge_checkpoints, reshard_checkpoint
+
+    def _covered(out):
+        import glob as _g
+
+        import pyarrow.dataset as pads
+
+        from raycrawl.core.urltools import url_sha1
+
+        urls = set()
+        pay = _g.glob(os.path.join(out, "payload", "**", "*.parquet"),
+                      recursive=True)
+        if pay:
+            for u in (pads.dataset(pay).to_table(columns=["url"])["url"]
+                      .to_pylist()):
+                urls.add(url_sha1(u))
+        sup = _g.glob(os.path.join(out, "suppressed", "**", "*.parquet"),
+                      recursive=True)
+        if sup:
+            urls |= set(pads.dataset(sup).to_table(columns=["url_hash"])
+                        ["url_hash"].to_pylist())
+        return urls
+
+    # phash_radius=-1 turns the near-dup gate OFF for these four crawls:
+    # coverage equality is a LINK-REACHABILITY invariant, and suppression
+    # breaks it legitimately (a suppressed page's outlinks are never
+    # enqueued, and the fake codec's low-entropy phashes collide across
+    # unrelated pages — measured 388 vs 90 suppressions between the
+    # resumed and exhaustive plans, each hiding a different outlink set).
+    web_m = WebConfig(n_hosts=96, pages_per_host=64, neardup_every=1)
+    seeds_m = seed_urls(web_m)
+    t0 = time.perf_counter()
+    dirs = {k: os.path.join(args.dir, f"_crawl_{k}") for k in
+            ("fa", "fb", "fm", "fr", "ff")}
+    run_crawl(CrawlConfig(web=web_m, out_dir=dirs["fa"], num_shards=8,
+                          max_epochs=5, epoch_seconds=8.0, burst=16.0,
+                          phash_radius=-1),
+              seeds_m[:48])
+    run_crawl(CrawlConfig(web=web_m, out_dir=dirs["fb"], num_shards=8,
+                          max_epochs=5, epoch_seconds=8.0, burst=16.0,
+                          phash_radius=-1),
+              seeds_m[48:])
+    merge_checkpoints(dirs["fa"], dirs["fb"], dirs["fm"], phash_radius=-1)
+    reshard_checkpoint(dirs["fm"], dirs["fr"], 12, phash_radius=-1)
+    run_crawl(CrawlConfig(web=web_m, out_dir=dirs["fr"], num_shards=12,
+                          max_epochs=200, epoch_seconds=8.0, burst=16.0,
+                          phash_radius=-1),
+              [], resume=True)
+    run_crawl(CrawlConfig(web=web_m, out_dir=dirs["ff"], num_shards=12,
+                          max_epochs=200, epoch_seconds=8.0, burst=16.0,
+                          phash_radius=-1),
+              seeds_m)
+    results["crawl_merge_reshard_resume"] = round(
+        time.perf_counter() - t0, 3
+    )
+    union = _covered(dirs["fa"]) | _covered(dirs["fb"]) | _covered(dirs["fr"])
+    checks["merge_reshard_union_coverage"] = union == _covered(dirs["ff"])
+    checks["merge_reshard_no_refetch"] = not (
+        _covered(dirs["fr"]) & (_covered(dirs["fa"]) | _covered(dirs["fb"]))
+    )
+
     line = {
         "metric": "scale_smoke_total",
         "value": round(sum(results.values()), 3),
