@@ -523,3 +523,103 @@ def event_value_robust_stats(sf_dir: str):
         )
 
     return ds.groupby("event_type").map_groups(robust, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Ordered-sequence FUNNEL (strict): of the users who ever 'view', how
+# many have their FIRST 'click' strictly after their first view, and of
+# those, their FIRST 'purchase' strictly after that click — the classic
+# conversion funnel, which needs event-ORDER per user, not just
+# membership. One bucketed exchange on
+# user_id puts a user's (type, ts) rows together; the per-user reduce is
+# three vectorized first-timestamp lookups. Output: one row per funnel
+# stage with the surviving-user count and conversion from the previous
+# stage.
+
+_FUNNEL_SQL = """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+             AS t_purchase_any
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT user_id, t_view,
+         CASE WHEN t_click_any > t_view THEN t_click_any END AS t_click,
+         t_purchase_any
+  FROM u),
+s2 AS (
+  SELECT user_id, t_view, t_click,
+         CASE WHEN t_purchase_any > t_click THEN t_purchase_any END
+             AS t_purchase
+  FROM s),
+c AS (
+  SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+         CAST(count(t_click) AS BIGINT) AS n_click,
+         CAST(count(t_purchase) AS BIGINT) AS n_purchase
+  FROM s2)
+SELECT stage, n_users, round(conversion, 6) AS conversion
+FROM (
+  SELECT 'view' AS stage, n_view AS n_users, 1.0 AS conversion, 0 AS ord
+  FROM c
+  UNION ALL
+  SELECT 'click', n_click,
+         CASE WHEN n_view > 0 THEN CAST(n_click AS DOUBLE) / n_view
+              ELSE 0 END, 1 FROM c
+  UNION ALL
+  SELECT 'purchase', n_purchase,
+         CASE WHEN n_click > 0 THEN CAST(n_purchase AS DOUBLE) / n_click
+              ELSE 0 END, 2 FROM c
+) ORDER BY ord
+"""
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register("user_funnel_conversion", sql=_FUNNEL_SQL)
+def user_funnel_conversion(sf_dir: str):
+    import numpy as np
+
+    from .common import (
+        bucketed_group_agg,
+        round_half_away,
+        table,
+        table_num_rows,
+    )
+
+    ds = table(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_rows = table_num_rows(sf_dir, "events")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        # first-view, first-click-after-view, first-purchase-after-click
+        # per user in this bucket; emit one partial count row
+        out = {}
+        for stage in _FUNNEL_STAGES:
+            m = g[g["event_type"] == stage]
+            out[stage] = m.groupby("user_id")["ts"].min()
+        base = out["view"].dropna()
+        click = out["click"].reindex(base.index)
+        click = click[click > base.reindex(click.index)].dropna()
+        pur = out["purchase"].reindex(click.index)
+        pur = pur[pur > click.reindex(pur.index)].dropna()
+        return pd.DataFrame(
+            {"n_view": [len(base)], "n_click": [len(click)],
+             "n_purchase": [len(pur)]}
+        )
+
+    parts = bucketed_group_agg(
+        ds, ["user_id"], per_user, approx_rows=n_rows
+    ).to_pandas()  # bounded: one row per bucket
+    nv, nc, npu = (int(parts[c].sum())
+                   for c in ("n_view", "n_click", "n_purchase"))
+    conv = [1.0,
+            (nc / nv) if nv else 0.0,
+            (npu / nc) if nc else 0.0]
+    return pa.table(
+        {
+            "stage": pa.array(list(_FUNNEL_STAGES)),
+            "n_users": pa.array([nv, nc, npu], pa.int64()),
+            "conversion": pa.array(round_half_away(np.array(conv), 6)),
+        }
+    )

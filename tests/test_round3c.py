@@ -18,6 +18,7 @@ NEW_OPS = [
     "embedding_int8_quantize_stats",
     "part_price_range_join",
     "user_distinct_props_salted",
+    "user_funnel_conversion",
 ]
 
 
