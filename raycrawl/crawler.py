@@ -117,6 +117,20 @@ class CrawlConfig:
     # write is worth having; the chunk refs feeding both paths are
     # identical, so the memory profile does not differ below the cap.
     task_epoch_max_rows: int | None = None
+    # adaptive TIER-CRAWL feedback: per-host priority boost added to every
+    # NEW offer (seeds + discovered links) of that host. Computed between
+    # runs from payload quality (see ops/crawlq.py crawl_tier_feedback) and
+    # passed to the next run/resume; items already checkpointed keep their
+    # stored priority (re-prioritizing a live frontier would need a heap
+    # rebuild — the feedback loop operates at run boundaries by design).
+    # None = no boosts (byte-identical to the un-boosted crawl).
+    host_priority_boost: dict[str, int] | None = None
+    # max URLs popped per shard per epoch (fetch-capacity contention):
+    # with politeness alone every host serves up to its token budget each
+    # epoch, so a HOST-level boost cannot change the schedule; under a pop
+    # budget the cross-host priority heap decides which hosts get this
+    # epoch's capacity — the lever the tier boosts act through.
+    epoch_pop_budget: int | None = None
 
 
 @dataclass
@@ -134,6 +148,13 @@ class CrawlStats:
     phase_seconds: dict[str, float] = field(default_factory=dict)
 
 
+def _prio(digest: bytes, host: str, boost: dict | None) -> int:
+    """Offer priority: the deterministic base priority plus the host's
+    tier-crawl boost (0 when no feedback is configured)."""
+    p = priority_of(digest)
+    return p + boost.get(host, 0) if boost else p
+
+
 def _seed_tables(cfg: CrawlConfig, seeds: list[str]):
     """Canonicalize the (small, driver-side) seed list and bucket by shard."""
     per_shard: dict[int, list[tuple]] = {}
@@ -142,7 +163,9 @@ def _seed_tables(cfg: CrawlConfig, seeds: list[str]):
         d = url_sha1(cu)
         h = host_of(cu)
         sh = shard_of_host(h, cfg.num_shards)
-        per_shard.setdefault(sh, []).append((cu, d, h, priority_of(d), 0))
+        per_shard.setdefault(sh, []).append(
+            (cu, d, h, _prio(d, h, cfg.host_priority_boost), 0)
+        )
     return per_shard
 
 
@@ -159,7 +182,7 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
             Actor.remote(s, cfg.epoch_seconds, cfg.expected_urls, cfg.phash_radius,
                          cfg.burst, cfg.keep_fetch_log,
                          cfg.frontier_spill_threshold, spill_dir(s),
-                         cfg.trap_filter)
+                         cfg.trap_filter, cfg.epoch_pop_budget)
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place
@@ -167,7 +190,7 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
     return [
         RestActor.remote(ckpt, restore_epoch, s, cfg.expected_urls,
                          cfg.phash_radius, cfg.frontier_spill_threshold,
-                         spill_dir(s))
+                         spill_dir(s), cfg.epoch_pop_budget)
         for s in range(cfg.num_shards)
     ]
 
@@ -180,12 +203,13 @@ class _RestoredPhashShard(PhashDedupShard):
 
 class _RestoredShard(FrontierShard):
     def __init__(self, ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
-                 spill_threshold=None, spill_dir=None):
+                 spill_threshold=None, spill_dir=None, pop_budget=None):
         restored = FrontierShard.restore(
             ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
             spill_threshold, spill_dir,
         )
         self.__dict__.update(restored.__dict__)
+        self.pop_budget = pop_budget  # config, not state — follows the run
 
 
 def latest_checkpoint_epoch(out_dir: str) -> int | None:
@@ -354,7 +378,8 @@ def run_crawl(
             ray.get(
                 _small_epoch_task.remote(
                     cfg.web, actors, epoch, keep_bytes, bsz,
-                    os.path.join(payload_dir, f"epoch={epoch}"), *refs
+                    os.path.join(payload_dir, f"epoch={epoch}"), *refs,
+                    host_boost=cfg.host_priority_boost,
                 )
             )
             t = _mark("pipeline", t)
@@ -375,6 +400,7 @@ def run_crawl(
                     cfg.web, actors, epoch, keep_bytes, bsz,
                     os.path.join(payload_dir, f"epoch={epoch}"),
                     ref, part_base=j * 100_000,
+                    host_boost=cfg.host_priority_boost,
                 )
                 for j, ref in enumerate(refs)
             ])
@@ -391,7 +417,8 @@ def run_crawl(
                 batch_format="pyarrow",
                 batch_size=bsz,
             ).map_batches(
-                _make_decode_submit(actors, epoch, keep_bytes),
+                _make_decode_submit(actors, epoch, keep_bytes,
+                                    cfg.host_priority_boost),
                 batch_format="pyarrow",
                 batch_size=bsz,
             )
@@ -522,7 +549,8 @@ PAYLOAD_SCHEMA = pa.schema(
 )
 
 
-def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
+def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
+                        host_boost: dict | None = None):
     """Decode + phash each fetched row, canonicalize its outlinks, stream
     the (digest, phash, meta, links) tuples to the owning shard actor
     (gate_submit — idempotent by digest), and emit the payload row. The
@@ -557,7 +585,8 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
                     cu = canonicalize_url(raw, base=url)
                     if cu not in canon:
                         d = url_sha1(cu)
-                        canon[cu] = (cu, d, host_of(cu), priority_of(d))
+                        h2 = host_of(cu)
+                        canon[cu] = (cu, d, h2, _prio(d, h2, host_boost))
             b = per_shard.setdefault(shard, ([], [], [], []))
             b[0].append(digest)
             b[1].append(ph if ok else None)
@@ -596,7 +625,8 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool):
 
 @ray.remote(num_cpus=1)
 def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
-                      out_uri, *tables, part_base: int = 0):
+                      out_uri, *tables, part_base: int = 0,
+                      host_boost: dict | None = None):
     """Tail-epoch fast path: a popped set that fits ONE block runs fetch →
     decode/gate-submit → payload write inside a single Ray task, skipping
     the per-epoch Ray Data pipeline launch (~0.15-0.4 s) that dominates
@@ -609,7 +639,7 @@ def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
     — at no point does more than one slice's payload sit in this task's
     heap."""
     tbl = pa.concat_tables([t for t in tables if t.num_rows])
-    decode = _make_decode_submit(actors, epoch, keep_bytes)
+    decode = _make_decode_submit(actors, epoch, keep_bytes, host_boost)
     written = 0
     for part, off in enumerate(range(0, tbl.num_rows, batch_size)):
         out = decode(fetch_batch(tbl.slice(off, batch_size), web_cfg=web_cfg))

@@ -62,6 +62,24 @@ def _latest_epoch(out_dir: str) -> int:
     return e
 
 
+def _require_clean_out_dir(out_dir: str) -> None:
+    """A merged/resharded checkpoint is written as epoch=0 and must be
+    the ONLY checkpoint in its out_dir: ``run_crawl(resume=True)``
+    resumes from the LATEST complete epoch, so stale higher-numbered
+    checkpoints (a reused out_dir) would silently win over the fresh
+    epoch=0 — caught live when a kept scratch dir resumed a previous
+    run's crawl instead of the resharded one."""
+    ckpt = os.path.join(out_dir, "checkpoints")
+    if os.path.isdir(ckpt) and any(
+        e.startswith("epoch=") for e in os.listdir(ckpt)
+    ):
+        raise ValueError(
+            f"{out_dir} already holds checkpoints; merge/reshard must "
+            "write into a fresh out_dir (resume picks the LATEST epoch, "
+            "which would shadow the new epoch=0)"
+        )
+
+
 def _shard_ids(out_dir: str, epoch: int) -> list[int]:
     d = os.path.join(out_dir, "checkpoints", f"epoch={epoch}")
     return sorted(
@@ -225,6 +243,7 @@ def merge_checkpoints(
             f"shard layouts differ ({len(ids_a)} vs {len(ids_b)}); "
             "re-shard one crawl first (host→shard mapping must match)"
         )
+    _require_clean_out_dir(out_dir)
     os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
     # Shards merge independently (disjoint host sets, disjoint output
     # dirs) — fan out one Ray task per shard when a session is live so a
@@ -375,6 +394,7 @@ def reshard_checkpoint(
 
     epoch = _latest_epoch(src_dir)
     old_ids = _shard_ids(src_dir, epoch)
+    _require_clean_out_dir(out_dir)
 
     union_seen: set[bytes] = set()
     phashes = []

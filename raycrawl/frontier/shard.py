@@ -113,8 +113,15 @@ class FrontierShard:
         spill_threshold: int | None = None,
         spill_dir: str | None = None,
         trap_filter: bool = False,
+        pop_budget: int | None = None,
     ):
         self.shard_id = shard_id
+        # fetch-capacity contention knob: max URLs popped per epoch. With
+        # it set, the global (priority, depth, discovery-time) heap order
+        # decides WHICH hosts get served this epoch — the lever host-tier
+        # priority boosts act through. None = politeness-only (every host
+        # serves up to its token budget each epoch).
+        self.pop_budget = pop_budget
         # gate trap-shaped URLs (urltools.trap_reason) at offer-merge time,
         # BEFORE any politeness token or robots lookup is spent on them
         self.trap_filter = trap_filter
@@ -332,7 +339,8 @@ class FrontierShard:
                 outer.append((*q[0][:4], host))
         heapq.heapify(outer)
         rows: list[tuple] = []
-        while outer:
+        while outer and (self.pop_budget is None
+                         or len(rows) < self.pop_budget):
             negpri, depth, disc, digest, host = heapq.heappop(outer)
             if not self.politeness.try_take(host):
                 continue  # host blocked for the rest of this epoch

@@ -1549,3 +1549,64 @@ def phash_pair_psnr_verify(sf_dir: str):
         ["pair_id"],
         verify_bucket,
     )
+
+
+@register("crawl_tier_feedback", sql=None)
+def crawl_tier_feedback(sf_dir: str):
+    """Adaptive TIER-CRAWL feedback: score every crawled host by payload
+    quality (mean decoded image area over its fetched pages) and assign
+    quartile tiers → per-host priority boosts for the NEXT run
+    (``CrawlConfig.host_priority_boost``). The loop closes at run
+    boundaries: crawl → this op → resume/re-crawl with boosts, so the
+    frontier heap order (priority, depth, discovery-time) now prefers
+    hosts that served high-quality images. Per-block (host, n, area-sum)
+    Arrow partials (fixed cardinality = hosts) + one local combine;
+    rows-only (a crawl is not SQL-expressible; pytest recomputes the
+    tiers locally and drives a boosted re-crawl end-to-end against
+    oracle_crawl with the same boost map)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..crawler import read_payload
+    from .common import combine_small, round_half_away
+
+    ds = read_payload(_crawl_out_dir(sf_dir), columns=["url", "w", "h"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = [u.split("://", 1)[1].split("/", 1)[0]
+                 for u in t["url"].to_pylist()]
+        area = (t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+                * t["h"].to_numpy(zero_copy_only=False).astype(np.int64))
+        tmp = pa.table({"host": pa.array(hosts, pa.string()),
+                        "area": pa.array(area)})
+        g = pa.TableGroupBy(tmp, "host").aggregate(
+            [("area", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["host", "area_sum", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby("host", as_index=False)
+             .agg(area_sum=("area_sum", "sum"), n=("n", "sum")))
+        g["mean_area"] = g["area_sum"] / g["n"]
+        # deterministic quartile tiers: rank by (mean_area desc, host)
+        g = g.sort_values(["mean_area", "host"],
+                          ascending=[False, True]).reset_index(drop=True)
+        q = max(1, -(-len(g) // 4))  # ceil(n/4) hosts per tier
+        tier = np.minimum(np.arange(len(g)) // q, 3)
+        g["tier"] = tier.astype(np.int64)
+        g["boost"] = (3 - tier).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(g["host"], pa.string()),
+                "n_pages": pa.array(g["n"].to_numpy(np.int64)),
+                "mean_area": pa.array(
+                    round_half_away(g["mean_area"].to_numpy(), 2)
+                ),
+                "tier": pa.array(g["tier"].to_numpy()),
+                "boost": pa.array(g["boost"].to_numpy()),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         finish)

@@ -75,8 +75,16 @@ def oracle_crawl(
     global_phash_dedup: bool = False,
     num_phash_shards: int = 4,
     trap_filter: bool = False,
+    host_priority_boost: dict | None = None,
+    epoch_pop_budget: int | None = None,
 ) -> OracleResult:
     res = OracleResult()
+
+    def _prio(digest: bytes, host: str) -> int:
+        p = priority_of(digest)
+        return (p + host_priority_boost.get(host, 0)
+                if host_priority_boost else p)
+
     seen: dict[int, set[bytes]] = {s: set() for s in range(num_shards)}
     phash_seen: dict[int, list[int]] = {s: [] for s in range(num_shards)}
     global_phash_committed: dict[int, list[int]] = {
@@ -105,7 +113,7 @@ def oracle_crawl(
                 metrics[shard]["trap_denied"] += 1
                 res.fetch_log.append(
                     {**_log(dict(url=url, digest=digest, host=host, shard=shard,
-                                 priority=priority_of(digest), depth=depth,
+                                 priority=_prio(digest, host), depth=depth,
                                  discovered_at=discovered_at), discovered_at),
                      "status": f"trap_denied:{reason}"}
                 )
@@ -115,7 +123,7 @@ def oracle_crawl(
             digest=digest,
             host=host,
             shard=shard,
-            priority=priority_of(digest),
+            priority=_prio(digest, host),
             depth=depth,
             discovered_at=discovered_at,
         )
@@ -143,7 +151,15 @@ def oracle_crawl(
         selected: list[dict] = []
         remaining: list[dict] = []
         blocked: set[str] = set()
+        shard_taken: dict[int, int] = {}
         for item in frontier:
+            # per-SHARD pop budget (engine: FrontierShard.pop_budget) —
+            # a capped shard keeps its politeness tokens for later epochs
+            if (epoch_pop_budget is not None
+                    and shard_taken.get(item["shard"], 0)
+                    >= epoch_pop_budget):
+                remaining.append(item)
+                continue
             if item["host"] in blocked:
                 remaining.append(item)
                 continue
@@ -152,6 +168,9 @@ def oracle_crawl(
             if tokens[item["host"]] >= 1.0:
                 tokens[item["host"]] -= 1.0
                 selected.append(item)
+                shard_taken[item["shard"]] = (
+                    shard_taken.get(item["shard"], 0) + 1
+                )
             else:
                 blocked.add(item["host"])
                 remaining.append(item)

@@ -251,3 +251,111 @@ def test_reshard_checkpoint_ray_fanout_equivalent(ray_session, tmp_path):
         with open(os.path.join(d_ser, "manifest.json")) as f:
             ms = json.load(f)
         assert mp == ms
+
+
+def test_tier_boost_parity_and_ordering(ray_session, tmp_path):
+    """host_priority_boost (the tier-crawl feedback knob): the boosted
+    engine matches the boosted oracle EXACTLY (ordering + seen sets),
+    and the boosted host is actually fetched earlier than in the
+    un-boosted crawl."""
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.oracle import oracle_crawl
+
+    web = WebConfig(n_hosts=6, pages_per_host=12)
+    seeds = seed_urls(web)
+    boost = {"h2.web.test": 5}  # h2 shares shard 2 with h0/h4/h5
+    # phash_radius=-1: suppression gates outlink discovery, so coverage
+    # equality across different SCHEDULES (the assertion below) only
+    # holds with the near-dup gate off.
+    # epoch_pop_budget creates cross-host fetch-capacity contention
+    # (shard 2 holds h0/h2/h4/h5 — up to 32 wanted fetches, 4 slots) —
+    # without
+    # it politeness alone serves every host its full token budget and a
+    # HOST-level boost cannot change the schedule
+    budget = 4
+
+    def key(r):
+        return (r["epoch"], -r["priority"], r["depth"],
+                r["discovered_at"], r["url_hash"])
+
+    out_b = str(tmp_path / "boosted")
+    stats_b = run_crawl(
+        CrawlConfig(web=web, out_dir=out_b, num_shards=3, max_epochs=60,
+                    collect_parity_outputs=True,
+                    host_priority_boost=boost, epoch_pop_budget=budget,
+                    phash_radius=-1),
+        seeds,
+    )
+    orc = oracle_crawl(web, seeds, max_epochs=60, num_shards=3,
+                       host_priority_boost=boost, epoch_pop_budget=budget,
+                       phash_radius=-1)
+    assert sorted(orc.fetch_log, key=key) == sorted(stats_b.fetch_log,
+                                                    key=key)
+    assert {s: sorted(v) for s, v in orc.seen.items()} == {
+        s: sorted(v) for s, v in stats_b.seen.items()
+    }
+
+    out_p = str(tmp_path / "plain")
+    stats_p = run_crawl(
+        CrawlConfig(web=web, out_dir=out_p, num_shards=3, max_epochs=60,
+                    collect_parity_outputs=True, epoch_pop_budget=budget,
+                    phash_radius=-1),
+        seeds,
+    )
+
+    def mean_fetch_epoch(log, host):
+        eps = [r["epoch"] for r in log
+               if r["host"] == host and r["status"] == "fetched"]
+        return sum(eps) / len(eps)
+
+    # same coverage, earlier schedule for the promoted host
+    assert ({r["url_hash"] for r in stats_b.fetch_log}
+            == {r["url_hash"] for r in stats_p.fetch_log})
+    assert (mean_fetch_epoch(stats_b.fetch_log, "h2.web.test")
+            < mean_fetch_epoch(stats_p.fetch_log, "h2.web.test"))
+
+
+def test_crawl_tier_feedback_quartiles(ray_session):
+    """The feedback op's tiers are the quartile ranks of per-host mean
+    image area recomputed locally from the cached crawl's payload."""
+    import numpy as np
+
+    from raycrawl.crawler import read_payload
+    from raycrawl.ops.crawlq import _crawl_out_dir, crawl_tier_feedback
+
+    t = crawl_tier_feedback(SF).to_pandas()
+    pay = read_payload(_crawl_out_dir(SF),
+                       columns=["url", "w", "h"]).to_pandas()
+    pay["host"] = pay["url"].str.split("://").str[1].str.split("/").str[0]
+    pay["area"] = pay["w"].astype("int64") * pay["h"].astype("int64")
+    g = (pay.groupby("host")
+         .agg(n=("area", "size"), mean_area=("area", "mean"))
+         .reset_index()
+         .sort_values(["mean_area", "host"], ascending=[False, True])
+         .reset_index(drop=True))
+    q = max(1, -(-len(g) // 4))
+    want_tier = np.minimum(np.arange(len(g)) // q, 3)
+    got = t.set_index("host")
+    assert (got.loc[g["host"], "tier"].to_numpy() == want_tier).all()
+    assert (got["boost"] == 3 - got["tier"]).all()
+    assert int(got["n_pages"].sum()) == len(pay)
+
+
+def test_merge_reshard_refuse_dirty_out_dir(ray_session, tmp_path):
+    """A reused out_dir with existing checkpoints must be REFUSED:
+    resume picks the latest epoch, which would silently shadow the
+    fresh merged/resharded epoch=0."""
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.frontier.merge import merge_checkpoints, reshard_checkpoint
+
+    web = WebConfig(n_hosts=4, pages_per_host=6, neardup_every=1)
+    seeds = seed_urls(web)
+    src = str(tmp_path / "src")
+    run_crawl(CrawlConfig(web=web, out_dir=src, num_shards=2, max_epochs=2,
+                          epoch_seconds=4.0), seeds)
+    with pytest.raises(ValueError, match="already holds checkpoints"):
+        reshard_checkpoint(src, src, 3)  # src itself is dirty
+    with pytest.raises(ValueError, match="already holds checkpoints"):
+        merge_checkpoints(src, src, src)

@@ -324,6 +324,12 @@ def main() -> None:
     t0 = time.perf_counter()
     dirs = {k: os.path.join(args.dir, f"_crawl_{k}") for k in
             ("fa", "fb", "fm", "fr", "ff")}
+    # fresh scratch even under --keep: merge/reshard refuse a dirty
+    # out_dir (stale higher-epoch checkpoints would shadow the new
+    # epoch=0 at resume), and stale payload would corrupt _covered()
+    for d in dirs.values():
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     run_crawl(CrawlConfig(web=web_m, out_dir=dirs["fa"], num_shards=8,
                           max_epochs=5, epoch_seconds=8.0, burst=16.0,
                           phash_radius=-1),
