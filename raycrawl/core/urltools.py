@@ -98,8 +98,16 @@ def host_of(canonical_url: str) -> str:
     return urlsplit(canonical_url).hostname or ""
 
 
+def host_shard_key(host: str) -> int:
+    """The 4-byte host hash that ``shard_of_host`` mods. Stored per seen
+    digest in checkpoints (u32) so a reshard can recompute the owning
+    shard for ANY shard count without knowing the host string — the key
+    that makes seen-set redistribution exact instead of union-replicated."""
+    h = hashlib.sha1(host.encode("utf-8")).digest()
+    return int.from_bytes(h[:4], "big")
+
+
 def shard_of_host(host: str, num_shards: int) -> int:
     """Stable host→shard partitioning (pins every host to ONE frontier shard
     so its politeness token bucket is owned by exactly one actor)."""
-    h = hashlib.sha1(host.encode("utf-8")).digest()
-    return int.from_bytes(h[:4], "big") % num_shards
+    return host_shard_key(host) % num_shards

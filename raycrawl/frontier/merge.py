@@ -95,11 +95,20 @@ def _load_shard(out_dir: str, epoch: int, shard_id: int):
         manifest = json.load(f)
     with open(os.path.join(d, "exact_seen.bin"), "rb") as f:
         raw = f.read()
-    seen = {raw[i : i + 20] for i in range(0, len(raw), 20)}
+    digests = [raw[i : i + 20] for i in range(0, len(raw), 20)]
+    seen = set(digests)
     npz = np.load(os.path.join(d, "sketches.npz"))
+    # digest → host_shard_key (u32 array aligned to the sorted digest
+    # order); None on pre-hostkey checkpoints → union fallback downstream
+    if "seen_hostkeys" in npz and len(npz["seen_hostkeys"]) == len(digests):
+        hostkeys = dict(
+            zip(digests, npz["seen_hostkeys"].astype(int).tolist())
+        )
+    else:
+        hostkeys = None if digests else {}
     frontier = pq.read_table(os.path.join(d, "frontier.parquet"))
     pending = pq.read_table(os.path.join(d, "pending.parquet"))
-    return manifest, seen, npz["phash"], frontier, pending
+    return manifest, seen, hostkeys, npz["phash"], frontier, pending
 
 
 _COUNTERS = (
@@ -124,8 +133,8 @@ def merge_shard(
     phash_radius: int = 2,
 ) -> dict:
     """Merge one shard's state from two crawls; returns the new manifest."""
-    man_a, seen_a, ph_a, fr_a, pe_a = _load_shard(dir_a, epoch_a, shard_id)
-    man_b, seen_b, ph_b, fr_b, pe_b = _load_shard(dir_b, epoch_b, shard_id)
+    man_a, seen_a, hk_a, ph_a, fr_a, pe_a = _load_shard(dir_a, epoch_a, shard_id)
+    man_b, seen_b, hk_b, ph_b, fr_b, pe_b = _load_shard(dir_b, epoch_b, shard_id)
 
     fh_a = set(fr_a["url_hash"].to_pylist())
     fh_b = set(fr_b["url_hash"].to_pylist())
@@ -145,6 +154,13 @@ def merge_shard(
     # seen-set: deterministic (sorted) re-insertion rebuilds bloom+cuckoo
     for digest in sorted(seen_a | seen_b):
         shard.seen.check_and_add(digest)
+    # host-shard keys survive the merge (same digest ⇒ same host ⇒ same
+    # key) so a later reshard of the merged crawl stays exact; one
+    # pre-hostkey input poisons the merged checkpoint to union-fallback
+    if hk_a is not None and hk_b is not None:
+        shard.seen_hostkey = {**hk_a, **hk_b}
+    else:
+        shard.seen_keys_complete = False
 
     # frontier: best heap key per digest, minus everything already done
     best: dict[bytes, tuple] = {}
@@ -304,8 +320,17 @@ def _reshard_build_shard(sid: int, state) -> None:
         man0.get("log_enabled", True),
         trap_filter=man0.get("trap_filter", False),
     )
-    for digest in s["seen_sorted"]:
-        shard.seen.check_and_add(digest)
+    if s["seen_keys"] is not None:
+        # exact ownership: this shard's hosts' digests only (see
+        # reshard_checkpoint — key % new_n is shard_of_host's mod)
+        for digest, k in zip(s["seen_sorted"], s["seen_keys"].tolist()):
+            if k % new_n == sid:
+                shard.seen.check_and_add(digest)
+                shard.seen_hostkey[digest] = k
+    else:
+        for digest in s["seen_sorted"]:
+            shard.seen.check_and_add(digest)
+        shard.seen_keys_complete = not s["seen_sorted"]
     if s["ph_by_shard"] is not None:
         shard.phash = PhashIndex.restore(
             np.sort(np.asarray(s["ph_by_shard"].get(sid, []), np.uint64)),
@@ -339,6 +364,8 @@ def _reshard_build_shard(sid: int, state) -> None:
         "dir": s["src_dir"], "epoch": s["epoch"], "num_shards": s["old_n"],
         "phash_ownership": "exact" if s["ph_by_shard"] is not None
         else "union_fallback",
+        "seen_ownership": "exact" if s["seen_keys"] is not None
+        else "union_fallback",
     }
     d = os.path.join(s["ckpt_dir"], "epoch=0", f"shard={sid}")
     with open(os.path.join(d, "manifest.json"), "w") as f:
@@ -362,13 +389,18 @@ def reshard_checkpoint(
     function the crawler routes offers with; robots rules / delays and
     politeness token balances are per-host and follow their host.
 
-    What replicates as a UNION: seen digests are stored host-less, so
-    every new shard receives the union seen-set. That is CORRECT (a
-    shard only ever membership-tests URLs of its own hosts, and the
-    union answers those identically) but costs new_n × |seen| memory —
-    the test-scale trade. At 10^10 URLs reshard the seen-set from the
-    canonical-URL lineage table instead (url_hash is there
-    host-attributed), same tool shape.
+    Seen digests redistribute EXACTLY too: checkpoints carry a u32
+    ``host_shard_key(host)`` per digest (recorded at offer-merge time,
+    the one point a digest enters `seen` with its host in scope), and
+    ``key % new_n`` is by construction the same mod ``shard_of_host``
+    applies to the digest's host — so each new shard receives exactly
+    its own hosts' digests and per-shard seen memory is a partition of
+    the union, not new_n copies of it. Pre-hostkey checkpoints (no
+    ``seen_hostkeys`` array) fall back to union replication, which
+    remains CORRECT (a shard only membership-tests URLs of its own
+    hosts, and the union answers those identically) at the old
+    new_n × |seen| memory cost; the manifest records which path ran
+    (``seen_ownership``).
 
     The phash near-dup index must NOT be union-replicated: the per-shard
     gate suppresses against its OWN hosts' images, and a union index
@@ -397,6 +429,7 @@ def reshard_checkpoint(
     _require_clean_out_dir(out_dir)
 
     union_seen: set[bytes] = set()
+    union_hostkeys: dict[bytes, int] | None = {}
     phashes = []
     frontier_rows = []  # (host, item)
     pending_rows = []  # (url, digest, host, pri, depth, disc)
@@ -407,9 +440,13 @@ def reshard_checkpoint(
     robots_fetches = 0
     man0 = None
     for sid in old_ids:
-        man, seen, ph, fr, pe = _load_shard(src_dir, epoch, sid)
+        man, seen, hk, ph, fr, pe = _load_shard(src_dir, epoch, sid)
         man0 = man0 or man
         union_seen |= seen
+        if hk is None or union_hostkeys is None:
+            union_hostkeys = None  # any keyless shard → union fallback
+        else:
+            union_hostkeys.update(hk)
         phashes.append(np.asarray(ph, np.uint64))
         for url, digest, pri, depth, disc, host in zip(
             fr["url"].to_pylist(), fr["url_hash"].to_pylist(),
@@ -467,11 +504,24 @@ def reshard_checkpoint(
         ph_by_shard = None if len(union_ph) else {}
 
     seen_sorted = sorted(union_seen)
+    # u32 host-shard keys aligned to seen_sorted: each new shard takes
+    # exactly the digests with key % new_n == its id (the SAME mod that
+    # routes the digest's host), so per-shard seen memory drops from
+    # new_n × |union| to a partition of it. None (pre-hostkey source
+    # checkpoint) → every shard takes the whole union, as before.
+    seen_keys = (
+        np.fromiter((union_hostkeys[dg] for dg in seen_sorted), np.uint32,
+                    len(seen_sorted))
+        if union_hostkeys is not None
+        and len(union_hostkeys) == len(seen_sorted)
+        else None
+    )
 
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
     state = {
-        "man0": man0, "seen_sorted": seen_sorted, "union_ph": union_ph,
+        "man0": man0, "seen_sorted": seen_sorted, "seen_keys": seen_keys,
+        "union_ph": union_ph,
         "ph_by_shard": ph_by_shard, "frontier_rows": frontier_rows,
         "pending_rows": pending_rows, "robots_rules": robots_rules,
         "robots_delays": robots_delays, "tokens": tokens,

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from ..core.politeness import HostPoliteness, RobotsCache
 from ..core.sketches import SeenSet, PhashIndex
-from ..core.urltools import shard_of_host, trap_reason
+from ..core.urltools import host_shard_key, shard_of_host, trap_reason
 
 _SHARD_CACHE: dict[tuple, int] = {}
 
@@ -145,6 +145,20 @@ class FrontierShard:
         self.expected_urls = expected_urls
         self.burst = burst
         self.seen = SeenSet(expected_urls)
+        # digest → host_shard_key(host) for every seen digest, recorded at
+        # offer-merge time (the one place a digest enters `seen` and its
+        # host is in scope). Checkpointed as a u32 array aligned to the
+        # sorted digest order, which is what lets `reshard_checkpoint`
+        # redistribute the seen set EXACTLY (key % new_n) instead of
+        # union-replicating it onto every new shard. Dict-of-bytes is the
+        # test-scale representation; at 10^10 the checkpointed columnar
+        # form (sorted digests + parallel u32 keys) IS the working form
+        # and membership stays in the bloom/cuckoo tier.
+        self.seen_hostkey: dict[bytes, int] = {}
+        # False after restoring a pre-hostkey checkpoint with a non-empty
+        # seen set: keys can't be recovered, so checkpoints stop emitting
+        # them and downstream reshards take the union fallback.
+        self.seen_keys_complete = True
         self.robots = RobotsCache()
         # politeness rate honors robots Crawl-delay when declared
         self.politeness = HostPoliteness(
@@ -219,6 +233,7 @@ class FrontierShard:
             self.metrics["offered"] += 1
             if self.seen.check_and_add(digest):
                 continue
+            self.seen_hostkey[digest] = host_shard_key(host)
             if self.trap_filter:
                 reason = trap_reason(url)
                 if reason:
@@ -640,12 +655,16 @@ class FrontierShard:
             os.path.join(d, "pending.parquet"),
         )
         st = self.seen.state()
-        np.savez_compressed(
-            os.path.join(d, "sketches.npz"),
-            bloom=st["bloom"],
-            cuckoo=st["cuckoo"],
-            phash=self.phash.state(),
-        )
+        sk = dict(bloom=st["bloom"], cuckoo=st["cuckoo"],
+                  phash=self.phash.state())
+        if self.seen_keys_complete and len(self.seen_hostkey) == self.seen.count:
+            # u32 host-shard keys aligned to the sorted digest order of
+            # exact_seen.bin — the reshard tool's exact-ownership input
+            sk["seen_hostkeys"] = np.fromiter(
+                (self.seen_hostkey[dg] for dg in sorted(self.seen.exact)),
+                np.uint32, self.seen.count,
+            )
+        np.savez_compressed(os.path.join(d, "sketches.npz"), **sk)
         with open(os.path.join(d, "exact_seen.bin"), "wb") as f:
             f.write(st["exact"])
         # incremental lineage log: persist only rows since the last
@@ -704,6 +723,15 @@ class FrontierShard:
                  count=manifest["seen_count"]),
             expected_urls,
         )
+        if "seen_hostkeys" in npz and len(npz["seen_hostkeys"]) == self.seen.count:
+            self.seen_hostkey = dict(zip(
+                sorted(self.seen.exact),
+                npz["seen_hostkeys"].astype(int).tolist(),
+            ))
+            self.seen_keys_complete = True
+        else:  # pre-hostkey checkpoint: keys unrecoverable for these digests
+            self.seen_hostkey = {}
+            self.seen_keys_complete = self.seen.count == 0
         self.phash = PhashIndex.restore(npz["phash"], phash_radius)
         front = pq.read_table(os.path.join(d, "frontier.parquet"))
         for url, digest, pri, depth, disc, host in zip(
