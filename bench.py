@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "knn_label_recall",
     "image_letterbox_plan",
     "phash_pair_psnr_verify",
+    # round-3 session-5 additions (cohort matrix, Pareto share)
+    "customer_cohort_retention",
+    "supplier_pareto_share",
 ]
 
 

@@ -1554,3 +1554,163 @@ def user_distinct_props_salted(sf_dir: str):
         )
 
     return out.map_batches(cast_out, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# cohort retention: cohort = a customer's first-order year; count the
+# distinct customers of each cohort ordering again `offset_years` later.
+# Distributed shape: (custkey, year) rows shrink to ≤ one row per
+# (customer, distinct year) inside a bucketed high-cardinality groupby
+# (the customer key is dedup-style — ~1 group per customer), then the
+# bounded (cohort_year × offset) matrix — TPC-H spans 7 order years, so
+# ≤ 49 cells — collapses via per-block partial counts + one local combine.
+@register(
+    "customer_cohort_retention",
+    sql="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_year,
+           CAST(year(o.o_orderdate) - f.cohort_year AS BIGINT)
+             AS offset_years,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_cohort_retention(sf_dir: str):
+    import numpy as np
+
+    ds = table(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    n_rows = table_num_rows(sf_dir, "orders")
+
+    def to_years(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust": t["o_custkey"],
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    def cohort_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        # every row of a customer is in this bucket → min year is exact;
+        # dedupe (cust, year) first so each customer counts once per year
+        g = g.drop_duplicates(["cust", "yr"])
+        cohort = g.groupby("cust")["yr"].transform("min").to_numpy()
+        yr = g["yr"].to_numpy()
+        return pd.DataFrame(
+            {"cohort_year": cohort, "offset_years": yr - cohort}
+        )
+
+    cells = bucketed_group_agg(
+        ds.map_batches(to_years, batch_format="pyarrow"),
+        ["cust"],
+        cohort_offsets,
+        approx_rows=n_rows,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["cohort_year", "offset_years"]),
+            ["cohort_year", "offset_years"],
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["cohort_year", "offset_years", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["cohort_year", "offset_years"], as_index=False)["n"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "cohort_year": pa.array(
+                    g["cohort_year"].to_numpy(np.int64)
+                ),
+                "offset_years": pa.array(
+                    g["offset_years"].to_numpy(np.int64)
+                ),
+                "n_customers": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return combine_small(
+        cells.map_batches(partial, batch_format="pyarrow"), finish
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC analysis: per-supplier revenue, cumulative revenue share in
+# descending-revenue order, and the "in_top80" flag (suppliers that carry
+# the first 80% of revenue). Revenue partials are per-block Arrow sums
+# with fixed cardinality (suppliers — a bounded dimension, like every
+# other supplier-keyed aggregate here); the cumulative pass runs on that
+# bounded table as EXACT integer-cent arithmetic so the engine's numpy
+# cumsum and DuckDB's window sum cannot diverge in float rounding.
+@register(
+    "supplier_pareto_share",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ), cents AS (
+      SELECT l_suppkey, revenue,
+             CAST(ROUND(revenue * 100, 0) AS HUGEINT) AS c
+      FROM rev
+    )
+    SELECT l_suppkey, revenue,
+           ROUND(CAST(SUM(c) OVER (ORDER BY c DESC, l_suppkey
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / SUM(c) OVER (), 6) AS cum_share,
+           (SUM(c) OVER (ORDER BY c DESC, l_suppkey
+                         ROWS UNBOUNDED PRECEDING) - c) * 10
+             < SUM(c) OVER () * 8 AS in_top80
+    FROM cents
+    """,
+)
+def supplier_pareto_share(sf_dir: str):
+    import numpy as np
+
+    from .common import round_half_away
+
+    ds = table(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        g = pa.TableGroupBy(
+            pa.table({"l_suppkey": t["l_suppkey"], "rev": rev}), "l_suppkey"
+        ).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("l_suppkey", as_index=False)["rev"].sum()
+        revenue = round_half_away(g["rev"].to_numpy(), 2)
+        # integer cents from the ROUNDED revenue — the only float→int
+        # boundary; everything cumulative below is exact int arithmetic
+        cents = round_half_away(revenue * 100, 0).astype(np.int64)
+        order = np.lexsort((g["l_suppkey"].to_numpy(), -cents))
+        sk = g["l_suppkey"].to_numpy(np.int64)[order]
+        revenue, cents = revenue[order], cents[order]
+        cum = np.cumsum(cents)
+        total = int(cum[-1]) if len(cum) else 1
+        return pa.table(
+            {
+                "l_suppkey": pa.array(sk),
+                "revenue": pa.array(revenue),
+                "cum_share": pa.array(
+                    round_half_away(cum.astype(np.float64) / total, 6)
+                ),
+                "in_top80": pa.array((cum - cents) * 10 < total * 8),
+            }
+        )
+
+    return combine_small(
+        ds.map_batches(partial, batch_format="pyarrow"), finish
+    )
