@@ -78,9 +78,12 @@ BENCH_QUERIES = [
     "knn_label_recall",
     "image_letterbox_plan",
     "phash_pair_psnr_verify",
-    # round-3 session-5 additions (cohort matrix, Pareto share)
+    # round-3 session-5 additions (cohort matrix, Pareto share,
+    # broadcast trade balance, seasonality)
     "customer_cohort_retention",
     "supplier_pareto_share",
+    "nation_trade_balance",
+    "orders_seasonality_index",
 ]
 
 

@@ -50,6 +50,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="synthetic web emits calendar-loop trap links")
     c.add_argument("--trap-filter", action="store_true",
                    help="frontier denies trap-shaped URLs at offer time")
+    c.add_argument("--phash-radius", type=int, default=2,
+                   help="near-dup suppression Hamming radius; -1 disables "
+                   "the phash gate")
+    c.add_argument("--host-boosts", default=None,
+                   help="JSON file {host: priority boost} (tier-feedback "
+                   "output); added to every NEW offer's priority")
+    c.add_argument("--pop-budget", type=int, default=None,
+                   help="max URLs popped per shard per epoch — the "
+                   "fetch-capacity contention that makes host boosts "
+                   "reallocate capacity across hosts")
 
     m = sub.add_parser(
         "merge-checkpoints",
@@ -74,7 +84,42 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--expected-urls", type=int, default=1 << 14)
     r.add_argument("--phash-radius", type=int, default=2)
 
+    tf = sub.add_parser(
+        "tier-feedback",
+        help="score a finished crawl's hosts by payload quality (quartile "
+        "tiers of mean decoded image area) and emit the {host: boost} map "
+        "the next `crawl --host-boosts` run consumes",
+    )
+    tf.add_argument("out_dir")
+    tf.add_argument("--boosts-out", default=None,
+                    help="also write the {host: boost} map to this file")
+    tf.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "tier-feedback":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from raycrawl.ops.crawlq import tier_feedback_table
+
+        t = tier_feedback_table(args.out_dir).to_pandas()
+        boosts = dict(zip(t["host"], (int(b) for b in t["boost"])))
+        if args.boosts_out:
+            with open(args.boosts_out, "w") as f:
+                json.dump(boosts, f)
+        # to_json → plain-python scalars (to_dict keeps numpy int64,
+        # which json.dumps rejects)
+        print(json.dumps({"hosts": json.loads(t.to_json(orient="records")),
+                          "boosts": boosts}))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "reshard-checkpoints":
         from raycrawl.frontier.merge import reshard_checkpoint
@@ -130,6 +175,12 @@ def main(argv: list[str] | None = None) -> int:
         blocks_per_cpu=args.blocks_per_cpu,
         keep_fetch_log=not args.no_fetch_log,
         trap_filter=args.trap_filter,
+        phash_radius=args.phash_radius,
+        host_priority_boost=(
+            {h: int(b) for h, b in json.load(open(args.host_boosts)).items()}
+            if args.host_boosts else None
+        ),
+        epoch_pop_budget=args.pop_budget,
     )
     import signal
 

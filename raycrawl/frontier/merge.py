@@ -483,7 +483,13 @@ def reshard_checkpoint(
         ep = int(os.path.basename(os.path.dirname(f)).split("=")[1])
         if ep <= epoch:
             pay_files.append(f)
-    if pay_files:
+    if not len(union_ph):
+        # nothing was ever gated (e.g. the crawl ran with phash_radius=-1,
+        # or no page emitted yet): empty per-shard indexes ARE the exact
+        # redistribution — don't let a phash-carrying payload force the
+        # union fallback over an empty index
+        pass
+    elif pay_files:
         import pyarrow.dataset as pads
 
         t = pads.dataset(pay_files).to_table(columns=["url", "phash"])

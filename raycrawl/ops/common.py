@@ -52,7 +52,18 @@ def combine_small(partials: ray.data.Dataset, combine_fn) -> pa.Table:
     rows per input block, which a tree of per-block combiners already
     collapsed once.
     """
+    import pandas as pd
+
     all_blocks = ray.get(partials.to_arrow_refs())
+    # `to_arrow_refs` hands back raw block refs: a pandas-block stage
+    # upstream (e.g. bucketed_group_agg's map_groups) can leak EMPTY
+    # pandas blocks through a pyarrow map_batches — Ray skips the UDF on
+    # empty blocks, so they arrive here unconverted. Normalize them.
+    all_blocks = [
+        pa.Table.from_pandas(b, preserve_index=False)
+        if isinstance(b, pd.DataFrame) else b
+        for b in all_blocks
+    ]
     blocks = [b for b in all_blocks if b.num_rows]
     if not blocks:
         carriers = [b for b in all_blocks if b.num_columns]

@@ -1563,7 +1563,15 @@ def crawl_tier_feedback(sf_dir: str):
     Arrow partials (fixed cardinality = hosts) + one local combine;
     rows-only (a crawl is not SQL-expressible; pytest recomputes the
     tiers locally and drives a boosted re-crawl end-to-end against
-    oracle_crawl with the same boost map)."""
+    oracle_crawl with the same boost map). CLI:
+    ``python -m raycrawl tier-feedback <out_dir> --boosts-out b.json``
+    then ``crawl --host-boosts b.json --pop-budget N``."""
+    return tier_feedback_table(_crawl_out_dir(sf_dir))
+
+
+def tier_feedback_table(crawl_out_dir: str):
+    """The tier-feedback computation over an explicit crawl out_dir
+    (shared by the registry query and the ``tier-feedback`` CLI)."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -1571,7 +1579,7 @@ def crawl_tier_feedback(sf_dir: str):
     from ..crawler import read_payload
     from .common import combine_small, round_half_away
 
-    ds = read_payload(_crawl_out_dir(sf_dir), columns=["url", "w", "h"])
+    ds = read_payload(crawl_out_dir, columns=["url", "w", "h"])
 
     def partial(t: pa.Table) -> pa.Table:
         hosts = [u.split("://", 1)[1].split("/", 1)[0]

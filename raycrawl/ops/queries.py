@@ -1586,12 +1586,16 @@ def customer_cohort_retention(sf_dir: str):
     n_rows = table_num_rows(sf_dir, "orders")
 
     def to_years(t: pa.Table) -> pa.Table:
-        return pa.table(
+        # per-block (cust, year) dedup BEFORE the bucket exchange — a
+        # customer's ~10 orders collapse to ≤ their distinct years, so
+        # the shuffle moves years, not orders (re-deduped per bucket)
+        tmp = pa.table(
             {
                 "cust": t["o_custkey"],
                 "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
             }
         )
+        return pa.TableGroupBy(tmp, ["cust", "yr"]).aggregate([])
 
     def cohort_offsets(g: pd.DataFrame) -> pd.DataFrame:
         # every row of a customer is in this bucket → min year is exact;
@@ -1713,4 +1717,147 @@ def supplier_pareto_share(sf_dir: str):
 
     return combine_small(
         ds.map_batches(partial, batch_format="pyarrow"), finish
+    )
+
+
+# --------------------------------------------------------------------------
+# trade balance per nation: what a nation's suppliers earn (lineitem
+# revenue via l_suppkey→s_nationkey) minus what its customers spend
+# (o_totalprice via o_custkey→c_nationkey). Both fact scans stay
+# shuffle-free: the supplier/customer key→nation maps are broadcast once
+# (ray.put'd sorted-key arrays, vectorized searchsorted per batch — at
+# 100 TB the customer side crosses the dimension-broadcast budget and
+# becomes the hash-partitioned Dataset.join customer_urgent_order_stats
+# already demonstrates), and the per-block partials are 25-nation sums.
+@register(
+    "nation_trade_balance",
+    sql="""
+    WITH supply AS (
+      SELECT s_nationkey AS nk, SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1
+    ), spend AS (
+      SELECT c_nationkey AS nk, SUM(o_totalprice) AS sp
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+    )
+    SELECT n_name,
+           ROUND(COALESCE(supply.rev, 0), 2) AS supply_revenue,
+           ROUND(COALESCE(spend.sp, 0), 2) AS purchase_spend,
+           ROUND(COALESCE(supply.rev, 0) - COALESCE(spend.sp, 0), 2)
+             AS trade_balance
+    FROM nation LEFT JOIN supply ON n_nationkey = supply.nk
+                LEFT JOIN spend ON n_nationkey = spend.nk
+    """,
+)
+def nation_trade_balance(sf_dir: str):
+    import numpy as np
+
+    from .common import round_half_away
+
+    nation = table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_nations = int(nation["n_nationkey"].max()) + 1
+
+    def keymap(name: str, key: str, val: str):
+        df = table(sf_dir, name, [key, val]).to_pandas()
+        order = np.argsort(df[key].to_numpy())
+        return ray.put((df[key].to_numpy()[order],
+                        df[val].to_numpy(np.int64)[order]))
+
+    supp_ref = keymap("supplier", "s_suppkey", "s_nationkey")
+    cust_ref = keymap("customer", "c_custkey", "c_nationkey")
+
+    def supply_partial(t: pa.Table, *, ref) -> pa.Table:
+        keys, nk = ray.get(ref)
+        idx = np.searchsorted(keys, t["l_suppkey"].to_numpy())
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))
+        return pa.table(
+            {"nk": pa.array(np.arange(n_nations, dtype=np.int64)),
+             "rev": pa.array(np.bincount(nk[idx], weights=rev,
+                                         minlength=n_nations)),
+             "sp": pa.array(np.zeros(n_nations))}
+        )
+
+    def spend_partial(t: pa.Table, *, ref) -> pa.Table:
+        keys, nk = ray.get(ref)
+        idx = np.searchsorted(keys, t["o_custkey"].to_numpy())
+        return pa.table(
+            {"nk": pa.array(np.arange(n_nations, dtype=np.int64)),
+             "rev": pa.array(np.zeros(n_nations)),
+             "sp": pa.array(np.bincount(nk[idx],
+                                        weights=t["o_totalprice"].to_numpy(),
+                                        minlength=n_nations))}
+        )
+
+    supply = table(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(supply_partial, fn_kwargs={"ref": supp_ref},
+                  batch_format="pyarrow")
+    spend = table(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    ).map_batches(spend_partial, fn_kwargs={"ref": cust_ref},
+                  batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("nk", as_index=False)[["rev", "sp"]].sum()
+        g = nation.merge(g, left_on="n_nationkey", right_on="nk",
+                         how="left").fillna({"rev": 0.0, "sp": 0.0})
+        rev = g["rev"].to_numpy()
+        sp = g["sp"].to_numpy()
+        return pa.table(
+            {
+                "n_name": pa.array(g["n_name"], pa.string()),
+                "supply_revenue": pa.array(round_half_away(rev, 2)),
+                "purchase_spend": pa.array(round_half_away(sp, 2)),
+                "trade_balance": pa.array(round_half_away(rev - sp, 2)),
+            }
+        )
+
+    return combine_small(supply.union(spend), finish)
+
+
+# --------------------------------------------------------------------------
+# order seasonality: per calendar month, order count and its index vs the
+# uniform-month expectation (12 × share). Counts are exact integers on
+# both sides, so the only float op is one division of exact ints —
+# bit-identical in numpy and DuckDB.
+@register(
+    "orders_seasonality_index",
+    sql="""
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(12.0 * count(*) / SUM(count(*)) OVER (), 4) AS seasonality
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_seasonality_index(sf_dir: str):
+    import numpy as np
+
+    from .common import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.month(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"month": pa.array(np.arange(1, 13, dtype=np.int64)),
+             "n": pa.array(np.bincount(m, minlength=13)[1:13])}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("month", as_index=False)["n"].sum()
+        g = g[g["n"] > 0]
+        n = g["n"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "month": pa.array(g["month"].to_numpy(np.int64)),
+                "n_orders": pa.array(n),
+                "seasonality": pa.array(
+                    round_half_away(12.0 * n / n.sum(), 4)
+                ),
+            }
+        )
+
+    return combine_small(
+        table(sf_dir, "orders", ["o_orderdate"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        finish,
     )

@@ -12,7 +12,8 @@ from tests.oracle_utils import norm, oracle, run_query
 
 SF = "/root/testdata/sf0.001"
 
-NEW_OPS = ["customer_cohort_retention", "supplier_pareto_share"]
+NEW_OPS = ["customer_cohort_retention", "supplier_pareto_share",
+           "nation_trade_balance", "orders_seasonality_index"]
 
 
 @pytest.mark.parametrize("name", NEW_OPS)
@@ -58,3 +59,31 @@ def test_pareto_share_structure(ray_session):
     # flags form a prefix: once False, never True again
     flags = df["in_top80"].to_numpy()
     assert not flags[np.argmin(flags):].any() or flags.all()
+
+
+def test_combine_small_tolerates_empty_pandas_blocks(ray_session):
+    """Regression (caught by the sf1.0 smoke): a pandas-block stage
+    upstream can leak EMPTY pandas blocks through a pyarrow map_batches
+    (Ray skips the UDF on empty blocks), and combine_small must
+    normalize them instead of crashing on .num_rows."""
+    import pyarrow as pa
+    import ray
+
+    from raycrawl.ops.common import combine_small
+
+    ds = ray.data.from_pandas([
+        pd.DataFrame({"k": [1, 1], "n": [2, 3]}),
+        pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                      "n": pd.Series([], dtype="int64")}),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "k").aggregate([("n", "sum")])
+        return g.rename_columns(["k", "n"])
+
+    out = combine_small(
+        ds.map_batches(partial, batch_size=None, batch_format="pyarrow"),
+        lambda t: pa.TableGroupBy(t, "k").aggregate([("n", "sum")])
+        .rename_columns(["k", "n"]),
+    )
+    assert out.to_pydict() == {"k": [1], "n": [5]}

@@ -257,6 +257,29 @@ def main() -> None:
     checks["dup_spans_found_seeded"] = len(sp) > 0
     run("knn_label_recall")
 
+    # round-3 session-5 additions at 15M orders / 6M lineitem
+    cr = run("customer_cohort_retention")  # ~1.5M-customer bucketed groupby
+    base = cr[cr["offset_years"] == 0].set_index("cohort_year")[
+        "n_customers"
+    ]
+    checks["cohort_offsets_bounded"] = bool(
+        (cr["offset_years"] >= 0).all()
+        and all(
+            (g["n_customers"] <= base[cy]).all()
+            for cy, g in cr.groupby("cohort_year")
+        )
+    )
+    ps = run("supplier_pareto_share")
+    checks["pareto_share_sums_to_one"] = (
+        abs(float(ps["cum_share"].max()) - 1.0) < 1e-6
+    )
+    tb = run("nation_trade_balance")  # broadcast lookups over 6M+15M rows
+    checks["trade_balance_consistent"] = bool(
+        np.allclose(tb["trade_balance"],
+                    tb["supply_revenue"] - tb["purchase_spend"], atol=0.02)
+    )
+    run("orders_seasonality_index")
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
@@ -356,6 +379,13 @@ def main() -> None:
     checks["merge_reshard_no_refetch"] = not (
         _covered(dirs["fr"]) & (_covered(dirs["fa"]) | _covered(dirs["fb"]))
     )
+    # the 8→12 reshard of the MERGED crawl partitioned both the phash
+    # index and the seen set exactly (host keys survived the merge)
+    with open(os.path.join(dirs["fr"], "checkpoints", "epoch=0", "shard=0",
+                           "manifest.json")) as f:
+        rs = json.load(f)["resharded_from"]
+    checks["reshard_phash_exact"] = rs["phash_ownership"] == "exact"
+    checks["reshard_seen_exact"] = rs["seen_ownership"] == "exact"
 
     line = {
         "metric": "scale_smoke_total",
