@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "supplier_pareto_share",
     "nation_trade_balance",
     "orders_seasonality_index",
+    # round-3 session-6 additions (TPC-H Q13/Q14/Q17/Q18/Q8 shapes)
+    "customer_order_count_distribution",
+    "promo_revenue_by_month",
+    "small_quantity_part_revenue",
+    "large_volume_customers",
+    "nation_yearly_market_share",
 ]
 
 

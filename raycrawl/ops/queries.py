@@ -1861,3 +1861,454 @@ def orders_seasonality_index(sf_dir: str):
         ),
         finish,
     )
+
+
+# --------------------------------------------------------------------------
+# customer order-count distribution (TPC-H Q13 shape): how many customers
+# placed exactly k orders, INCLUDING the zero-order bucket. The per-customer
+# counting is the honest high-cardinality exchange (bucketed_group_agg —
+# key cardinality = every customer); the distribution itself has tiny fixed
+# cardinality (max orders per customer), so it finishes as per-block
+# value_counts + one local combine. The zero bucket needs no join at all:
+# it's total customers (parquet-footer metadata) minus customers seen in
+# orders — exact because o_custkey is a foreign key into customer.
+@register(
+    "customer_order_count_distribution",
+    sql="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS n
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+)
+def customer_order_count_distribution(sf_dir: str):
+    import numpy as np
+
+    n_orders_rows = table_num_rows(sf_dir, "orders")
+    n_cust_total = table_num_rows(sf_dir, "customer")
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame({"n": out["size"].to_numpy(np.int64)})
+
+    counts = bucketed_group_agg(
+        table(sf_dir, "orders", ["o_custkey"]), ["o_custkey"], per_cust,
+        approx_rows=n_orders_rows,
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["n"])
+        return pa.table(
+            {
+                "n_orders": pc.cast(vc.field("values"), pa.int64()),
+                "n_customers": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("n_orders", as_index=False)["n_customers"]
+            .sum()
+        )
+        zero = n_cust_total - int(g["n_customers"].sum())
+        if zero > 0:
+            g = pd.concat(
+                [g, pd.DataFrame({"n_orders": [0], "n_customers": [zero]})],
+                ignore_index=True,
+            )
+        return pa.table(
+            {
+                "n_orders": pa.array(g["n_orders"].to_numpy(np.int64)),
+                "n_customers": pa.array(g["n_customers"].to_numpy(np.int64)),
+            }
+        )
+
+    return combine_small(
+        counts.map_batches(hist_partial, batch_format="pyarrow"), finish
+    )
+
+
+# --------------------------------------------------------------------------
+# promo revenue share per ship month (TPC-H Q14 shape): the part side of
+# the join never shuffles — the PROMO partkey set is ray.put once as a
+# sorted int64 array and each lineitem block tests membership with one
+# vectorized searchsorted. Money moves as exact integer cents; the only
+# float ops (share = 100·promo/total, then ROUND) run on exact integers on
+# both sides, so the value-hash cannot drift.
+@register(
+    "promo_revenue_by_month",
+    sql="""
+    SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_by_month(sf_dir: str):
+    import numpy as np
+
+    from .common import round_half_away
+
+    part = table(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = np.sort(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64)
+    )
+    promo_ref = ray.put(promo)
+
+    def partial(t: pa.Table, *, ref) -> pa.Table:
+        pk = ray.get(ref)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        lp = t["l_partkey"].to_numpy()
+        pos = np.searchsorted(pk, lp)
+        pos_c = np.minimum(pos, max(len(pk) - 1, 0))
+        is_promo = (len(pk) > 0) & (pk[pos_c] == lp)
+        d = t["l_shipdate"]
+        ym = (
+            pc.year(d).to_numpy(zero_copy_only=False) * 100
+            + pc.month(d).to_numpy(zero_copy_only=False)
+        )
+        keys, inv = np.unique(ym, return_inverse=True)
+        return pa.table(
+            {
+                "ym": pa.array(keys.astype(np.int64)),
+                "cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+                "promo_cents": pa.array(
+                    np.bincount(
+                        inv, weights=np.where(is_promo, cents, 0)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("ym", as_index=False)[["cents", "promo_cents"]]
+            .sum()
+        )
+        cents = g["cents"].to_numpy(np.int64)
+        promo_c = g["promo_cents"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "ym": pa.array(g["ym"].to_numpy(np.int64)),
+                "revenue": pa.array(cents.astype(np.float64) / 100.0),
+                "promo_share": pa.array(
+                    round_half_away(100.0 * promo_c / cents, 4)
+                ),
+            }
+        )
+
+    ds = table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(partial, fn_kwargs={"ref": promo_ref},
+                  batch_format="pyarrow")
+    return combine_small(ds, finish)
+
+
+# --------------------------------------------------------------------------
+# small-quantity part revenue (TPC-H Q17 shape): revenue locked up in
+# lineitems whose quantity is below HALF the part's average order quantity.
+# Pass 1 computes per-part (sum qty, count) with the honest
+# high-cardinality exchange (bucketed_group_agg over l_partkey); the
+# resulting per-part stats table is bounded by |part| — broadcast here
+# (ray.put sorted arrays), the documented at-scale fallback is the
+# hash-partitioned Dataset.join that customer_urgent_order_stats
+# demonstrates. Pass 2 re-streams lineitem and evaluates the predicate in
+# EXACT integer arithmetic (2·qty·cnt < sum_qty ⇔ qty < avg/2 — no float
+# average can disagree between numpy and DuckDB).
+@register(
+    "small_quantity_part_revenue",
+    sql="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS small_revenue
+    FROM lineitem JOIN pa ON l_partkey = pa.pk
+    WHERE 2 * CAST(l_quantity AS BIGINT) * cnt < sq
+    """,
+)
+def small_quantity_part_revenue(sf_dir: str):
+    import numpy as np
+
+    n_li = table_num_rows(sf_dir, "lineitem")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_partkey", as_index=False).agg(
+            sq=("l_quantity", "sum"), cnt=("l_quantity", "size")
+        )
+        return pd.DataFrame(
+            {
+                "pk": out["l_partkey"].to_numpy(np.int64),
+                "sq": out["sq"].to_numpy(np.int64),
+                "cnt": out["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    stats = bucketed_group_agg(
+        table(sf_dir, "lineitem", ["l_partkey", "l_quantity"]),
+        ["l_partkey"], per_part, approx_rows=n_li,
+    ).to_pandas()  # bounded: one row per part
+    order = np.argsort(stats["pk"].to_numpy())
+    ref = ray.put(
+        (
+            stats["pk"].to_numpy(np.int64)[order],
+            stats["sq"].to_numpy(np.int64)[order],
+            stats["cnt"].to_numpy(np.int64)[order],
+        )
+    )
+
+    def partial(t: pa.Table, *, stats_ref) -> pa.Table:
+        pk, sq, cnt = ray.get(stats_ref)
+        lp = t["l_partkey"].to_numpy()
+        idx = np.searchsorted(pk, lp)  # FK into pass-1 output: always present
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        mask = 2 * qty * cnt[idx] < sq[idx]
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([int(mask.sum())], pa.int64()),
+                "cents": pa.array([int(cents[mask].sum())], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        return pa.table(
+            {
+                "n_small": pa.array([int(g["n"].sum())], pa.int64()),
+                "small_revenue": pa.array(
+                    [int(g["cents"].sum()) / 100.0], pa.float64()
+                ),
+            }
+        )
+
+    ds = table(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(partial, fn_kwargs={"stats_ref": ref},
+                  batch_format="pyarrow")
+    return combine_small(ds, finish)
+
+
+# --------------------------------------------------------------------------
+# large-volume customers (TPC-H Q18 shape): orders whose total lineitem
+# quantity exceeds 300, with the customer who placed them. Per-order sums
+# are the high-cardinality exchange (bucketed_group_agg over l_orderkey,
+# with the >300 filter pushed INTO the bucket aggregate so only survivors
+# leave the exchange); the survivor set is tiny (top ~1% of orders), so it
+# broadcasts into a semi-filter over the orders scan, and customer names
+# attach via a second broadcast map — the corpus-scale fact tables never
+# shuffle on a join key.
+@register(
+    "large_volume_customers",
+    sql="""
+    WITH oq AS (
+      SELECT l_orderkey AS ok,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice, total_qty
+    FROM oq JOIN orders ON ok = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def large_volume_customers(sf_dir: str):
+    import numpy as np
+
+    from .common import round_half_away
+
+    QTY = 300
+    n_li = table_num_rows(sf_dir, "lineitem")
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        tq = out["l_quantity"].to_numpy(np.int64)
+        keep = tq > QTY
+        return pd.DataFrame(
+            {
+                "ok": out["l_orderkey"].to_numpy(np.int64)[keep],
+                "total_qty": tq[keep],
+            }
+        )
+
+    surv = bucketed_group_agg(
+        table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        ["l_orderkey"], per_order, approx_rows=n_li,
+    ).to_pandas()  # bounded: >300-qty orders only (~1% of orders)
+    order = np.argsort(surv["ok"].to_numpy())
+    ok_s = surv["ok"].to_numpy(np.int64)[order]
+    tq_s = surv["total_qty"].to_numpy(np.int64)[order]
+
+    cust = table(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    corder = np.argsort(cust["c_custkey"].to_numpy())
+    ck = cust["c_custkey"].to_numpy(np.int64)[corder]
+    cn = cust["c_name"].to_numpy()[corder]
+
+    ref = ray.put((ok_s, tq_s, ck, cn))
+
+    def attach(t: pa.Table, *, bref) -> pa.Table:
+        ok, tq, ck_, cn_ = ray.get(bref)
+        keys = t["o_orderkey"].to_numpy()
+        pos = np.searchsorted(ok, keys)
+        pos_c = np.minimum(pos, max(len(ok) - 1, 0))
+        hit = (len(ok) > 0) & (ok[pos_c] == keys)
+        t = t.filter(pa.array(hit))
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "total_qty": pa.array([], pa.int64()),
+                }
+            )
+        keys = t["o_orderkey"].to_numpy()
+        custk = t["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "c_custkey": pa.array(custk.astype(np.int64)),
+                "c_name": pa.array(cn_[np.searchsorted(ck_, custk)]),
+                "o_orderkey": pa.array(keys.astype(np.int64)),
+                "o_totalprice": pa.array(
+                    round_half_away(t["o_totalprice"].to_numpy(), 2)
+                ),
+                "total_qty": pa.array(tq[np.searchsorted(ok, keys)]),
+            }
+        )
+
+    return table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(attach, fn_kwargs={"bref": ref}, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# supplier-nation market share per ship year (TPC-H Q8 shape): each
+# nation's share of total yearly revenue, supplied-side. The supplier →
+# nation map broadcasts (sorted-key searchsorted — nation_trade_balance's
+# pattern), so the lineitem scan is shuffle-free; partial cells are
+# (year, nation) — ≤ years × 25 rows per block at any scale. Money stays
+# exact integer cents until the final share division of exact integers.
+@register(
+    "nation_yearly_market_share",
+    sql="""
+    WITH rev AS (
+      SELECT s_nationkey AS nk, CAST(year(l_shipdate) AS BIGINT) AS yr,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, yr, CAST(cents AS DOUBLE) / 100 AS revenue,
+           ROUND(100.0 * cents / SUM(cents) OVER (PARTITION BY yr), 4)
+             AS share
+    FROM rev JOIN nation ON nk = n_nationkey
+    """,
+)
+def nation_yearly_market_share(sf_dir: str):
+    import numpy as np
+
+    from .common import round_half_away
+
+    nation = table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    supp = table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    order = np.argsort(supp["s_suppkey"].to_numpy())
+    ref = ray.put(
+        (
+            supp["s_suppkey"].to_numpy(np.int64)[order],
+            supp["s_nationkey"].to_numpy(np.int64)[order],
+        )
+    )
+
+    def partial(t: pa.Table, *, sref) -> pa.Table:
+        sk, nk = ray.get(sref)
+        idx = np.searchsorted(sk, t["l_suppkey"].to_numpy())  # FK: present
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        key = yr.astype(np.int64) * 100 + nk[idx]
+        keys, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("key", as_index=False)["cents"].sum()
+        key = g["key"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        yr = key // 100
+        nk = key % 100
+        year_tot = pd.Series(cents).groupby(pd.Series(yr)).transform("sum")
+        names = nation.set_index("n_nationkey")["n_name"]
+        return pa.table(
+            {
+                "n_name": pa.array(names.loc[nk].to_numpy()),
+                "yr": pa.array(yr),
+                "revenue": pa.array(cents.astype(np.float64) / 100.0),
+                "share": pa.array(
+                    round_half_away(
+                        100.0 * cents / year_tot.to_numpy(np.int64), 4
+                    )
+                ),
+            }
+        )
+
+    ds = table(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"]
+    ).map_batches(partial, fn_kwargs={"sref": ref}, batch_format="pyarrow")
+    return combine_small(ds, finish)
