@@ -19,5 +19,6 @@ from . import curation  # noqa: F401
 from . import imageprep  # noqa: F401
 from . import urlops  # noqa: F401
 from . import graphops  # noqa: F401
+from . import relops  # noqa: F401
 from ..pipelines import reference_analogs  # noqa: F401
 from ..pipelines import dashboards  # noqa: F401

@@ -1,0 +1,619 @@
+"""Session-6 relational additions: correlation-by-group from streaming
+moments, argmin-winner joins, big-big conditional join matrices, date-spine
+gap filling, scalar-subquery anti-joins, per-user mode, and ordered string
+aggregation.
+
+Each op re-expresses a reference analysis shape (SURVEY.md §2.5-§2.6 —
+grouped statistics over joined tweet/user frames, per-user majority labels,
+date-bucketed dashboards with missing buckets shown as zero; e.g.
+`Visualization.py` builds per-day tweet counts and per-user top labels with
+pandas `value_counts()` on a single machine) as a distributed Ray Data
+pipeline with the exact-arithmetic conventions this repo uses for oracle
+parity (integer cents, fixed-cardinality partial aggregates, bucketed
+exchanges for unbounded keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .common import (
+    bucketed_group_agg,
+    combine_small,
+    join_partitions,
+    note_path,
+    round_half_away,
+    table,
+    table_num_rows,
+)
+from .queries import register
+
+# --------------------------------------------------------------------------
+# Pearson correlation per fixed-cardinality group, from streaming moments.
+# Shape: the classic "does quantity track price?" dashboard statistic
+# (reference: per-frame pandas .corr() on a driver DataFrame). Distributed
+# form: each block emits the 6 sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+# Σy²) per (returnflag, linestatus) cell — ≤ 6 cells at ANY scale, so the
+# partial stream is bounded by cells × blocks and the final combine is one
+# local Arrow fold. No shuffle at any input size. Both engines compute the
+# same moments from exact integer inputs (qty, price cents) summed in
+# float64, then one identical closed-form division, rounded to 6 dp so
+# summation-order jitter (~1e-12 relative) cannot flip the hash.
+@register(
+    "price_qty_corr_by_flag",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS sy,
+             SUM(CAST(l_quantity AS DOUBLE)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DOUBLE)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS corr_qty_price
+    FROM m
+    """,
+)
+def price_qty_corr_by_flag(sf_dir: str):
+    ds = table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        y = cents.astype(np.float64)
+        m = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "n": pa.array(np.ones(len(x)), pa.float64()),
+                "sx": pa.array(x, pa.float64()),
+                "sy": pa.array(y, pa.float64()),
+                "sxy": pa.array(x * y, pa.float64()),
+                "sxx": pa.array(x * x, pa.float64()),
+                "syy": pa.array(y * y, pa.float64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+            )
+            .rename_columns(
+                ["l_returnflag", "l_linestatus",
+                 "n", "sx", "sy", "sxy", "sxx", "syy"]
+            )
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum()
+        )
+        n, sx, sy = (g[c].to_numpy() for c in ("n", "sx", "sy"))
+        sxy, sxx, syy = (g[c].to_numpy() for c in ("sxy", "sxx", "syy"))
+        corr = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"]),
+                "l_linestatus": pa.array(g["l_linestatus"]),
+                "n_rows": pa.array(n.astype(np.int64), pa.int64()),
+                "corr_qty_price": pa.array(
+                    round_half_away(corr, 6), pa.float64()
+                ),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+# --------------------------------------------------------------------------
+# Argmin-winner join (TPC-H Q2 shape without partsupp): for every part, the
+# supplier that ever quoted the LOWEST lineitem price (exact cents;
+# tie-break lowest suppkey), then the leaderboard of how many parts each
+# supplier "wins". The per-part argmin is the high-cardinality exchange
+# (bucketed on l_partkey — one output row per part), the winner count per
+# supplier is a fixed-small second aggregate (|supplier| ≪ |part|), and
+# supplier names attach via one broadcast lookup — the lineitem fact table
+# never shuffles on a join key.
+@register(
+    "cheapest_supplier_leaderboard",
+    sql="""
+    WITH cents AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    m AS (SELECT pk, sk, min(c) AS mc FROM cents GROUP BY 1, 2),
+    w AS (
+      SELECT pk, sk,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY mc, sk) AS rn
+      FROM m
+    )
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_parts_won
+    FROM w JOIN supplier ON sk = s_suppkey
+    WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def cheapest_supplier_leaderboard(sf_dir: str):
+    n_li = table_num_rows(sf_dir, "lineitem")
+
+    def pre(t: pa.Table) -> pa.Table:
+        # map-side combine: collapse to per-(part, supp) min before the
+        # exchange so repeated quotes never cross the wire
+        c = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        m = pa.table(
+            {"pk": t["l_partkey"], "sk": t["l_suppkey"], "c": c}
+        )
+        return (
+            pa.TableGroupBy(m, ["pk", "sk"])
+            .aggregate([("c", "min")])
+            .rename_columns(["pk", "sk", "mc"])
+        )
+
+    def winner_per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["pk", "sk"], as_index=False).agg(mc=("mc", "min"))
+        g = g.sort_values(["pk", "mc", "sk"], kind="mergesort")
+        return g.drop_duplicates("pk")[["pk", "sk"]]
+
+    winners = bucketed_group_agg(
+        table(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(pre, batch_format="pyarrow"),
+        ["pk"],
+        winner_per_part,
+        approx_rows=n_li,
+    )
+
+    # winner rows = one per part; per-supplier counts are a bounded
+    # (|supplier|-cardinality) partial stream → local final combine
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["sk"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["sk", "n"])
+        )
+
+    import pyarrow.dataset as pads
+
+    sup = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(columns=["s_suppkey", "s_name"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("sk", as_index=False).agg(n=("n", "sum"))
+        idx = np.searchsorted(
+            sup["s_suppkey"].to_numpy(np.int64), g["sk"].to_numpy(np.int64)
+        )
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g["sk"].to_numpy(np.int64), pa.int64()),
+                "s_name": pa.array(sup["s_name"].to_numpy()[idx]),
+                "n_parts_won": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return combine_small(
+        winners.map_batches(count_partial, batch_format="pyarrow"), final
+    )
+
+
+# --------------------------------------------------------------------------
+# Big-big conditional join matrix (TPC-H Q12 shape): per order priority,
+# how many lineitems shipped LATE (> 60 days after the order date) vs total.
+# Two fact tables meet on orderkey: below ORDERS_BROADCAST_MAX the orders
+# side broadcasts ONCE (ray.put of three parallel arrays, searchsorted
+# lookup per block — orderkeys are a sorted PK); above it, a hash join
+# partitioned through join_partitions(). Both paths collapse to a ≤5-row
+# matrix via fixed-cardinality partials, so nothing wide leaves the join.
+ORDERS_BROADCAST_MAX = 1_000_000  # (key, date_us, prio_code) ≈ 17 B/row
+
+
+@register(
+    "late_shipment_priority_matrix",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority_matrix(
+    sf_dir: str, broadcast_max: int = ORDERS_BROADCAST_MAX
+):
+    li = table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    sixty_days_us = 60 * 86_400 * 1_000_000
+
+    def matrix(prio_codes: np.ndarray, late: np.ndarray,
+               prios: np.ndarray) -> pa.Table:
+        n_lines = np.bincount(prio_codes, minlength=len(prios))
+        n_late = np.bincount(
+            prio_codes[late], minlength=len(prios)
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(prios),
+                "n_late": pa.array(n_late.astype(np.int64), pa.int64()),
+                "n_lines": pa.array(n_lines.astype(np.int64), pa.int64()),
+            }
+        )
+
+    if table_num_rows(sf_dir, "orders") <= broadcast_max:
+        note_path("late_shipment_priority_matrix", "broadcast")
+        import pyarrow.dataset as pads
+
+        od = (
+            pads.dataset(f"{sf_dir}/orders.parquet")
+            .to_table(columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        prios = np.sort(od["o_orderpriority"].unique())
+        code = {p: i for i, p in enumerate(prios)}
+        ref = ray.put(
+            (
+                od["o_orderkey"].to_numpy(np.int64),
+                od["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64),
+                od["o_orderpriority"].map(code).to_numpy(np.int8),
+            )
+        )
+
+        def partial(t: pa.Table, *, ref) -> pa.Table:
+            keys, date_us, pcode = ray.get(ref)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, lk)  # FK into orders: always present
+            ship_us = (
+                t["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            late = ship_us > date_us[idx] + sixty_days_us
+            return matrix(pcode[idx].astype(np.int64), late, prios)
+
+        partials = li.map_batches(
+            partial, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+        )
+    else:
+        note_path("late_shipment_priority_matrix", "join")
+        joined = li.join(
+            table(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def partial_joined(t: pa.Table) -> pa.Table:
+            prios = np.sort(np.unique(
+                t["o_orderpriority"].to_numpy(zero_copy_only=False)
+            ))
+            codes = np.searchsorted(
+                prios, t["o_orderpriority"].to_numpy(zero_copy_only=False)
+            )
+            ship_us = (
+                t["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            date_us = (
+                t["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            return matrix(codes, ship_us > date_us + sixty_days_us, prios)
+
+        partials = joined.map_batches(partial_joined, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("o_orderpriority", as_index=False)[["n_late", "n_lines"]]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# Date-spine gap fill: per-day event counts with MISSING days present as
+# zero rows (the reference's dashboards plot per-day counts where pandas
+# reindex fills gaps; distributed form: bounded per-day partials — days ×
+# blocks rows — one local combine, then a driver-built spine over the
+# observed [min, max] day range. The spine is |days| rows: bounded by the
+# corpus time span, never by corpus size).
+@register(
+    "events_daily_gap_fill",
+    sql="""
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM c)
+    SELECT s.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM b) s
+    LEFT JOIN c USING (day)
+    """,
+)
+def events_daily_gap_fill(sf_dir: str):
+    ds = table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
+        return (
+            pa.TableGroupBy(m, ["day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "n"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("day", as_index=False).agg(n=("n", "sum"))
+        if not len(g):
+            return pa.table(
+                {"day": pa.array([], pa.timestamp("us")),
+                 "n": pa.array([], pa.int64())}
+            )
+        spine = pd.date_range(g["day"].min(), g["day"].max(), freq="D")
+        out = (
+            g.set_index("day").reindex(spine, fill_value=0)
+            .rename_axis("day").reset_index()
+        )
+        return pa.table(
+            {
+                "day": pa.array(out["day"].to_numpy("datetime64[us]")),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+# --------------------------------------------------------------------------
+# Scalar-subquery anti-join (TPC-H Q22 shape): customers whose balance beats
+# the positive-balance average AND who have LAPSED — no order since
+# 2000-01-01 (the testdata's order dates span 1995..2001; a plain
+# "never ordered" anti-join is degenerate here because every synthetic
+# customer has orders). The average is compared in EXACT integer
+# cross-multiplication (cents · n_pos > Σcents_pos) so a float avg computed
+# in different summation orders can never flip a boundary customer between
+# engines. Recent-buyer custkeys broadcast as a distinct set (same gate
+# story as customers_without_urgent_orders: at 100 TB swap for a bucketed
+# hash anti-join keyed on custkey).
+LAPSED_CUTOFF = "2000-01-01"
+
+
+@register(
+    "high_balance_inactive_customers",
+    sql=f"""
+    WITH pos AS (
+      SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_acctbal > 0
+    ),
+    thr AS (SELECT count(*) AS n, SUM(cents) AS s FROM pos)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_bal
+    FROM customer, thr
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > s
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= DATE '{LAPSED_CUTOFF}')
+    GROUP BY 1
+    """,
+)
+def high_balance_inactive_customers(sf_dir: str):
+    cust = table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(
+            pc.round(
+                pc.multiply(t["c_acctbal"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+
+    # pass 1: exact positive-balance average as (n_pos, sum_cents_pos)
+    def thr_partial(t: pa.Table) -> pa.Table:
+        c = cents_of(t)
+        pos = c[c > 0]
+        return pa.table(
+            {
+                "n": pa.array([len(pos)], pa.int64()),
+                "s": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    thr = combine_small(
+        cust.map_batches(thr_partial, batch_format="pyarrow"),
+        lambda t: pa.table(
+            {
+                "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                "s": pa.array([pc.sum(t["s"]).as_py() or 0], pa.int64()),
+            }
+        ),
+    )
+    n_pos, s_pos = thr["n"][0].as_py(), thr["s"][0].as_py()
+
+    cutoff = pa.scalar(np.datetime64(LAPSED_CUTOFF, "us"))
+
+    def recent_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["o_orderdate"], cutoff)
+        ).select(["o_custkey"])
+
+    active = (
+        table(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(recent_only, batch_format="pyarrow")
+        .unique("o_custkey")
+    )
+    active_ref = ray.put(pa.array(active))
+
+    def partial(t: pa.Table, *, ref) -> pa.Table:
+        c = cents_of(t)
+        inactive = pc.invert(
+            pc.is_in(t["c_custkey"], value_set=ray.get(ref))
+        ).to_numpy(zero_copy_only=False)
+        keep = inactive & (c * n_pos > s_pos)
+        m = pa.table(
+            {
+                "c_nationkey": pa.array(
+                    t["c_nationkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "cents": pa.array(c[keep], pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["c_nationkey"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+            .rename_columns(["c_nationkey", "n_cust", "cents"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("c_nationkey", as_index=False)
+            .agg(n_cust=("n_cust", "sum"), cents=("cents", "sum"))
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(g["c_nationkey"]),
+                "n_cust": pa.array(g["n_cust"].to_numpy(np.int64), pa.int64()),
+                "total_bal": pa.array(
+                    g["cents"].to_numpy(np.int64) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return combine_small(
+        cust.map_batches(partial, fn_kwargs={"ref": active_ref},
+                         batch_format="pyarrow"),
+        final,
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-user MODE with deterministic tie-break (most frequent event_type,
+# ties to the lexicographically smallest type) — the reference's per-user
+# majority label (`value_counts().idxmax()` per user frame). Distributed:
+# map-side (user, type) combine, then ONE bucketed exchange on user_id;
+# each bucket resolves its users' argmax locally in vectorized pandas.
+@register(
+    "user_top_event_type",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def user_top_event_type(sf_dir: str):
+    n_ev = table_num_rows(sf_dir, "events")
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+
+    def mode_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        g = g.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "top_type": g["event_type"].to_numpy(),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_group_agg(
+        table(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pre, batch_format="pyarrow"),
+        ["user_id"],
+        mode_per_user,
+        approx_rows=n_ev,
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation over the dimension tables: the comma-joined,
+# name-sorted nation list per region. region × nation are FIXED 5 + 25 row
+# dimensions at every scale factor (TPC-H invariant), so a driver-side
+# pandas merge is the honest plan — launching a distributed pipeline for
+# 30 rows costs more than the read (same rationale as the dimension-name
+# attach in regional_revenue).
+@register(
+    "region_nation_list",
+    sql="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY 1
+    """,
+)
+def region_nation_list(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table().to_pandas()
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table().to_pandas()
+    df = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    g = (
+        df.sort_values("n_name")
+        .groupby("r_name")["n_name"]
+        .agg([("nations", ",".join), ("n_nations", "size")])
+        .reset_index()
+    )
+    g["n_nations"] = g["n_nations"].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
