@@ -966,3 +966,85 @@ def curated_corpus_export(sf_dir: str, out_dir: str | None = None):
     return pa.Table.from_pandas(
         g.sort_values("shard").reset_index(drop=True), preserve_index=False
     )
+
+
+# --------------------------------------------------------------------------
+# Training-batch packing per (aspect bucket, shard): the step between
+# curation and the data loader — images are grouped into fixed-size
+# batches that never mix aspect buckets (so one batch shares a canvas and
+# collates without padding waste) and never cross shards (so a worker can
+# pack its own shard with NO global coordination; the packing is
+# embarrassingly parallel in (bucket, shard), which is what makes it hold
+# at 10^10 images — shard count is the parallelism knob a real export
+# scales with corpus size, 64 here to keep the oracle output readable).
+# Deterministic order within a group = ascending doc_id, so the plan is
+# reproducible run-to-run and SQL-replayable with ROW_NUMBER.
+PACK_BATCH = 64
+PACK_SHARDS = 64
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(32 + (doc_id * 7) % 33 AS DOUBLE) /
+         CAST(32 + (doc_id * 11) % 33 AS DOUBLE) AS aspect,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM documents),
+b AS (SELECT doc_id, shard, CASE {_ASPECT_SQL_CASE} END AS bucket FROM d),
+r AS (SELECT bucket, shard, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                ORDER BY doc_id) - 1 AS rn
+      FROM b)
+SELECT bucket, CAST(shard AS BIGINT) AS shard,
+       CAST(rn // {PACK_BATCH} AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_imgs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       count(*) = {PACK_BATCH} AS full
+FROM r GROUP BY 1, 2, 3
+"""
+
+
+@register("image_train_batch_packing", sql=_PACK_SQL)
+def image_train_batch_packing(sf_dir: str):
+    from .common import bucketed_group_agg
+
+    n_rows = table_num_rows(sf_dir, "documents")
+    ds = table(sf_dir, "documents", ["doc_id"])
+
+    bucket_names = np.asarray(_ASPECT_BUCKETS, dtype=object)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        w, h = _dims_from_doc_id(d)
+        aspect = w.astype(np.float64) / h.astype(np.float64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    bucket_names[np.digitize(aspect, _ASPECT_BOUNDS)],
+                    pa.string(),
+                ),
+                "shard": pa.array(d % PACK_SHARDS, pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+            }
+        )
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        # one (bucket, shard) cell arrives whole; vectorized rank → batch
+        g = g.sort_values(["bucket", "shard", "doc_id"], kind="mergesort")
+        rn = g.groupby(["bucket", "shard"], sort=False).cumcount().to_numpy()
+        g = g.assign(batch_id=(rn // PACK_BATCH).astype(np.int64))
+        out = g.groupby(["bucket", "shard", "batch_id"], as_index=False).agg(
+            n_imgs=("doc_id", "size"),
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+        )
+        out["n_imgs"] = out["n_imgs"].astype(np.int64)
+        out["full"] = out["n_imgs"] == PACK_BATCH
+        return out
+
+    return bucketed_group_agg(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["bucket", "shard"],
+        pack_group,
+        approx_rows=n_rows,
+    )

@@ -617,3 +617,244 @@ def region_nation_list(sf_dir: str):
     )
     g["n_nations"] = g["n_nations"].astype(np.int64)
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# EXACT distributed median without a global sort: two bounded passes.
+# Pass 1 streams per-(priority, coarse-bucket) counts (5 × 4096 cells —
+# fixed cardinality, no shuffle); the driver locates, per priority, the
+# bucket(s) holding the two middle ranks. Pass 2 re-scans with a pushed
+# filter that keeps ONLY rows in those buckets (a vanishing fraction:
+# ~n/4096 rows per priority) and collects their exact cent values to
+# resolve the ranks locally. Both engines then average the SAME two int64
+# cents in one IEEE op, so the DOUBLE result is bit-identical — no rounding
+# tolerance needed. This is the scale-honest shape for exact quantiles at
+# 100 TB: wall time is two streaming scans, memory is cells + one bucket.
+MEDIAN_BUCKETS = 4096
+
+
+@register(
+    "order_price_exact_median_by_priority",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           median(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+             AS median_price
+    FROM orders GROUP BY 1
+    """,
+)
+def order_price_exact_median_by_priority(sf_dir: str):
+    ds = table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(
+            pc.round(
+                pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+
+    # pass 1a: global cent range + count per priority (bounded partials)
+    def range_partial(t: pa.Table) -> pa.Table:
+        c = cents_of(t)
+        m = pa.table(
+            {
+                "prio": t["o_orderpriority"],
+                "lo": pa.array(c, pa.int64()),
+                "hi": pa.array(c, pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["prio"])
+            .aggregate([("lo", "min"), ("hi", "max"), ([], "count_all")])
+            .rename_columns(["prio", "lo", "hi", "n"])
+        )
+
+    rng = combine_small(
+        ds.map_batches(range_partial, batch_format="pyarrow"),
+        lambda t: pa.TableGroupBy(t, ["prio"])
+        .aggregate([("lo", "min"), ("hi", "max"), ("n", "sum")])
+        .rename_columns(["prio", "lo", "hi", "n"]),
+    ).to_pandas().sort_values("prio").reset_index(drop=True)
+    prios = rng["prio"].to_numpy()
+    lo = rng["lo"].to_numpy(np.int64)
+    width = np.maximum(
+        (rng["hi"].to_numpy(np.int64) - lo) // MEDIAN_BUCKETS + 1, 1
+    )
+    pcode = {p: i for i, p in enumerate(prios)}
+    rng_ref = ray.put((pcode, lo, width))
+
+    # pass 1b: per-(priority, bucket) histogram — ≤ 5 × 4096 cells
+    def hist_partial(t: pa.Table, *, ref) -> pa.Table:
+        pcode, lo, width = ray.get(ref)
+        c = cents_of(t)
+        pi = np.fromiter(
+            (pcode[p] for p in t["o_orderpriority"].to_pylist()),
+            np.int64, len(c),
+        )
+        b = (c - lo[pi]) // width[pi]
+        cell = pi * MEDIAN_BUCKETS + b
+        cnt = np.bincount(cell, minlength=len(pcode) * MEDIAN_BUCKETS)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"cell": pa.array(nz, pa.int64()),
+             "n": pa.array(cnt[nz], pa.int64())}
+        )
+
+    hist = combine_small(
+        ds.map_batches(hist_partial, fn_kwargs={"ref": rng_ref},
+                       batch_format="pyarrow"),
+        lambda t: pa.TableGroupBy(t, ["cell"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["cell", "n"]),
+    ).to_pandas()
+
+    # driver: per priority, the bucket(s) holding ranks (n-1)//2 and n//2
+    want_buckets: dict[int, set[int]] = {}
+    for i, p in enumerate(prios):
+        h = hist[(hist["cell"] // MEDIAN_BUCKETS) == i].sort_values("cell")
+        counts = h["n"].to_numpy(np.int64)
+        buckets = (h["cell"] % MEDIAN_BUCKETS).to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(rng["n"][i])
+        want = set()
+        for rank in ((n - 1) // 2, n // 2):
+            want.add(int(buckets[np.searchsorted(cum, rank + 1)]))
+        want_buckets[i] = want
+    want_ref = ray.put(want_buckets)
+
+    # pass 2: keep only rows inside the median buckets (~n/4096 rows)
+    def in_median_bucket(t: pa.Table, *, ref, rref) -> pa.Table:
+        want = ray.get(ref)
+        pcode, lo, width = ray.get(rref)
+        c = cents_of(t)
+        pi = np.fromiter(
+            (pcode[p] for p in t["o_orderpriority"].to_pylist()),
+            np.int64, len(c),
+        )
+        b = (c - lo[pi]) // width[pi]
+        keep = np.fromiter(
+            (bb in want[pp] for pp, bb in zip(pi, b)), bool, len(c)
+        )
+        return pa.table(
+            {"pi": pa.array(pi[keep], pa.int64()),
+             "cents": pa.array(c[keep], pa.int64())}
+        )
+
+    survivors = combine_small(
+        ds.map_batches(
+            in_median_bucket,
+            fn_kwargs={"ref": want_ref, "rref": rng_ref},
+            batch_format="pyarrow",
+        ),
+        lambda t: t,
+    ).to_pandas()
+
+    out_prio, out_n, out_med = [], [], []
+    for i, p in enumerate(prios):
+        n = int(rng["n"][i])
+        vals = np.sort(survivors[survivors["pi"] == i]["cents"].to_numpy())
+        # rank of the first survivor = total count below its bucket(s)
+        h = hist[(hist["cell"] // MEDIAN_BUCKETS) == i].sort_values("cell")
+        below = int(
+            h[(h["cell"] % MEDIAN_BUCKETS)
+              < min(want_buckets[i])]["n"].sum()
+        )
+        lo_mid = int(vals[(n - 1) // 2 - below])
+        hi_mid = int(vals[n // 2 - below])
+        out_prio.append(p)
+        out_n.append(n)
+        out_med.append((lo_mid + hi_mid) / 2.0 / 100.0)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out_prio),
+            "n_orders": pa.array(out_n, pa.int64()),
+            "median_price": pa.array(out_med, pa.float64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap sweep line: how many orders are OPEN each day, where an
+# order is open for 30 days from its order date. The distributed form
+# never materializes per-day memberships: each block emits +count at the
+# open day and -count at the close day (per-day deltas — bounded by the
+# calendar span × blocks), one local combine sums deltas per day, and a
+# single driver-side cumulative sum over the bounded day spine yields the
+# backlog curve. Classic scan-heavy/streaming shape for range joins whose
+# join key is time containment.
+@register(
+    "open_orders_daily_backlog",
+    sql="""
+    WITH b AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    del AS (
+      SELECT d, n FROM b
+      UNION ALL
+      SELECT d + INTERVAL 30 DAY AS d, -n FROM b
+    ),
+    agg AS (SELECT d, SUM(n) AS delta FROM del GROUP BY 1),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM agg),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM bounds)
+    SELECT s.day,
+           CAST(SUM(COALESCE(a.delta, 0))
+                OVER (ORDER BY s.day) AS BIGINT) AS n_open
+    FROM spine s LEFT JOIN agg a ON a.d = s.day
+    """,
+)
+def open_orders_daily_backlog(sf_dir: str):
+    ds = table(sf_dir, "orders", ["o_orderdate"])
+    open_days_us = np.timedelta64(30, "D").astype("timedelta64[us]")
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["o_orderdate"], unit="day")
+        m = pa.table({"d": day})
+        opens = (
+            pa.TableGroupBy(m, ["d"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["d", "delta"])
+        )
+        closes = pa.table(
+            {
+                "d": pa.array(
+                    opens["d"].to_numpy(zero_copy_only=False) + open_days_us
+                ),
+                "delta": pc.negate(pc.cast(opens["delta"], pa.int64())),
+            }
+        )
+        return pa.concat_tables(
+            [opens.set_column(
+                1, "delta", pc.cast(opens["delta"], pa.int64())), closes]
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("d", as_index=False).agg(
+            delta=("delta", "sum")
+        )
+        if not len(g):
+            return pa.table(
+                {"day": pa.array([], pa.timestamp("us")),
+                 "n_open": pa.array([], pa.int64())}
+            )
+        spine = pd.date_range(g["d"].min(), g["d"].max(), freq="D")
+        filled = (
+            g.set_index("d").reindex(spine, fill_value=0)
+            .rename_axis("day").reset_index()
+        )
+        return pa.table(
+            {
+                "day": pa.array(filled["day"].to_numpy("datetime64[us]")),
+                "n_open": pa.array(
+                    np.cumsum(filled["delta"].to_numpy(np.int64)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return combine_small(
+        ds.map_batches(delta_partial, batch_format="pyarrow"), final
+    )

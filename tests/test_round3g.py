@@ -107,3 +107,83 @@ def test_mode_tiebreak_is_lexicographic(ray_session):
         tied = sorted(g[g["n"] == g["n"].max()]["event_type"])
         assert top.loc[uid, "top_type"] == tied[0]
         assert top.loc[uid, "n"] == g["n"].max()
+
+
+NEW_OPS_B = [
+    "image_train_batch_packing",
+    "order_price_exact_median_by_priority",
+    "open_orders_daily_backlog",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS_B)
+def test_new_ops_b_match_oracle(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_batch_packing_invariants(ray_session):
+    """Within each (bucket, shard): batch ids are contiguous from 0, every
+    batch but the last is full, batches never overlap in doc range, and
+    the packing conserves the corpus (Σ n_imgs == |documents|)."""
+    import duckdb
+
+    from raycrawl.ops.imageprep import PACK_BATCH
+
+    df = run_query("image_train_batch_packing", SF)
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert int(df["n_imgs"].sum()) == n_docs
+    assert (df["n_imgs"] <= PACK_BATCH).all()
+    assert (df["full"] == (df["n_imgs"] == PACK_BATCH)).all()
+    for (_b, _s), g in df.groupby(["bucket", "shard"]):
+        g = g.sort_values("batch_id")
+        assert list(g["batch_id"]) == list(range(len(g)))
+        assert (g["n_imgs"].to_numpy()[:-1] == PACK_BATCH).all()
+        # ascending-doc_id packing → batch doc ranges are disjoint, ordered
+        assert (g["first_doc"].to_numpy()[1:]
+                > g["last_doc"].to_numpy()[:-1]).all()
+
+
+def test_exact_median_matches_numpy(ray_session):
+    """The two-pass bucket refinement must reproduce numpy's exact median
+    of the cent values, per priority, bit-for-bit."""
+    import duckdb
+
+    df = run_query("order_price_exact_median_by_priority", SF).set_index(
+        "o_orderpriority"
+    )
+    raw = duckdb.sql(
+        f"SELECT o_orderpriority, "
+        f"CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    for p, g in raw.groupby("o_orderpriority"):
+        v = np.sort(g["cents"].to_numpy(np.int64))
+        n = len(v)
+        want = (int(v[(n - 1) // 2]) + int(v[n // 2])) / 2.0 / 100.0
+        assert df.loc[p, "median_price"] == want
+        assert df.loc[p, "n_orders"] == n
+
+
+def test_backlog_sweep_invariants(ray_session):
+    """The backlog curve starts with the first day's order count, never
+    goes negative, ends at zero (every order closes 30 days out), and its
+    peak is bounded by the total order count."""
+    import duckdb
+
+    df = run_query("open_orders_daily_backlog", SF).sort_values("day")
+    n_orders, first_day_n = duckdb.sql(
+        f"SELECT count(*), "
+        f"(SELECT count(*) FROM read_parquet('{SF}/orders.parquet') "
+        f" WHERE date_trunc('day', o_orderdate) = "
+        f" (SELECT min(date_trunc('day', o_orderdate)) "
+        f"  FROM read_parquet('{SF}/orders.parquet'))) "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()
+    curve = df["n_open"].to_numpy()
+    assert curve[0] == first_day_n
+    assert (curve >= 0).all()
+    assert curve[-1] == 0
+    assert curve.max() <= n_orders
