@@ -290,6 +290,7 @@ def merge_checkpoints(
     with open(os.path.join(d, "driver_manifest.json"), "w") as f:
         json.dump(
             {"epoch": 0, "merged_from": [dir_a, dir_b],
+             "merged_from_epochs": [epoch_a, epoch_b],
              "phase_seconds": {}},
             f,
         )
@@ -476,13 +477,33 @@ def reshard_checkpoint(
     from ..core.urltools import host_of
 
     ph_by_shard: dict[int, list] | None = {}
+    # A MERGED checkpoint has no payload tree of its own — its payload is
+    # the union of its sources' trees (merge.py:35). Walk the merged_from
+    # chain (a merge of merges recurses) collecting every source's payload
+    # files up to the epoch that source contributed, so the payload↔index
+    # invariant (index == payload-emitted phashes) keeps holding and the
+    # reshard stays EXACT for federated crawls too.
     pay_files = []
-    for f in _glob.glob(
-        os.path.join(src_dir, "payload", "epoch=*", "*.parquet")
-    ):
-        ep = int(os.path.basename(os.path.dirname(f)).split("=")[1])
-        if ep <= epoch:
-            pay_files.append(f)
+    walk = [(src_dir, epoch)]
+    seen_dirs = set()
+    while walk:
+        d, ep_cap = walk.pop()
+        if d in seen_dirs:
+            continue
+        seen_dirs.add(d)
+        for f in _glob.glob(os.path.join(d, "payload", "epoch=*", "*.parquet")):
+            ep = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+            if ep <= ep_cap:
+                pay_files.append(f)
+        dm = os.path.join(d, "checkpoints", f"epoch={ep_cap}",
+                          "driver_manifest.json")
+        if os.path.exists(dm):
+            with open(dm) as fh:
+                man = json.load(fh)
+            srcs = man.get("merged_from") or []
+            eps = man.get("merged_from_epochs") or [None] * len(srcs)
+            for s, se in zip(srcs, eps):
+                walk.append((s, se if se is not None else _latest_epoch(s)))
     if not len(union_ph):
         # nothing was ever gated (e.g. the crawl ran with phash_radius=-1,
         # or no page emitted yet): empty per-shard indexes ARE the exact

@@ -1013,3 +1013,66 @@ def embedding_int8_quantize_stats(sf_dir: str):
     return combine_small(
         ds.map_batches(code_partial, batch_format="pandas"), code_combine
     )
+
+
+# --------------------------------------------------------------------------
+# PCA variance spectrum of the embedding corpus — the whitening /
+# dimensionality diagnostic a training pipeline runs before deciding how
+# many components to keep. Distributed shape: each block folds its vectors
+# into (n, Σx ∈ R^d, Σxxᵀ ∈ R^{d×d}) — one fixed-size (d²+d+1)-float row
+# per block at ANY corpus size — so the covariance assembles from bounded
+# partials with no shuffle, and only the d×d eigendecomposition runs on
+# the driver (d = 64 here; the shape holds for any d whose d² partial
+# fits a block, i.e. well past d = 4096). No SQL oracle (eigensolve);
+# pytest pins it to numpy over the full table.
+PCA_TOP = 8
+
+
+@register("embedding_pca_variance_spectrum", sql=None)
+def embedding_pca_variance_spectrum(sf_dir: str):
+    ds = table(sf_dir, "embeddings", ["embedding"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [m.shape[0]],
+                "s": [m.sum(axis=0).tobytes()],
+                "ss": [(m.T @ m).tobytes()],
+            }
+        )
+
+    from .common import combine_small
+
+    def final(t: pa.Table):
+        df = t.to_pandas()
+        n = int(df["n"].sum())
+        d = len(np.frombuffer(df["s"][0], np.float64))
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
+        for srow, ssrow in zip(df["s"], df["ss"]):
+            s += np.frombuffer(srow, np.float64)
+            ss += np.frombuffer(ssrow, np.float64).reshape(d, d)
+        mean = s / n
+        cov = ss / n - np.outer(mean, mean)
+        evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+        total = float(evals.sum())
+        top = evals[:PCA_TOP]
+        return pa.table(
+            {
+                "component": pa.array(np.arange(len(top)), pa.int64()),
+                "eigenvalue": pa.array(
+                    round_half_away(top, 8), pa.float64()
+                ),
+                "explained_ratio": pa.array(
+                    round_half_away(top / total, 6), pa.float64()
+                ),
+                "cum_explained": pa.array(
+                    round_half_away(np.cumsum(top) / total, 6), pa.float64()
+                ),
+            }
+        )
+
+    return combine_small(
+        ds.map_batches(moments, batch_format="pandas"), final
+    )

@@ -858,3 +858,325 @@ def open_orders_daily_backlog(sf_dir: str):
     return combine_small(
         ds.map_batches(delta_partial, batch_format="pyarrow"), final
     )
+
+
+# --------------------------------------------------------------------------
+# Shared exact-quantile machinery (the median op above is the q=0.5
+# special case; kept separate so its oracle story stays readable).
+# For a FIXED-cardinality group column, returns the exact int64 value at
+# each requested discrete rank per group, in two bounded streaming passes
+# (histogram → filtered re-scan), never a global sort. rank convention =
+# DuckDB quantile_disc: 0-indexed ceil(q*n) - 1 (the smallest element
+# whose cumulative fraction ≥ q).
+def _exact_group_discrete_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ints_of,
+    qs: tuple[float, ...],
+    n_buckets: int = 4096,
+):
+    """→ (groups: np.ndarray, counts: np.ndarray, quants: {q: np.ndarray})"""
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        c = ints_of(t)
+        m = pa.table(
+            {
+                "g": t[group_col],
+                "lo": pa.array(c, pa.int64()),
+                "hi": pa.array(c, pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["g"])
+            .aggregate([("lo", "min"), ("hi", "max"), ([], "count_all")])
+            .rename_columns(["g", "lo", "hi", "n"])
+        )
+
+    rng = combine_small(
+        ds.map_batches(range_partial, batch_format="pyarrow"),
+        lambda t: pa.TableGroupBy(t, ["g"])
+        .aggregate([("lo", "min"), ("hi", "max"), ("n", "sum")])
+        .rename_columns(["g", "lo", "hi", "n"]),
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    groups = rng["g"].to_numpy()
+    counts = rng["n"].to_numpy(np.int64)
+    lo = rng["lo"].to_numpy(np.int64)
+    width = np.maximum((rng["hi"].to_numpy(np.int64) - lo) // n_buckets + 1, 1)
+    gcode = {g: i for i, g in enumerate(groups)}
+    rng_ref = ray.put((gcode, lo, width))
+
+    def gidx(t: pa.Table, gcode) -> np.ndarray:
+        return np.fromiter(
+            (gcode[g] for g in t[group_col].to_pylist()),
+            np.int64, t.num_rows,
+        )
+
+    def hist_partial(t: pa.Table, *, ref) -> pa.Table:
+        gcode, lo, width = ray.get(ref)
+        c = ints_of(t)
+        gi = gidx(t, gcode)
+        cell = gi * n_buckets + (c - lo[gi]) // width[gi]
+        cnt = np.bincount(cell, minlength=len(gcode) * n_buckets)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"cell": pa.array(nz, pa.int64()),
+             "n": pa.array(cnt[nz], pa.int64())}
+        )
+
+    hist = combine_small(
+        ds.map_batches(hist_partial, fn_kwargs={"ref": rng_ref},
+                       batch_format="pyarrow"),
+        lambda t: pa.TableGroupBy(t, ["cell"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["cell", "n"]),
+    ).to_pandas()
+
+    # ranks per group: quantile_disc convention ceil(q*n)-1
+    import math
+
+    ranks = {
+        q: np.array(
+            [max(math.ceil(q * int(n)) - 1, 0) for n in counts], np.int64
+        )
+        for q in qs
+    }
+    want: dict[int, set[int]] = {i: set() for i in range(len(groups))}
+    below_of: dict[tuple[int, int], int] = {}
+    for i in range(len(groups)):
+        h = hist[(hist["cell"] // n_buckets) == i].sort_values("cell")
+        cnt = h["n"].to_numpy(np.int64)
+        buckets = (h["cell"] % n_buckets).to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        for q in qs:
+            j = int(np.searchsorted(cum, ranks[q][i] + 1))
+            b = int(buckets[j])
+            want[i].add(b)
+            below_of[(i, b)] = int(cum[j - 1]) if j else 0
+    want_ref = ray.put(want)
+
+    def in_want(t: pa.Table, *, ref, rref) -> pa.Table:
+        want = ray.get(ref)
+        gcode, lo, width = ray.get(rref)
+        c = ints_of(t)
+        gi = gidx(t, gcode)
+        b = (c - lo[gi]) // width[gi]
+        keep = np.fromiter(
+            (bb in want[gg] for gg, bb in zip(gi, b)), bool, len(c)
+        )
+        return pa.table(
+            {"gi": pa.array(gi[keep], pa.int64()),
+             "b": pa.array(b[keep], pa.int64()),
+             "v": pa.array(c[keep], pa.int64())}
+        )
+
+    surv = combine_small(
+        ds.map_batches(in_want, fn_kwargs={"ref": want_ref, "rref": rng_ref},
+                       batch_format="pyarrow"),
+        lambda t: t,
+    ).to_pandas()
+
+    quants = {q: np.empty(len(groups), np.int64) for q in qs}
+    for i in range(len(groups)):
+        gs = surv[surv["gi"] == i]
+        for q in qs:
+            # locate the bucket containing this rank, then index inside it
+            h = hist[(hist["cell"] // n_buckets) == i].sort_values("cell")
+            cum = np.cumsum(h["n"].to_numpy(np.int64))
+            j = int(np.searchsorted(cum, ranks[q][i] + 1))
+            b = int((h["cell"] % n_buckets).to_numpy(np.int64)[j])
+            vals = np.sort(gs[gs["b"] == b]["v"].to_numpy(np.int64))
+            quants[q][i] = int(vals[ranks[q][i] - below_of[(i, b)]])
+    return groups, counts, quants
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean per event type: clip values to the exact [p5, p95]
+# discrete quantiles, then average — the robust aggregate a quality-score
+# pipeline uses so a handful of garbage values cannot move a corpus
+# statistic. Quantiles come from the bounded two-pass machinery above
+# (no global sort); the clipped sum is one more streaming pass in exact
+# integer cents; both engines divide the same two exact ints, so ROUND
+# agrees bit-for-bit.
+@register(
+    "event_value_winsorized_mean",
+    sql="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_disc(c, 0.05) AS lo,
+             quantile_disc(c, 0.95) AS hi,
+             count(*) AS n
+      FROM e GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(max(q.n) AS BIGINT) AS n,
+           CAST(max(q.lo) AS DOUBLE) / 100 AS p05,
+           CAST(max(q.hi) AS DOUBLE) / 100 AS p95,
+           ROUND(SUM(LEAST(GREATEST(e.c, q.lo), q.hi))
+                 / (100.0 * count(*)), 4) AS winsorized_mean
+    FROM e JOIN q USING (event_type)
+    GROUP BY 1
+    """,
+)
+def event_value_winsorized_mean(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_type", "value"])
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(
+            pc.round(
+                pc.multiply(t["value"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+
+    groups, counts, quants = _exact_group_discrete_quantiles(
+        ds, "event_type", cents_of, (0.05, 0.95)
+    )
+    lo_q, hi_q = quants[0.05], quants[0.95]
+    gcode = {g: i for i, g in enumerate(groups)}
+    clip_ref = ray.put((gcode, lo_q, hi_q))
+
+    def clipped_partial(t: pa.Table, *, ref) -> pa.Table:
+        gcode, lo_q, hi_q = ray.get(ref)
+        c = cents_of(t)
+        gi = np.fromiter(
+            (gcode[g] for g in t["event_type"].to_pylist()),
+            np.int64, len(c),
+        )
+        s = np.bincount(
+            gi, weights=np.clip(c, lo_q[gi], hi_q[gi]), minlength=len(gcode)
+        )
+        return pa.table(
+            {
+                "gi": pa.array(np.arange(len(gcode)), pa.int64()),
+                "s": pa.array(s.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("gi", as_index=False).agg(s=("s", "sum"))
+        s = np.zeros(len(groups), np.int64)
+        s[g["gi"].to_numpy(np.int64)] = g["s"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(groups),
+                "n": pa.array(counts, pa.int64()),
+                "p05": pa.array(lo_q / 100.0, pa.float64()),
+                "p95": pa.array(hi_q / 100.0, pa.float64()),
+                "winsorized_mean": pa.array(
+                    round_half_away(s / (100.0 * counts), 4), pa.float64()
+                ),
+            }
+        )
+
+    return combine_small(
+        ds.map_batches(clipped_partial, fn_kwargs={"ref": clip_ref},
+                       batch_format="pyarrow"),
+        final,
+    )
+
+
+# --------------------------------------------------------------------------
+# Least-squares trendline per (returnflag, linestatus): slope, intercept
+# and R² of extendedprice-cents against quantity, from the same six
+# streaming moments as the correlation op (bounded partials, no shuffle at
+# any scale). The oracle recomputes the identical closed forms from the
+# same exact-integer moments — NOT regr_slope() — so both engines evaluate
+# the same float expressions on the same inputs.
+@register(
+    "qty_price_regression_by_flag",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS sy,
+             SUM(CAST(l_quantity AS DOUBLE)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DOUBLE)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def qty_price_regression_by_flag(sf_dir: str):
+    ds = table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False)
+        y = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy().astype(np.float64)
+        m = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "n": pa.array(np.ones(len(x)), pa.float64()),
+                "sx": pa.array(x, pa.float64()),
+                "sy": pa.array(y, pa.float64()),
+                "sxy": pa.array(x * y, pa.float64()),
+                "sxx": pa.array(x * x, pa.float64()),
+                "syy": pa.array(y * y, pa.float64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+            )
+            .rename_columns(
+                ["l_returnflag", "l_linestatus",
+                 "n", "sx", "sy", "sxy", "sxx", "syy"]
+            )
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum()
+        )
+        n, sx, sy = (g[c].to_numpy() for c in ("n", "sx", "sy"))
+        sxy, sxx, syy = (g[c].to_numpy() for c in ("sxy", "sxx", "syy"))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        r2 = (n * sxy - sx * sy) ** 2 / (
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"]),
+                "l_linestatus": pa.array(g["l_linestatus"]),
+                "n_rows": pa.array(n.astype(np.int64), pa.int64()),
+                "slope": pa.array(round_half_away(slope, 4), pa.float64()),
+                "intercept": pa.array(
+                    round_half_away(intercept, 4), pa.float64()
+                ),
+                "r2": pa.array(round_half_away(r2, 6), pa.float64()),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)

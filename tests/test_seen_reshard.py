@@ -161,3 +161,45 @@ def test_merge_preserves_hostkeys_for_exact_reshard(ray_session, tmp_path):
                                f"shard={sid}", "manifest.json")) as f:
             assert (json.load(f)["resharded_from"]["seen_ownership"]
                     == "exact")
+
+
+def test_reshard_merged_phash_exact_via_source_payloads(
+    ray_session, tmp_path
+):
+    """A merged checkpoint has no payload tree of its own, so exact phash
+    redistribution must chase the merged_from chain to the SOURCE payload
+    trees (merge.py records merged_from + merged_from_epochs). Each new
+    shard's phash index must hold exactly the phashes of the payload pages
+    whose host it owns."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from raycrawl.core.urltools import host_of
+    from raycrawl.frontier.merge import merge_checkpoints, reshard_checkpoint
+
+    seeds = seed_urls(WEB)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _run(a, seeds[:3])
+    _run(b, seeds[3:])
+    m, out = str(tmp_path / "m"), str(tmp_path / "out")
+    merge_checkpoints(a, b, m)
+    reshard_checkpoint(m, out, 4)
+
+    # expected ownership straight from the two source payload sidecars
+    want: dict[int, list] = {sid: [] for sid in range(4)}
+    for src in (a, b):
+        fs = glob.glob(os.path.join(src, "payload", "epoch=*", "*.parquet"))
+        t = pads.dataset(fs).to_table(columns=["url", "phash"])
+        for u, ph in zip(t["url"].to_pylist(), t["phash"].to_pylist()):
+            want[shard_of_host(host_of(u), 4)].append(ph & (2**64 - 1))
+
+    for sid in range(4):
+        d = os.path.join(out, "checkpoints", "epoch=0", f"shard={sid}")
+        with open(os.path.join(d, "manifest.json")) as f:
+            assert (json.load(f)["resharded_from"]["phash_ownership"]
+                    == "exact")
+        got = sorted(
+            int(x) for x in np.load(os.path.join(d, "sketches.npz"))["phash"]
+        )
+        assert got == sorted(want[sid])

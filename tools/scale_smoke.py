@@ -280,6 +280,37 @@ def main() -> None:
     )
     run("orders_seasonality_index")
 
+    # round-3 session-6 additions at 2.05M docs / 15M orders / 6M lineitem
+    bp = run("image_train_batch_packing")  # 2.05M docs, 448 pack cells
+    checks["batch_packing_conserves_corpus"] = int(bp["n_imgs"].sum()) == n_docs
+    md = run("order_price_exact_median_by_priority")  # 15M-order 2-pass
+    n_orders = table_num_rows(args.dir, "orders")
+    checks["median_covers_all_orders"] = int(md["n_orders"].sum()) == n_orders
+    bl = run("open_orders_daily_backlog")
+    curve = bl.sort_values("day")["n_open"].to_numpy()
+    checks["backlog_sweep_closes"] = bool(
+        (curve >= 0).all() and curve[-1] == 0
+    )
+    lt = run("late_shipment_priority_matrix")  # 15M orders > 1M gate
+    checks["late_matrix_join_branch"] = (
+        PATH_LOG.get("late_shipment_priority_matrix") == "join"
+    )
+    checks["late_matrix_bounded"] = bool(
+        (lt["n_late"] <= lt["n_lines"]).all()
+        and int(lt["n_lines"].sum()) == table_num_rows(args.dir, "lineitem")
+    )
+    ut = run("user_top_event_type")  # 2.5M events bucketed mode
+    checks["user_mode_one_row_per_user"] = ut["user_id"].is_unique
+    cw = run("cheapest_supplier_leaderboard")  # 6M lineitem argmin
+    checks["leaderboard_unique_suppliers"] = (
+        len(cw) > 0 and cw["s_suppkey"].is_unique
+    )
+    pcf = run("price_qty_corr_by_flag")  # moments partials, no shuffle
+    checks["corr_in_range"] = bool(
+        ((pcf["corr_qty_price"] >= -1) & (pcf["corr_qty_price"] <= 1)).all()
+    )
+    run("high_balance_inactive_customers")
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
