@@ -1180,3 +1180,97 @@ def qty_price_regression_by_flag(sf_dir: str):
         )
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+# --------------------------------------------------------------------------
+# Churn EXCEPT-shape: (user, event_type) pairs active in the first 90% of
+# the corpus time range with NO event in the final decile — the "stopped
+# doing X" report (a plain per-user half split is degenerate on this
+# corpus: every synthetic user stays active, so the anti-set granularity
+# is the pair). The cutoff is computed in exact integer microseconds on
+# both engines (interval division rounds differently than int floor-div,
+# so the SQL replays the same epoch_us arithmetic). Distributed: each
+# block emits per-pair (n_early, n_late) count-partials, then one
+# bucketed exchange keeps early AND NOT late.
+@register(
+    "churned_user_event_types",
+    sql="""
+    WITH b AS (
+      SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+    ),
+    tagged AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) < lo + (hi - lo) * 9 // 10 AS in_early
+      FROM events, b
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_early
+    FROM tagged
+    GROUP BY 1, 2
+    HAVING bool_or(in_early) AND NOT bool_or(NOT in_early)
+    """,
+)
+def churned_user_event_types(sf_dir: str):
+    ds = table(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_ev = table_num_rows(sf_dir, "events")
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "lo": pa.array([int(us.min())], pa.int64()),
+                "hi": pa.array([int(us.max())], pa.int64()),
+            }
+        )
+
+    rng = combine_small(
+        ds.map_batches(range_partial, batch_format="pyarrow"),
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t["lo"]).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(t["hi"]).as_py()], pa.int64()),
+            }
+        ),
+    )
+    lo, hi = rng["lo"][0].as_py(), rng["hi"][0].as_py()
+    cutoff = lo + (hi - lo) * 9 // 10
+
+    def tag_partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        m = pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ne": pa.array((us < cutoff).astype(np.int64), pa.int64()),
+                "nl": pa.array((us >= cutoff).astype(np.int64), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["user_id", "event_type"])
+            .aggregate([("ne", "sum"), ("nl", "sum")])
+            .rename_columns(["user_id", "event_type", "ne", "nl"])
+        )
+
+    def churned(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            ne=("ne", "sum"), nl=("nl", "sum")
+        )
+        out = out[(out["ne"] > 0) & (out["nl"] == 0)]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "event_type": out["event_type"].to_numpy(),
+                "n_early": out["ne"].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(tag_partial, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        churned,
+        approx_rows=n_ev,
+    )

@@ -95,3 +95,28 @@ def test_pca_spectrum_matches_numpy(ray_session):
     )
     cum = df["cum_explained"].to_numpy()
     assert (np.diff(cum) > 0).all() and cum[-1] <= 1.0 + 1e-9
+
+
+def test_churned_pairs_match_oracle(ray_session):
+    got = norm(run_query("churned_user_event_types", SF))
+    want = norm(oracle("churned_user_event_types", SF))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_churned_pairs_are_genuinely_absent_late(ray_session):
+    """Every reported pair has zero events at-or-after the exact integer-
+    microsecond cutoff, and at least one before it."""
+    import duckdb
+
+    df = run_query("churned_user_event_types", SF)
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    lo, hi = int(ev["us"].min()), int(ev["us"].max())
+    cutoff = lo + (hi - lo) * 9 // 10
+    for _, r in df.iterrows():
+        g = ev[(ev["user_id"] == r["user_id"])
+               & (ev["event_type"] == r["event_type"])]
+        assert (g["us"] < cutoff).sum() == r["n_early"] > 0
+        assert (g["us"] >= cutoff).sum() == 0
