@@ -90,6 +90,21 @@ BENCH_QUERIES = [
     "small_quantity_part_revenue",
     "large_volume_customers",
     "nation_yearly_market_share",
+    # round-3 session-7 additions (moments corr/regression, argmin winners,
+    # Q12/Q22 joins, exact median/quantiles, sweep line, packing, mode)
+    "price_qty_corr_by_flag",
+    "cheapest_supplier_leaderboard",
+    "late_shipment_priority_matrix",
+    "events_daily_gap_fill",
+    "high_balance_inactive_customers",
+    "user_top_event_type",
+    "image_train_batch_packing",
+    "order_price_exact_median_by_priority",
+    "open_orders_daily_backlog",
+    "event_value_winsorized_mean",
+    "qty_price_regression_by_flag",
+    "embedding_pca_variance_spectrum",
+    "churned_user_event_types",
 ]
 
 
