@@ -1274,3 +1274,66 @@ def churned_user_event_types(sf_dir: str):
         churned,
         approx_rows=n_ev,
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE aggregate over the routing dimensions: all four grouping sets of
+# (lang, source) — the full matrix, both one-dim margins, and the grand
+# total — in ONE pass. rollup_revenue covers the hierarchical ROLLUP
+# shape; this is the complete lattice. Distributed form: ONLY the finest
+# (lang, source) cells ever cross block boundaries (fixed cardinality ≈
+# langs × sources), and every coarser grouping set folds from those cells
+# on the driver — margins are derived, never re-scanned. NULL margin keys
+# are encoded as the sentinel 'ALL' on both engines (the driver's
+# value-hash treats NULL and 'ALL' differently, so the SQL replays the
+# COALESCE).
+@register(
+    "doc_lang_source_cube",
+    sql="""
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY CUBE(lang, source)
+    """,
+)
+def doc_lang_source_cube(sf_dir: str):
+    ds = table(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {
+                "lang": t["lang"],
+                "source": t["source"],
+                "chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["lang", "source"])
+            .aggregate([([], "count_all"), ("chars", "sum")])
+            .rename_columns(["lang", "source", "n", "chars"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        base = (
+            t.to_pandas()
+            .groupby(["lang", "source"], as_index=False)
+            .agg(n=("n", "sum"), chars=("chars", "sum"))
+        )
+        by_lang = base.groupby("lang", as_index=False)[["n", "chars"]].sum()
+        by_lang["source"] = "ALL"
+        by_src = base.groupby("source", as_index=False)[["n", "chars"]].sum()
+        by_src["lang"] = "ALL"
+        total = pd.DataFrame(
+            {"lang": ["ALL"], "source": ["ALL"],
+             "n": [base["n"].sum()], "chars": [base["chars"].sum()]}
+        )
+        out = pd.concat([base, by_lang, by_src, total], ignore_index=True)[
+            ["lang", "source", "n", "chars"]
+        ]
+        out["n"] = out["n"].astype(np.int64)
+        out["chars"] = out["chars"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)

@@ -120,3 +120,18 @@ def test_churned_pairs_are_genuinely_absent_late(ray_session):
                & (ev["event_type"] == r["event_type"])]
         assert (g["us"] < cutoff).sum() == r["n_early"] > 0
         assert (g["us"] >= cutoff).sum() == 0
+
+
+def test_cube_matches_oracle_and_margins_fold(ray_session):
+    got = norm(run_query("doc_lang_source_cube", SF))
+    want = norm(oracle("doc_lang_source_cube", SF))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # margins are exact folds of the finest cells
+    df = run_query("doc_lang_source_cube", SF)
+    base = df[(df["lang"] != "ALL") & (df["source"] != "ALL")]
+    total = df[(df["lang"] == "ALL") & (df["source"] == "ALL")]
+    assert int(total["n"].iloc[0]) == int(base["n"].sum())
+    assert int(total["chars"].iloc[0]) == int(base["chars"].sum())
+    for lang, g in base.groupby("lang"):
+        m = df[(df["lang"] == lang) & (df["source"] == "ALL")]
+        assert int(m["n"].iloc[0]) == int(g["n"].sum())
