@@ -1,0 +1,814 @@
+"""Session-8 relational additions: the remaining classic TPC-H join/agg
+shapes the registry lacked — shipping-priority top-k (Q3), the EXISTS
+order-priority check (Q4, re-expressed as a per-order max semi-join),
+returned-item customer reporting (Q10), disjunctive broadcast-join revenue
+(Q19), year-over-year revenue growth per nation (LAG window over a
+fixed-cardinality aggregate), and in-nation supplier dense-rank with
+balance gaps.
+
+Reference analogs (SURVEY.md §2.4-§2.6): every shape here generalizes the
+reference's driver-side pandas join+groupby dashboards (e.g.
+`pages/User Based Dashboard.py:136-153` builds per-user profiles by
+iterating joined frames; `Page__Location_Based_Stance_Detection.py:71-93`
+computes weighted support ratios over a broadcast dimension) into
+distributed Ray Data pipelines: facts stream as Arrow blocks, dimension
+sides broadcast below an adaptive gate and hash-join above it
+(`join_partitions()`), high-cardinality exchanges go through
+`bucketed_group_agg`, and top-k is per-block partials + one local merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .common import (
+    bucketed_group_agg,
+    combine_small,
+    join_partitions,
+    note_path,
+    round_half_away,
+    table,
+    table_num_rows,
+)
+from .queries import register
+
+_US = 86_400 * 1_000_000  # one day in microseconds
+
+
+def _cents(arr) -> pa.Array:
+    """ROUND(x*100) half-away-from-zero → int64 — the repo-wide exact-money
+    convention (matches DuckDB ROUND)."""
+    return pc.cast(
+        pc.round(pc.multiply(arr, pa.scalar(100.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def _ts_us(t: pa.Table, col: str) -> np.ndarray:
+    return pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+
+
+# Broadcast gates: sorted-int64-key lookup tables ship once via ray.put and
+# are probed with searchsorted inside every task. Above the gate the side
+# is genuinely large and the op switches to a partitioned hash join
+# (path-equivalence covered by tests/test_round3i.py).
+CUST_BROADCAST_MAX = 2_000_000
+ORDERS_BROADCAST_MAX = 1_000_000
+PART_BROADCAST_MAX = 4_000_000
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping-priority top-k: the 10 highest-revenue orders
+# from one market segment that were placed before the cutoff but still had
+# lines shipping after it. Plan: the segment's customer keys broadcast as a
+# sorted array (semi-filter on orders — no customer column survives), the
+# post-cutoff lineitem stream pre-aggregates revenue cents per order
+# through the bucketed exchange (one row per order), and only that bounded
+# per-order table hash-joins the filtered orders. Top-10 is per-block
+# partials merged locally — nothing wide ever sorts globally.
+_Q3_SEG = "BUILDING"
+_Q3_CUT = "1998-06-30"
+
+_Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_Q3_SEG}'
+  AND o_orderdate < DATE '{_Q3_CUT}'
+  AND l_shipdate > DATE '{_Q3_CUT}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority_topk", sql=_Q3_SQL)
+def shipping_priority_topk(
+    sf_dir: str, broadcast_max: int = CUST_BROADCAST_MAX
+):
+    cut_us = int(pd.Timestamp(_Q3_CUT).value // 1_000)
+
+    orders = table(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    if table_num_rows(sf_dir, "customer") <= broadcast_max:
+        note_path("shipping_priority_topk", "broadcast")
+        import pyarrow.dataset as pads
+
+        seg = (
+            pads.dataset(f"{sf_dir}/customer.parquet")
+            .to_table(
+                columns=["c_custkey"],
+                filter=pc.field("c_mktsegment") == _Q3_SEG,
+            )["c_custkey"]
+            .to_numpy(zero_copy_only=False)
+        )
+        keys_ref = ray.put(np.sort(seg.astype(np.int64)))
+
+        def filt_orders(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ck)
+            pos[pos == len(keys)] = 0
+            in_seg = keys[pos] == ck
+            early = _ts_us(t, "o_orderdate") < cut_us
+            return t.filter(pa.array(in_seg & early)).drop_columns(
+                ["o_custkey"]
+            )
+
+        ord_f = orders.map_batches(filt_orders, batch_format="pyarrow")
+    else:
+        note_path("shipping_priority_topk", "join")
+        cust = table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+            expr=f"c_mktsegment == '{_Q3_SEG}'"
+        ).select_columns(["c_custkey"])
+        def early_only(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(_ts_us(t, "o_orderdate") < cut_us))
+
+        ord_f = (
+            orders.map_batches(early_only, batch_format="pyarrow")
+            .join(
+                cust,
+                join_type="inner",
+                num_partitions=join_partitions(),
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        )
+
+    li = table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(_ts_us(t, "l_shipdate") > cut_us))
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        m = pa.table({"o_orderkey": t["l_orderkey"], "cents": rev})
+        # map-side combiner: collapse the block to one row per order before
+        # the bucketed exchange
+        return (
+            pa.TableGroupBy(m, ["o_orderkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_orderkey", "cents"])
+        )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderkey", as_index=False)["cents"].sum()
+
+    rev = bucketed_group_agg(
+        li.map_batches(li_cents, batch_format="pyarrow"),
+        ["o_orderkey"],
+        per_order,
+    )
+
+    joined = rev.join(
+        ord_f,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_orderkey",),
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if isinstance(t, pd.DataFrame):  # empty pandas block leak-through
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        idx = pc.sort_indices(
+            t, sort_keys=[("cents", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx[:10])
+
+    def final(t: pa.Table) -> pa.Table:
+        t = topk(t)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue": pc.divide(
+                    pc.cast(t["cents"], pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return combine_small(
+        joined.map_batches(topk, batch_format="pyarrow"), final
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape — order-priority EXISTS check: how many orders per
+# priority had at least one line shipping > 30 days after the order date.
+# EXISTS(l_shipdate > o_orderdate + 30d) ⇔ max(l_shipdate) per order >
+# o_orderdate + 30d, so the unbounded side collapses to ONE row per order
+# through the bucketed exchange before it ever meets orders; the orders
+# side broadcasts (sorted key → date+priority-code arrays) under the gate
+# and hash-joins above it. Final aggregate is fixed-cardinality (5 rows).
+_Q4_SQL = """
+WITH ms AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders JOIN ms ON o_orderkey = l_orderkey
+WHERE max_ship > o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_priority_exists_check", sql=_Q4_SQL)
+def order_priority_exists_check(
+    sf_dir: str, broadcast_max: int = ORDERS_BROADCAST_MAX
+):
+    li = table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def block_max(t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["o_orderkey"])
+            .aggregate([("ship_us", "max")])
+            .rename_columns(["o_orderkey", "ship_us"])
+        )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderkey", as_index=False)["ship_us"].max()
+
+    max_ship = bucketed_group_agg(
+        li.map_batches(block_max, batch_format="pyarrow"),
+        ["o_orderkey"],
+        per_order,
+    )
+
+    def count_late(prio: np.ndarray, late: np.ndarray,
+                   names: np.ndarray) -> pa.Table:
+        n = np.bincount(prio[late], minlength=len(names))
+        keep = n > 0
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(names[keep]),
+                "n_late_orders": pa.array(n[keep].astype(np.int64)),
+            }
+        )
+
+    if table_num_rows(sf_dir, "orders") <= broadcast_max:
+        note_path("order_priority_exists_check", "broadcast")
+        import pyarrow.dataset as pads
+
+        od = (
+            pads.dataset(f"{sf_dir}/orders.parquet")
+            .to_table(columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        names = np.sort(od["o_orderpriority"].unique())
+        code = {p: i for i, p in enumerate(names)}
+        ref = ray.put(
+            (
+                od["o_orderkey"].to_numpy(np.int64),
+                od["o_orderdate"].astype("int64").to_numpy() + 30 * _US,
+                od["o_orderpriority"].map(code).to_numpy(np.int64),
+            )
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, deadline, prio = ray.get(ref)
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok)
+            # every lineitem order exists in orders (FK) — direct index
+            late = t["ship_us"].to_numpy(zero_copy_only=False) > deadline[pos]
+            return count_late(prio[pos], late, names)
+
+        partials = max_ship.map_batches(partial, batch_format="pyarrow")
+
+        def final(t: pa.Table) -> pa.Table:
+            return (
+                pa.TableGroupBy(t, ["o_orderpriority"])
+                .aggregate([("n_late_orders", "sum")])
+                .rename_columns(["o_orderpriority", "n_late_orders"])
+            )
+
+        return combine_small(partials, final)
+
+    note_path("order_priority_exists_check", "join")
+    orders = table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    joined = max_ship.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_orderkey",),
+    )
+
+    def partial_j(t: pa.Table) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        names, prio = np.unique(
+            t["o_orderpriority"].to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        late = (
+            t["ship_us"].to_numpy(zero_copy_only=False)
+            > _ts_us(t, "o_orderdate") + 30 * _US
+        )
+        return count_late(prio, late, names)
+
+    def final_j(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["o_orderpriority"])
+            .aggregate([("n_late_orders", "sum")])
+            .rename_columns(["o_orderpriority", "n_late_orders"])
+        )
+
+    return combine_small(
+        joined.map_batches(partial_j, batch_format="pyarrow"), final_j
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item reporting: the 20 customers who lost the
+# most revenue to returns in a 6-month order window. Returned lineitems
+# pre-aggregate per order (bucketed), hash-join the window-filtered orders
+# for their custkey, re-aggregate per customer (bucketed), take the top-20
+# via per-block partials — and only THEN do the 20 surviving keys touch the
+# customer/nation dimensions, as a driver-side lookup of 20 rows.
+_Q10_LO = "1997-01-01"
+_Q10_HI = "1997-07-01"
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '{_Q10_LO}' AND o_orderdate < DATE '{_Q10_HI}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_item_report", sql=_Q10_SQL)
+def returned_item_report(sf_dir: str):
+    lo_us = int(pd.Timestamp(_Q10_LO).value // 1_000)
+    hi_us = int(pd.Timestamp(_Q10_HI).value // 1_000)
+
+    li = table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def returned_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        m = pa.table({"o_orderkey": t["l_orderkey"], "cents": rev})
+        return (
+            pa.TableGroupBy(m, ["o_orderkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_orderkey", "cents"])
+        )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderkey", as_index=False)["cents"].sum()
+
+    rev_per_order = bucketed_group_agg(
+        li.map_batches(returned_cents, batch_format="pyarrow"),
+        ["o_orderkey"],
+        per_order,
+    )
+
+    orders = table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def window(t: pa.Table) -> pa.Table:
+        us = _ts_us(t, "o_orderdate")
+        return t.filter(pa.array((us >= lo_us) & (us < hi_us))).drop_columns(
+            ["o_orderdate"]
+        )
+
+    ord_f = orders.map_batches(window, batch_format="pyarrow")
+
+    joined = rev_per_order.join(
+        ord_f,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_orderkey",),
+    )
+
+    def per_cust_partial(t: pa.Table) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        m = t.select(["o_custkey", "cents"])
+        return (
+            pa.TableGroupBy(m, ["o_custkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_custkey", "cents"])
+        )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    rev_per_cust = bucketed_group_agg(
+        joined.map_batches(per_cust_partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        per_cust,
+    )
+
+    def topk(t) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        idx = pc.sort_indices(
+            t, sort_keys=[("cents", "descending"), ("o_custkey", "ascending")]
+        )
+        return t.take(idx[:20])
+
+    top = combine_small(
+        rev_per_cust.map_batches(topk, batch_format="pyarrow"), topk
+    ).to_pandas()
+
+    # enrich the 20 survivors only: a pads read filtered to those keys
+    # touches 20 rows of the dimension chain — never a full-table join
+    import pyarrow.dataset as pads
+
+    cust = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            filter=pc.field("c_custkey").isin(top["o_custkey"].tolist()),
+        )
+        .to_pandas()
+    )
+    nat = (
+        pads.dataset(f"{sf_dir}/nation.parquet")
+        .to_table(columns=["n_nationkey", "n_name"])
+        .to_pandas()
+    )
+    out = top.merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    ).merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(
+        ["cents", "c_custkey"], ascending=[False, True], kind="stable"
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(out["c_name"]),
+            "n_name": pa.array(out["n_name"]),
+            "revenue": pa.array(
+                out["cents"].to_numpy(np.float64) / 100.0, pa.float64()
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunctive predicate revenue over a broadcast-join:
+# three (brand, size-range, quantity-range) arms OR'ed together. The part
+# side prunes to the three brands BEFORE it ships (sorted partkey → brand
+# arm + size arrays); lineitem streams once, probes with searchsorted, and
+# emits one partial revenue row per block. Above the gate the pruned part
+# side hash-joins instead (same arms evaluated post-join).
+_Q19_ARMS = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#15", 1, 15, 20, 30),
+)
+
+_Q19_SQL = f"""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = '{_Q19_ARMS[0][0]}'
+       AND p_size BETWEEN {_Q19_ARMS[0][1]} AND {_Q19_ARMS[0][2]}
+       AND l_quantity BETWEEN {_Q19_ARMS[0][3]} AND {_Q19_ARMS[0][4]})
+   OR (p_brand = '{_Q19_ARMS[1][0]}'
+       AND p_size BETWEEN {_Q19_ARMS[1][1]} AND {_Q19_ARMS[1][2]}
+       AND l_quantity BETWEEN {_Q19_ARMS[1][3]} AND {_Q19_ARMS[1][4]})
+   OR (p_brand = '{_Q19_ARMS[2][0]}'
+       AND p_size BETWEEN {_Q19_ARMS[2][1]} AND {_Q19_ARMS[2][2]}
+       AND l_quantity BETWEEN {_Q19_ARMS[2][3]} AND {_Q19_ARMS[2][4]})
+"""
+
+
+def _q19_mask(arm: np.ndarray, size: np.ndarray, qty: np.ndarray) -> np.ndarray:
+    """arm = index into _Q19_ARMS (or -1); evaluates the OR of the arms."""
+    keep = np.zeros(len(arm), dtype=bool)
+    for i, (_, slo, shi, qlo, qhi) in enumerate(_Q19_ARMS):
+        keep |= (
+            (arm == i)
+            & (size >= slo) & (size <= shi)
+            & (qty >= qlo) & (qty <= qhi)
+        )
+    return keep
+
+
+@register("disjunctive_part_revenue", sql=_Q19_SQL)
+def disjunctive_part_revenue(
+    sf_dir: str, broadcast_max: int = PART_BROADCAST_MAX
+):
+    li = table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    brands = [a[0] for a in _Q19_ARMS]
+
+    def block_rev(keep: np.ndarray, t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cents": pa.array([int(rev[keep].sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    if table_num_rows(sf_dir, "part") <= broadcast_max:
+        note_path("disjunctive_part_revenue", "broadcast")
+        import pyarrow.dataset as pads
+
+        pt = (
+            pads.dataset(f"{sf_dir}/part.parquet")
+            .to_table(
+                columns=["p_partkey", "p_brand", "p_size"],
+                filter=pc.field("p_brand").isin(brands),
+            )
+            .to_pandas()
+            .sort_values("p_partkey")
+        )
+        arm_code = {b: i for i, b in enumerate(brands)}
+        ref = ray.put(
+            (
+                pt["p_partkey"].to_numpy(np.int64),
+                pt["p_brand"].map(arm_code).to_numpy(np.int64),
+                pt["p_size"].to_numpy(np.int64),
+            )
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, arms, sizes = ray.get(ref)
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, pk)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (len(keys) > 0) & (keys[pos_c] == pk)
+            arm = np.where(hit, arms[pos_c], -1)
+            size = np.where(hit, sizes[pos_c], 0)
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+            return block_rev(_q19_mask(arm, size, qty), t)
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        note_path("disjunctive_part_revenue", "join")
+        def brand_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["p_brand"], value_set=pa.array(brands)))
+
+        part = table(
+            sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+        ).map_batches(brand_only, batch_format="pyarrow")
+        joined = li.join(
+            part,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+        arm_code = {b: i for i, b in enumerate(brands)}
+
+        def partial_j(t) -> pa.Table:
+            if isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            brand = t["p_brand"].to_pandas().map(arm_code).to_numpy(np.int64)
+            size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+            return block_rev(_q19_mask(brand, size, qty), t)
+
+        partials = joined.map_batches(partial_j, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        cents = pc.sum(t["cents"]).as_py() or 0
+        n = pc.sum(t["n_lines"]).as_py() or 0
+        return pa.table(
+            {
+                "revenue": pa.array([cents / 100.0], pa.float64()),
+                "n_lines": pa.array([n], pa.int64()),
+            }
+        )
+
+    return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# Year-over-year revenue growth per nation — a LAG window over a
+# fixed-cardinality aggregate. The only exchange is attaching nationkey to
+# each order (broadcast custkey→nationkey under the gate, hash join
+# above); the (nation, year) partial stream is ≤ 25×years rows per block,
+# so the combine and the LAG both run on a bounded driver-side table.
+_YOY_SQL = """
+WITH r AS (
+  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, yr, CAST(cents AS DOUBLE) / 100 AS revenue,
+       ROUND(CAST(cents AS DOUBLE)
+             / LAG(CAST(cents AS DOUBLE)) OVER (PARTITION BY n_name ORDER BY yr)
+             - 1, 6) AS yoy_growth
+FROM r
+"""
+
+
+@register("nation_yoy_revenue_growth", sql=_YOY_SQL)
+def nation_yoy_revenue_growth(
+    sf_dir: str, broadcast_max: int = CUST_BROADCAST_MAX
+):
+    import pyarrow.dataset as pads
+
+    nat = (
+        pads.dataset(f"{sf_dir}/nation.parquet")
+        .to_table(columns=["n_nationkey", "n_name"])
+        .to_pandas()
+    )
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    orders = table(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial_from(nk: np.ndarray, t: pa.Table) -> pa.Table:
+        yr = (
+            pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        m = pa.table(
+            {
+                "nk": pa.array(nk, pa.int64()),
+                "yr": pa.array(yr, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["nk", "yr"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["nk", "yr", "cents"])
+        )
+
+    if table_num_rows(sf_dir, "customer") <= broadcast_max:
+        note_path("nation_yoy_revenue_growth", "broadcast")
+        cust = (
+            pads.dataset(f"{sf_dir}/customer.parquet")
+            .to_table(columns=["c_custkey", "c_nationkey"])
+            .to_pandas()
+            .sort_values("c_custkey")
+        )
+        ref = ray.put(
+            (
+                cust["c_custkey"].to_numpy(np.int64),
+                cust["c_nationkey"].to_numpy(np.int64),
+            )
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, nks = ray.get(ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            nk = nks[np.searchsorted(keys, ck)]  # FK always present
+            return partial_from(nk, t)
+
+        partials = orders.map_batches(partial, batch_format="pyarrow")
+    else:
+        note_path("nation_yoy_revenue_growth", "join")
+        cust_ds = table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = orders.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def partial_j(t) -> pa.Table:
+            if isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return partial_from(nk, t)
+
+        partials = joined.map_batches(partial_j, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["nk", "yr"], as_index=False)["cents"]
+            .sum()
+            .sort_values(["nk", "yr"], kind="stable")
+        )
+        g["prev"] = g.groupby("nk")["cents"].shift(1)
+        growth = g["cents"].to_numpy(np.float64) / g["prev"].to_numpy(
+            np.float64
+        ) - 1.0
+        return pa.table(
+            {
+                "n_name": pa.array(g["nk"].map(names)),
+                "yr": pa.array(g["yr"].to_numpy(np.int64)),
+                "revenue": pa.array(
+                    g["cents"].to_numpy(np.float64) / 100.0, pa.float64()
+                ),
+                "yoy_growth": pa.array(
+                    round_half_away(growth, 6), pa.float64()
+                ),
+            }
+        )
+
+    return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# In-nation supplier dense-rank with the balance gap to the next-better
+# supplier — the registry's dense_rank/LAG window coverage. Partitioning
+# assumption (documented, same as ntile_customer_quartiles): the window
+# partitions on nationkey (fixed ≤25 groups), so one group = |supplier|/25
+# rows must fit a worker — true for any dimension-table-sized input; a
+# fact-table window would go through the bucketed prefix machinery
+# (pack_documents_to_chunks) instead.
+_SRANK_SQL = """
+SELECT s_suppkey, s_name, n_name,
+       CAST(dense_rank() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank,
+       ROUND(COALESCE(LAG(s_acctbal) OVER (PARTITION BY s_nationkey
+                                           ORDER BY s_acctbal DESC, s_suppkey)
+                      - s_acctbal, 0), 2) AS gap_to_prev
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+@register("supplier_rank_in_nation", sql=_SRANK_SQL)
+def supplier_rank_in_nation(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    nat = (
+        pads.dataset(f"{sf_dir}/nation.parquet")
+        .to_table(columns=["n_nationkey", "n_name"])
+        .to_pandas()
+    )
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = table(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    )
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["s_acctbal", "s_suppkey"], ascending=[False, True], kind="stable"
+        )
+        bal = g["s_acctbal"].to_numpy(np.float64)
+        # dense_rank over DESC balance: new rank whenever the value changes
+        new_val = np.ones(len(bal), dtype=np.int64)
+        if len(bal) > 1:
+            new_val[1:] = (bal[1:] != bal[:-1]).astype(np.int64)
+        rank = np.cumsum(new_val)
+        gap = np.zeros(len(bal))
+        if len(bal) > 1:
+            gap[1:] = bal[:-1] - bal[1:]
+        return pd.DataFrame(
+            {
+                "s_suppkey": g["s_suppkey"].to_numpy(np.int64),
+                "s_name": g["s_name"].to_numpy(),
+                "n_name": names[int(g["s_nationkey"].iloc[0])],
+                "bal_rank": rank,
+                "gap_to_prev": round_half_away(gap, 2),
+            }
+        )
+
+    return sup.groupby("s_nationkey").map_groups(
+        rank_group, batch_format="pandas"
+    )
