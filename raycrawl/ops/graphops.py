@@ -298,3 +298,82 @@ def pagerank(
 @register("pagerank_cosuppliers", sql=_PAGERANK_SQL)
 def pagerank_cosuppliers(sf_dir: str):
     return pagerank(cosupplier_edges(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the co-supplier graph — the classic two-hash-join
+# shape: orient every undirected edge low→high (each triangle becomes
+# exactly one a<b<c path), join edges to edges on the middle node to build
+# wedges, then close each wedge against the edge set with a composite-key
+# join. Counts are per-block partials (one row per block), so the only
+# wide moves are the two edge-keyed exchanges; the fact table behind the
+# edges never re-shuffles (cosupplier_edges already collapsed it).
+_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src),
+t AS (SELECT 1 FROM w JOIN e ON w.a = e.src AND w.c = e.dst)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_triangles
+"""
+
+
+@register("triangle_count_cosuppliers", sql=_TRIANGLE_SQL)
+def triangle_count_cosuppliers(sf_dir: str):
+    def orient(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t["src"], t["dst"]))
+        return pa.table({"src": keep["src"], "dst": keep["dst"]})
+
+    # cosupplier_edges emits both directions distinct → the < filter keeps
+    # exactly one copy of each undirected edge. materialize: the oriented
+    # edge table is reused by three consumers (count, wedge join both
+    # sides, closing join) and is bounded by distinct co-supplier pairs.
+    edges = (
+        cosupplier_edges(sf_dir)
+        .map_batches(orient, batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    mid = edges.map_batches(
+        lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow"
+    )
+    wedges = edges.join(
+        mid,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("dst",),
+        right_on=("b",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["src"], "c": t["c"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # wedge rows reused by count + closing join
+    n_wedges = wedges.count()
+
+    closing = edges.map_batches(
+        lambda t: pa.table(
+            {"a": t["src"], "c": t["dst"], "hit": pa.array([1] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    tri = wedges.join(
+        closing,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("a", "c"),
+    )
+    n_triangles = tri.count()
+
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([n_triangles], pa.int64()),
+        }
+    )
