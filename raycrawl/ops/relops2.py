@@ -812,3 +812,300 @@ def supplier_rank_in_nation(sf_dir: str):
     return sup.groupby("s_nationkey").map_groups(
         rank_group, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Gini coefficient of order value per priority — the inequality audit
+# a data-curation pipeline runs on contribution skew. Exactness trick: the
+# rank-weighted sum over N sorted rows collapses to a fold over DISTINCT
+# cent values (ties contribute v·(c·r0 + c(c-1)/2) in closed form), so the
+# exchange moves one row per (priority, distinct-cents) — bounded by the
+# price domain, not the order count. The per-priority fold sorts that
+# bounded distinct-value table; if a value domain ever outgrew a worker,
+# the histogram-bucket split of order_price_exact_median_by_priority is
+# the documented swap-in.
+_GINI_SQL = """
+WITH c AS (SELECT o_orderpriority AS p,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+s AS (SELECT p, v,
+             CAST(row_number() OVER (PARTITION BY p ORDER BY v) AS DOUBLE)
+               AS rn
+      FROM c),
+a AS (SELECT p, count(*) AS n, SUM(CAST(v AS DOUBLE)) AS tot,
+             SUM(rn * v) AS rv
+      FROM s GROUP BY p)
+SELECT p AS o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+       ROUND(2.0 * rv / (n * tot) - (n + 1.0) / n, 6) AS gini
+FROM a
+"""
+
+
+@register("order_value_gini_by_priority", sql=_GINI_SQL)
+def order_value_gini_by_priority(sf_dir: str):
+    ds = table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {
+                "p": t["o_orderpriority"],
+                "v": _cents(t["o_totalprice"]),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["p", "v"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["p", "v", "c"])
+        )
+
+    counts = ds.map_batches(vc_partial, batch_format="pyarrow")
+
+    def gini_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # partial (v, c) rows from different blocks may repeat a value —
+        # collapse here so the pipeline pays ONE exchange (on p), not two
+        prio = g["p"].iloc[0]
+        g = g.groupby("v", as_index=False)["c"].sum().sort_values(
+            "v", kind="stable"
+        )
+        g["p"] = prio
+        v = g["v"].to_numpy(np.float64)
+        c = g["c"].to_numpy(np.float64)
+        n = c.sum()
+        tot = (v * c).sum()
+        r0 = np.concatenate(([0.0], np.cumsum(c)[:-1])) + 1.0
+        rank_sums = c * r0 + c * (c - 1.0) / 2.0
+        rv = (v * rank_sums).sum()
+        gini = 2.0 * rv / (n * tot) - (n + 1.0) / n
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["p"].iloc[0]],
+                "n_orders": [np.int64(n)],
+                "gini": round_half_away(np.array([gini]), 6),
+            }
+        )
+
+    return counts.groupby("p").map_groups(gini_fold, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Segment × priority chi-square contingency — independence audit between
+# two categorical routing keys across a join. The (5 × 5)-cell observed
+# matrix is a fixed-cardinality partial stream (no shuffle at any scale);
+# expected counts and chi² terms are closed-form on the driver over ≤25
+# rows. The only wide step is attaching the customer's segment to each
+# order: broadcast under the customer gate, hash join above it.
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS total FROM obs),
+rt AS (SELECT c_mktsegment, SUM(n) AS row_n FROM obs GROUP BY 1),
+ct AS (SELECT o_orderpriority, SUM(n) AS col_n FROM obs GROUP BY 1)
+SELECT o.c_mktsegment, o.o_orderpriority, o.n,
+       ROUND(CAST(rt.row_n AS DOUBLE) * ct.col_n / tot.total, 6)
+         AS expected,
+       ROUND(POW(o.n - CAST(rt.row_n AS DOUBLE) * ct.col_n / tot.total, 2)
+             / (CAST(rt.row_n AS DOUBLE) * ct.col_n / tot.total), 6)
+         AS chi2_term
+FROM obs o
+  JOIN rt ON o.c_mktsegment = rt.c_mktsegment
+  JOIN ct ON o.o_orderpriority = ct.o_orderpriority
+  CROSS JOIN tot
+"""
+
+
+@register("segment_priority_chi2", sql=_CHI2_SQL)
+def segment_priority_chi2(
+    sf_dir: str, broadcast_max: int = CUST_BROADCAST_MAX
+):
+    import pyarrow.dataset as pads
+
+    orders = table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    if table_num_rows(sf_dir, "customer") <= broadcast_max:
+        note_path("segment_priority_chi2", "broadcast")
+        cust = (
+            pads.dataset(f"{sf_dir}/customer.parquet")
+            .to_table(columns=["c_custkey", "c_mktsegment"])
+            .to_pandas()
+            .sort_values("c_custkey")
+        )
+        segs = np.sort(cust["c_mktsegment"].unique())
+        seg_code = {s: i for i, s in enumerate(segs)}
+        ref = ray.put(
+            (
+                cust["c_custkey"].to_numpy(np.int64),
+                cust["c_mktsegment"].map(seg_code).to_numpy(np.int64),
+            )
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, codes = ray.get(ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            seg = codes[np.searchsorted(keys, ck)]  # FK always present
+            m = pa.table(
+                {
+                    "c_mktsegment": pa.array([segs[i] for i in seg]),
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            )
+            return (
+                pa.TableGroupBy(m, ["c_mktsegment", "o_orderpriority"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["c_mktsegment", "o_orderpriority", "n"])
+            )
+
+        partials = orders.map_batches(partial, batch_format="pyarrow")
+    else:
+        note_path("segment_priority_chi2", "join")
+        cust_ds = table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        joined = orders.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def partial_j(t) -> pa.Table:
+            if isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            m = t.select(["c_mktsegment", "o_orderpriority"])
+            return (
+                pa.TableGroupBy(m, ["c_mktsegment", "o_orderpriority"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["c_mktsegment", "o_orderpriority", "n"])
+            )
+
+        partials = joined.map_batches(partial_j, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["c_mktsegment", "o_orderpriority"], as_index=False)["n"]
+            .sum()
+        )
+        total = float(g["n"].sum())
+        row_n = g.groupby("c_mktsegment")["n"].transform("sum").to_numpy(
+            np.float64
+        )
+        col_n = g.groupby("o_orderpriority")["n"].transform("sum").to_numpy(
+            np.float64
+        )
+        exp = row_n * col_n / total
+        obs = g["n"].to_numpy(np.float64)
+        chi2 = (obs - exp) ** 2 / exp
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(g["c_mktsegment"]),
+                "o_orderpriority": pa.array(g["o_orderpriority"]),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "expected": pa.array(round_half_away(exp, 6), pa.float64()),
+                "chi2_term": pa.array(round_half_away(chi2, 6), pa.float64()),
+            }
+        )
+
+    return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation with FIXED, documented bin edges (recency =
+# last-order year; frequency clipped at 5+; monetary = log10 decade of
+# lifetime cents). Fixed edges keep the op one bucketed exchange (the
+# per-customer aggregate) + a fixed-cardinality rollup — an exact-quantile
+# RFM would pay three extra two-pass order-statistics scans for the same
+# downstream use (coarse cohort routing). One output row per occupied
+# (r, f, m) cell.
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM max(o_orderdate)) AS BIGINT) AS r_year,
+         count(*) AS freq,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+binned AS (
+  SELECT r_year,
+         CAST(LEAST(freq, 5) AS BIGINT) AS f_bin,
+         CAST(FLOOR(log10(CAST(cents AS DOUBLE))) AS BIGINT) AS m_bin,
+         cents
+  FROM per_cust)
+SELECT r_year, f_bin, m_bin,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS total_revenue
+FROM binned GROUP BY 1, 2, 3
+"""
+
+
+@register("customer_rfm_segments", sql=_RFM_SQL)
+def customer_rfm_segments(sf_dir: str):
+    ds = table(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "d": pc.cast(t["o_orderdate"], pa.int64()),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["o_custkey"])
+            .aggregate([("d", "max"), ([], "count_all"), ("cents", "sum")])
+            .rename_columns(["o_custkey", "d", "freq", "cents"])
+        )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("o_custkey", as_index=False).agg(
+            d=("d", "max"), freq=("freq", "sum"), cents=("cents", "sum")
+        )
+        r_year = (
+            pd.to_datetime(a["d"].to_numpy(np.int64), unit="us")
+            .year.to_numpy()
+            .astype(np.int64)
+        )
+        f_bin = np.minimum(a["freq"].to_numpy(np.int64), 5)
+        m_bin = np.floor(
+            np.log10(a["cents"].to_numpy(np.float64))
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "r_year": r_year,
+                "f_bin": f_bin,
+                "m_bin": m_bin,
+                "n_customers": np.ones(len(a), np.int64),
+                "cents": a["cents"].to_numpy(np.int64),
+            }
+        )
+        # collapse inside the bucket: the exchange output is ≤ cells rows
+        return out.groupby(["r_year", "f_bin", "m_bin"], as_index=False).agg(
+            n_customers=("n_customers", "sum"), cents=("cents", "sum")
+        )
+
+    cells = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        per_cust,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["r_year", "f_bin", "m_bin"], as_index=False)
+            .agg(n_customers=("n_customers", "sum"), cents=("cents", "sum"))
+        )
+        return pa.table(
+            {
+                "r_year": pa.array(g["r_year"].to_numpy(np.int64)),
+                "f_bin": pa.array(g["f_bin"].to_numpy(np.int64)),
+                "m_bin": pa.array(g["m_bin"].to_numpy(np.int64)),
+                "n_customers": pa.array(
+                    g["n_customers"].to_numpy(np.int64)
+                ),
+                "total_revenue": pa.array(
+                    g["cents"].to_numpy(np.float64) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return combine_small(cells, final)

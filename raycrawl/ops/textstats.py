@@ -440,3 +440,79 @@ def feature_hash_bucket_stats(sf_dir: str):
     return combine_small(
         per_token.map_batches(bucket_partial, batch_format="pandas"), final
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope of the corpus frequency spectrum — fit log10(freq) against
+# log10(rank) over the top-200 words. The ranking reuses the per-block
+# top-k partial shape (top_words_corpus); the least-squares fit runs on
+# exactly 200 driver-side points with the closed-form normal equations
+# both engines share.
+_ZIPF_TOP = 200
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents),
+counted AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+top AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rnk
+        FROM counted ORDER BY n DESC, word LIMIT {_ZIPF_TOP}),
+l AS (SELECT log10(CAST(rnk AS DOUBLE)) AS x, log10(CAST(n AS DOUBLE)) AS y
+      FROM top)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       ROUND((count(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (count(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope,
+       ROUND((SUM(y) - (count(*) * SUM(x * y) - SUM(x) * SUM(y))
+                       / (count(*) * SUM(x * x) - SUM(x) * SUM(x)) * SUM(x))
+             / count(*), 6) AS zipf_intercept
+FROM l
+"""
+
+
+@register("token_zipf_slope", sql=_ZIPF_SQL)
+def token_zipf_slope(sf_dir: str):
+    from .common import combine_small
+
+    docs = table_spread(sf_dir, "documents", ["text"])
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _token_lists(df["text"])
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"word": vc.index, "c": vc.to_numpy(np.int64)})
+
+    counts = bucketed_group_agg(
+        docs.map_batches(tok_counts, batch_format="pandas"),
+        ["word"],
+        lambda g: g.groupby("word", as_index=False)["c"].sum(),
+    )
+
+    def topk(t) -> pa.Table:
+        if not isinstance(t, pd.DataFrame):
+            t = t.to_pandas()
+        t = t.sort_values(
+            ["c", "word"], ascending=[False, True], kind="stable"
+        ).head(_ZIPF_TOP)
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    def fit(t: pa.Table) -> pa.Table:
+        df = topk(t).to_pandas()
+        n = len(df)
+        x = np.log10(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log10(df["c"].to_numpy(np.float64))
+        sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table(
+            {
+                "n_points": pa.array([n], pa.int64()),
+                "zipf_slope": pa.array(
+                    round_half_away(np.array([slope]), 6), pa.float64()
+                ),
+                "zipf_intercept": pa.array(
+                    round_half_away(np.array([intercept]), 6), pa.float64()
+                ),
+            }
+        )
+
+    return combine_small(counts.map_batches(topk, batch_format="pandas"), fit)

@@ -311,6 +311,47 @@ def main() -> None:
     )
     run("high_balance_inactive_customers")
 
+    # round-3 session-8 additions: 15M customers > 2M broadcast gate and
+    # 15M orders > 1M gate → the Q3/Q4/YoY ops must take their JOIN
+    # branches on real data (path-equivalence pytests cover parity)
+    st = run("shipping_priority_topk")
+    checks["q3_join_branch"] = PATH_LOG.get("shipping_priority_topk") == "join"
+    checks["q3_topk_shape"] = bool(
+        len(st) == 10 and st["revenue"].is_monotonic_decreasing
+    )
+    oc = run("order_priority_exists_check")
+    checks["q4_join_branch"] = (
+        PATH_LOG.get("order_priority_exists_check") == "join"
+    )
+    checks["q4_counts_bounded"] = int(oc["n_late_orders"].sum()) <= n_orders
+    yy = run("nation_yoy_revenue_growth")
+    checks["yoy_join_branch"] = (
+        PATH_LOG.get("nation_yoy_revenue_growth") == "join"
+    )
+    checks["yoy_first_year_null"] = bool(
+        yy.sort_values(["n_name", "yr"]).groupby("n_name")["yoy_growth"]
+        .first().isna().all()
+    )
+    rr = run("returned_item_report")
+    checks["q10_top20"] = bool(
+        len(rr) == 20 and rr["revenue"].is_monotonic_decreasing
+    )
+    tc = run("triangle_count_cosuppliers")
+    checks["triangles_le_wedges"] = bool(
+        int(tc["n_triangles"][0]) <= int(tc["n_wedges"][0])
+    )
+    pm = run("pmi_top_bigrams")  # 2.05M docs, 3 streaming scans
+    checks["pmi_support_floor"] = bool((pm["n_pair"] >= 5).all())
+    hk = run("doc_hamming_knn")  # 2.05M fingerprints scanned per query
+    checks["hamming_k_per_query"] = bool(
+        hk.groupby("qid").size().eq(5).all()
+    )
+    fh = run("feature_hash_bucket_stats")
+    checks["fhash_conserves_vocab"] = bool(
+        len(fh) <= 256 and (fh["n_distinct_tokens"] >= 1).all()
+    )
+    run("doc_vocab_richness")
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
