@@ -105,6 +105,22 @@ BENCH_QUERIES = [
     "qty_price_regression_by_flag",
     "embedding_pca_variance_spectrum",
     "churned_user_event_types",
+    # round-3 session-8 additions (Q3/Q4/Q10/Q19 shapes, YoY window,
+    # corpus statistics, graph triangles, Gini/chi2/RFM/Zipf)
+    "shipping_priority_topk",
+    "order_priority_exists_check",
+    "returned_item_report",
+    "disjunctive_part_revenue",
+    "nation_yoy_revenue_growth",
+    "pmi_top_bigrams",
+    "doc_vocab_richness",
+    "doc_hamming_knn",
+    "feature_hash_bucket_stats",
+    "triangle_count_cosuppliers",
+    "order_value_gini_by_priority",
+    "segment_priority_chi2",
+    "customer_rfm_segments",
+    "token_zipf_slope",
 ]
 
 

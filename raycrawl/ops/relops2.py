@@ -1109,3 +1109,265 @@ def customer_rfm_segments(sf_dir: str):
         )
 
     return combine_small(cells, final)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape — dominant suppliers of a part-name segment: for every
+# 'small%'-named part, the suppliers that shipped more than an EIGHTH of
+# that part's total quantity (integer-exact: 8q > total — the classic Q20
+# half-share rule finds nothing on this data's even supplier mix, so the
+# threshold is set where dominance is non-trivial at every sf). The pruned part keys
+# broadcast as a semi-filter; the (part, supplier) quantity table builds in
+# one bucketed exchange ON THE PART KEY, so each bucket holds every
+# supplier row of its parts and the dominance test is a per-part fold
+# inside the bucket — no second shuffle. The survivor aggregate is
+# supplier-dimension-bounded (cheapest_supplier_leaderboard precedent).
+_Q20_PREFIX = "small"
+
+_Q20_SQL = f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_PREFIX}%'),
+ps AS (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+       FROM lineitem JOIN pk ON l_partkey = p_partkey
+       GROUP BY 1, 2),
+tot AS (SELECT l_partkey, SUM(q) AS tq FROM ps GROUP BY 1),
+dom AS (SELECT l_suppkey, count(*) AS n_parts_dominated
+        FROM ps JOIN tot USING (l_partkey) WHERE 8 * q > tq GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(n_parts_dominated AS BIGINT)
+         AS n_parts_dominated
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+@register("excess_quantity_suppliers", sql=_Q20_SQL)
+def excess_quantity_suppliers(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    pk = (
+        pads.dataset(f"{sf_dir}/part.parquet")
+        .to_table(
+            columns=["p_partkey"],
+            filter=pc.starts_with(pc.field("p_name"), _Q20_PREFIX),
+        )["p_partkey"]
+        .to_numpy(zero_copy_only=False)
+    )
+    pk_ref = ray.put(np.sort(pk.astype(np.int64)))
+
+    li = table(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lp)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (len(keys) > 0) & (keys[pos_c] == lp)
+        t = t.filter(pa.array(hit))
+        m = pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "q": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["l_partkey", "l_suppkey"])
+            .aggregate([("q", "sum")])
+            .rename_columns(["l_partkey", "l_suppkey", "q"])
+        )
+
+    def dominance(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["l_partkey", "l_suppkey"], as_index=False)["q"].sum()
+        tq = ps.groupby("l_partkey")["q"].transform("sum")
+        dom = ps[8 * ps["q"] > tq]
+        return (
+            dom.groupby("l_suppkey", as_index=False)
+            .size()
+            .rename(columns={"size": "n_parts_dominated"})
+        )
+
+    # bucket on the PART key: every supplier row of a part co-locates, so
+    # the half-share test closes inside the bucket
+    dom_partials = bucketed_group_agg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        dominance,
+    )
+
+    sup = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(columns=["s_suppkey", "s_name"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("l_suppkey", as_index=False)["n_parts_dominated"]
+            .sum()
+        )
+        idx = np.searchsorted(
+            sup["s_suppkey"].to_numpy(np.int64),
+            g["l_suppkey"].to_numpy(np.int64),
+        )
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64)),
+                "s_name": pa.array(sup["s_name"].to_numpy()[idx]),
+                "n_parts_dominated": pa.array(
+                    g["n_parts_dominated"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return combine_small(dom_partials, final)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape — distinct-supplier counts per (brand, type) excluding
+# one brand. COUNT(DISTINCT) across blocks needs one exact dedup exchange:
+# per-block (brand, type, suppkey) dedup partials → bucketed distinct on
+# the triple → fixed-cardinality (≤ brands × types) count, one local
+# combine. The part attributes attach via the pruned broadcast dimension.
+_Q16_EXCL = "Brand#1"
+
+_Q16_SQL = f"""
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> '{_Q16_EXCL}'
+GROUP BY 1, 2
+"""
+
+
+@register("brand_type_supplier_counts", sql=_Q16_SQL)
+def brand_type_supplier_counts(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    pt = (
+        pads.dataset(f"{sf_dir}/part.parquet")
+        .to_table(
+            columns=["p_partkey", "p_brand", "p_type"],
+            filter=pc.field("p_brand") != _Q16_EXCL,
+        )
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    brands, b_inv = np.unique(pt["p_brand"].to_numpy(), return_inverse=True)
+    types, t_inv = np.unique(pt["p_type"].to_numpy(), return_inverse=True)
+    ref = ray.put(
+        (pt["p_partkey"].to_numpy(np.int64), b_inv.astype(np.int64),
+         t_inv.astype(np.int64))
+    )
+
+    li = table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, bc, tc = ray.get(ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lp)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (len(keys) > 0) & (keys[pos_c] == lp)
+        m = pa.table(
+            {
+                "b": pa.array(bc[pos_c[hit]], pa.int64()),
+                "ty": pa.array(tc[pos_c[hit]], pa.int64()),
+                "s": pc.cast(
+                    t.filter(pa.array(hit))["l_suppkey"], pa.int64()
+                ),
+            }
+        )
+        # in-block dedup: ≤ cells × suppliers-in-block rows leave the task
+        return (
+            pa.TableGroupBy(m, ["b", "ty", "s"])
+            .aggregate([])
+            .rename_columns(["b", "ty", "s"])
+        )
+
+    def cell_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["b", "ty", "s"])
+        return (
+            d.groupby(["b", "ty"], as_index=False)
+            .size()
+            .rename(columns={"size": "supplier_cnt"})
+        )
+
+    partials = bucketed_group_agg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["b", "ty", "s"],
+        cell_counts,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["b", "ty"], as_index=False)["supplier_cnt"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "p_brand": pa.array(brands[g["b"].to_numpy(np.int64)]),
+                "p_type": pa.array(types[g["ty"].to_numpy(np.int64)]),
+                "supplier_cnt": pa.array(
+                    g["supplier_cnt"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# Peak hour per event type — argmax over a fixed (type × 24) histogram.
+# Pure fixed-cardinality partials, no shuffle at any scale.
+_PEAK_SQL = """
+WITH h AS (SELECT event_type, EXTRACT(hour FROM ts) AS hr, count(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, hr) AS rn FROM h)
+SELECT event_type, CAST(hr AS BIGINT) AS peak_hour,
+       CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
+@register("event_peak_hour_by_type", sql=_PEAK_SQL)
+def event_peak_hour_by_type(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hr": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["event_type", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hr", "n"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["event_type", "hr"], as_index=False)["n"]
+            .sum()
+            .sort_values(
+                ["event_type", "n", "hr"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby("event_type", as_index=False)
+            .head(1)
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"]),
+                "peak_hour": pa.array(g["hr"].to_numpy(np.int64)),
+                "n_events": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return combine_small(
+        ds.map_batches(partial, batch_format="pyarrow"), final
+    )
