@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="max URLs popped per shard per epoch — the "
                    "fetch-capacity contention that makes host boosts "
                    "reallocate capacity across hosts")
+    c.add_argument("--max-pages-per-host", type=int, default=None,
+                   help="lifetime per-host page cap (crawl budget): at "
+                   "quota a host's queued URLs are dropped and new offers "
+                   "denied; counters persist across --resume")
 
     m = sub.add_parser(
         "merge-checkpoints",
@@ -181,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.host_boosts else None
         ),
         epoch_pop_budget=args.pop_budget,
+        max_pages_per_host=args.max_pages_per_host,
     )
     import signal
 

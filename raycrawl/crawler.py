@@ -131,6 +131,12 @@ class CrawlConfig:
     # budget the cross-host priority heap decides which hosts get this
     # epoch's capacity — the lever the tier boosts act through.
     epoch_pop_budget: int | None = None
+    # lifetime per-host page cap (production "crawl budget"): max fetch
+    # slots a host may ever consume. At quota the host's queued frontier
+    # items are dropped (quota_dropped) and new offers denied
+    # (quota_denied); counters persist in checkpoints so a resumed crawl
+    # never re-serves a capped host.
+    max_pages_per_host: int | None = None
 
 
 @dataclass
@@ -182,7 +188,8 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
             Actor.remote(s, cfg.epoch_seconds, cfg.expected_urls, cfg.phash_radius,
                          cfg.burst, cfg.keep_fetch_log,
                          cfg.frontier_spill_threshold, spill_dir(s),
-                         cfg.trap_filter, cfg.epoch_pop_budget)
+                         cfg.trap_filter, cfg.epoch_pop_budget,
+                         cfg.max_pages_per_host)
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place
@@ -190,7 +197,8 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
     return [
         RestActor.remote(ckpt, restore_epoch, s, cfg.expected_urls,
                          cfg.phash_radius, cfg.frontier_spill_threshold,
-                         spill_dir(s), cfg.epoch_pop_budget)
+                         spill_dir(s), cfg.epoch_pop_budget,
+                         cfg.max_pages_per_host)
         for s in range(cfg.num_shards)
     ]
 
@@ -203,13 +211,16 @@ class _RestoredPhashShard(PhashDedupShard):
 
 class _RestoredShard(FrontierShard):
     def __init__(self, ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
-                 spill_threshold=None, spill_dir=None, pop_budget=None):
+                 spill_threshold=None, spill_dir=None, pop_budget=None,
+                 host_quota=None):
         restored = FrontierShard.restore(
             ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
             spill_threshold, spill_dir,
         )
         self.__dict__.update(restored.__dict__)
         self.pop_budget = pop_budget  # config, not state — follows the run
+        if host_quota is not None:  # quota follows the run; counts persist
+            self.host_quota = host_quota
 
 
 def latest_checkpoint_epoch(out_dir: str) -> int | None:

@@ -114,8 +114,19 @@ class FrontierShard:
         spill_dir: str | None = None,
         trap_filter: bool = False,
         pop_budget: int | None = None,
+        host_quota: int | None = None,
     ):
         self.shard_id = shard_id
+        # lifetime per-host page cap: max fetch slots (pops) a host may
+        # ever consume across the whole crawl — the production-crawler
+        # "crawl budget" knob. Counted at pop time (includes fetch errors
+        # and near-dup-suppressed fetches: the slot was spent). A host at
+        # quota is denied new frontier entries (quota_denied) and its
+        # already-queued items are dropped at the next pop encounter
+        # (quota_dropped). Host→shard pinning makes the counter exact with
+        # no cross-shard coordination.
+        self.host_quota = host_quota
+        self.host_popped: dict[str, int] = {}
         # fetch-capacity contention knob: max URLs popped per epoch. With
         # it set, the global (priority, depth, discovery-time) heap order
         # decides WHICH hosts get served this epoch — the lever host-tier
@@ -170,6 +181,7 @@ class FrontierShard:
         self.metrics = dict(
             offered=0, accepted=0, fetched=0, robots_denied=0,
             phash_suppressed=0, fetch_errors=0, trap_denied=0,
+            quota_denied=0, quota_dropped=0,
         )
         self.log: list[dict] = []
         # url → (digest, host, priority, min_depth, discovered_at)
@@ -247,6 +259,12 @@ class FrontierShard:
                 self.metrics["robots_denied"] += 1
                 self._log_append(discovered_at, url, digest, host, pri, depth,
                                  discovered_at, "robots_denied")
+                continue
+            if (self.host_quota is not None
+                    and self.host_popped.get(host, 0) >= self.host_quota):
+                self.metrics["quota_denied"] += 1
+                self._log_append(discovered_at, url, digest, host, pri, depth,
+                                 discovered_at, "quota_denied")
                 continue
             self.metrics["accepted"] += 1
             self._push(host, (-pri, depth, discovered_at, digest, url))
@@ -357,10 +375,18 @@ class FrontierShard:
         while outer and (self.pop_budget is None
                          or len(rows) < self.pop_budget):
             negpri, depth, disc, digest, host = heapq.heappop(outer)
+            if (self.host_quota is not None
+                    and self.host_popped.get(host, 0) >= self.host_quota):
+                # budget exhausted: everything still queued for this host
+                # can never be served — drop it (checked BEFORE politeness
+                # so no token is spent on a capped host)
+                self._drop_host_queue(host)
+                continue
             if not self.politeness.try_take(host):
                 continue  # host blocked for the rest of this epoch
             item = heapq.heappop(self.host_q[host])
             rows.append((item[4], digest, host, -negpri, depth, disc))
+            self.host_popped[host] = self.host_popped.get(host, 0) + 1
             q = self.host_q[host]
             if not q and (
                 self._spill_files.get(host) or self._spill_overflow.get(host)
@@ -383,6 +409,19 @@ class FrontierShard:
             schema=POP_SCHEMA,
         )
         return len(rows)
+
+    def _drop_host_queue(self, host: str) -> None:
+        """Discard every queued item of a quota-capped host: in-memory
+        heap + overflow exactly, spill segments by footer row count
+        (metadata-only — the files are deleted unread)."""
+        n = len(self.host_q.pop(host, []))
+        n += len(self._spill_overflow.pop(host, []))
+        for path, _mk in self._spill_files.pop(host, []):
+            n += pq.read_metadata(path).num_rows
+            os.unlink(path)
+        self._spill_floor.pop(host, None)
+        if n:
+            self.metrics["quota_dropped"] += n
 
     def take_popped(self) -> pa.Table:
         t = self._popped if self._popped is not None else POP_SCHEMA.empty_table()
@@ -688,6 +727,8 @@ class FrontierShard:
             robots_delays={h: d for h, d in self.robots.delays.items()},
             seen_count=self.seen.count,
             epoch_seconds=self.epoch_seconds,
+            host_quota=self.host_quota,
+            host_popped=self.host_popped,
         )
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -764,8 +805,11 @@ class FrontierShard:
         self.metrics = {
             k: manifest["metrics"].get(k, 0)
             for k in ("offered", "accepted", "fetched", "robots_denied",
-                      "phash_suppressed", "fetch_errors", "trap_denied")
+                      "phash_suppressed", "fetch_errors", "trap_denied",
+                      "quota_denied", "quota_dropped")
         }
+        self.host_quota = manifest.get("host_quota")
+        self.host_popped = dict(manifest.get("host_popped", {}))
         base = os.path.dirname(os.path.dirname(d))  # ckpt_dir
         rows: list[dict] = []
         for ed in sorted(

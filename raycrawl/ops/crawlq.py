@@ -209,6 +209,7 @@ def frontier_metrics_frame(out_dir: str):
                 **{k: m["metrics"].get(k, 0) for k in
                    ("offered", "accepted", "fetched", "robots_denied",
                     "phash_suppressed", "fetch_errors", "trap_denied",
+                    "quota_denied", "quota_dropped",
                     "seen_count", "bloom_cuckoo_false_positives",
                     "robots_fetches")},
             )

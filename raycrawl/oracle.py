@@ -77,6 +77,7 @@ def oracle_crawl(
     trap_filter: bool = False,
     host_priority_boost: dict | None = None,
     epoch_pop_budget: int | None = None,
+    max_pages_per_host: int | None = None,
 ) -> OracleResult:
     res = OracleResult()
 
@@ -95,9 +96,11 @@ def oracle_crawl(
     robots = RobotsCache()
     metrics = {
         s: dict(offered=0, accepted=0, fetched=0, robots_denied=0,
-                phash_suppressed=0, fetch_errors=0, trap_denied=0)
+                phash_suppressed=0, fetch_errors=0, trap_denied=0,
+                quota_denied=0, quota_dropped=0)
         for s in range(num_shards)
     }
+    host_popped: dict[str, int] = {}
 
     def enqueue(url: str, depth: int, discovered_at: int) -> None:
         digest = url_sha1(url)
@@ -132,6 +135,13 @@ def oracle_crawl(
             metrics[shard]["robots_denied"] += 1
             res.fetch_log.append({**_log(item, discovered_at), "status": "robots_denied"})
             return
+        if (max_pages_per_host is not None
+                and host_popped.get(host, 0) >= max_pages_per_host):
+            metrics[shard]["quota_denied"] += 1
+            res.fetch_log.append(
+                {**_log(item, discovered_at), "status": "quota_denied"}
+            )
+            return
         metrics[shard]["accepted"] += 1
         frontier.append(item)
 
@@ -160,6 +170,15 @@ def oracle_crawl(
                     >= epoch_pop_budget):
                 remaining.append(item)
                 continue
+            # lifetime host quota (engine: FrontierShard.host_quota) —
+            # checked BEFORE politeness so no token is spent; at-quota
+            # items are DROPPED from the frontier, mirroring the engine's
+            # _drop_host_queue at the next pop encounter
+            if (max_pages_per_host is not None
+                    and host_popped.get(item["host"], 0)
+                    >= max_pages_per_host):
+                metrics[item["shard"]]["quota_dropped"] += 1
+                continue
             if item["host"] in blocked:
                 remaining.append(item)
                 continue
@@ -168,6 +187,9 @@ def oracle_crawl(
             if tokens[item["host"]] >= 1.0:
                 tokens[item["host"]] -= 1.0
                 selected.append(item)
+                host_popped[item["host"]] = (
+                    host_popped.get(item["host"], 0) + 1
+                )
                 shard_taken[item["shard"]] = (
                     shard_taken.get(item["shard"], 0) + 1
                 )

@@ -1,0 +1,136 @@
+"""Session-8: lifetime per-host page quota (CrawlConfig.max_pages_per_host
+— the production-crawler "crawl budget" knob). Engine↔oracle parity under
+a quota, hard cap enforcement, metric accounting identities, and
+checkpoint/resume persistence of the per-host counters."""
+
+import pandas as pd
+import pytest
+
+from raycrawl.core.webgraph import WebConfig, seed_urls
+from raycrawl.oracle import oracle_crawl
+
+WEB = WebConfig(n_hosts=6, pages_per_host=20)
+SHARDS = 3
+EPOCHS = 40
+QUOTA = 7
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return oracle_crawl(
+        WEB, seed_urls(WEB), max_epochs=EPOCHS, num_shards=SHARDS,
+        max_pages_per_host=QUOTA,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, tmp_path_factory):
+    from raycrawl.crawler import CrawlConfig, read_payload, run_crawl
+
+    out = str(tmp_path_factory.mktemp("quota") / "out")
+    cfg = CrawlConfig(
+        web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=EPOCHS,
+        max_pages_per_host=QUOTA, collect_parity_outputs=True,
+    )
+    stats = run_crawl(cfg, seed_urls(WEB))
+    payload = read_payload(out).to_pandas()
+    return stats, payload
+
+
+def _sort_log(log):
+    return sorted(
+        log,
+        key=lambda r: (r["epoch"], -r["priority"], r["depth"],
+                       r["discovered_at"], r["url_hash"]),
+    )
+
+
+def test_quota_ordering_parity(oracle, engine):
+    stats, _ = engine
+    assert _sort_log(oracle.fetch_log) == _sort_log(stats.fetch_log)
+
+
+def test_quota_seen_parity(oracle, engine):
+    stats, _ = engine
+    assert {s: sorted(v) for s, v in oracle.seen.items()} == {
+        s: sorted(v) for s, v in stats.seen.items()
+    }
+
+
+def test_quota_metrics_parity(oracle, engine):
+    stats, _ = engine
+    for s in range(SHARDS):
+        eng = {k: stats.metrics[s][k] for k in oracle.metrics[s]}
+        assert eng == oracle.metrics[s], f"shard {s}"
+    # the quota actually fired somewhere
+    total_denied = sum(m["quota_denied"] for m in stats.metrics)
+    total_dropped = sum(m["quota_dropped"] for m in stats.metrics)
+    assert total_denied + total_dropped > 0
+
+
+def test_quota_hard_cap_on_payload(oracle, engine):
+    """No host may ever exceed QUOTA fetch slots: payload rows (plus
+    suppressed/error slots) per host ≤ QUOTA."""
+    stats, payload = engine
+    per_host = pd.Series(
+        [u.split("://", 1)[1].split("/", 1)[0] for u in payload["url"]]
+    ).value_counts()
+    assert (per_host <= QUOTA).all()
+    # exact slot accounting from the fetch log: every fetched/suppressed/
+    # errored row spent one slot
+    log = pd.DataFrame(stats.fetch_log)
+    spent = log[log["status"].isin(["fetched", "phash_suppressed",
+                                    "fetch_error"])]
+    slots = spent.groupby("host").size()
+    assert (slots <= QUOTA).all()
+
+
+def test_quota_identities(oracle, engine):
+    """seen_count == accepted + robots_denied + trap_denied + quota_denied,
+    and accepted == resolved + quota_dropped on a drained crawl."""
+    stats, _ = engine
+    for m in stats.metrics:
+        assert m["seen_count"] == (
+            m["accepted"] + m["robots_denied"] + m["trap_denied"]
+            + m["quota_denied"]
+        )
+        resolved = m["fetched"] + m["phash_suppressed"] + m["fetch_errors"]
+        assert m["accepted"] == resolved + m["quota_dropped"]
+
+
+def test_quota_survives_resume(ray_session, tmp_path):
+    """Kill after the first checkpoint, resume: the resumed crawl must not
+    re-serve capped hosts, and the final fetch log must equal the oracle's
+    (counter persistence, not just config)."""
+    from raycrawl.crawler import CrawlConfig, latest_checkpoint_epoch, run_crawl
+
+    out = str(tmp_path / "crawl")
+    cfg = CrawlConfig(
+        web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=6,
+        saving_period=3, max_pages_per_host=QUOTA,
+        collect_parity_outputs=True,
+    )
+    run_crawl(cfg, seed_urls(WEB))
+    assert latest_checkpoint_epoch(out) is not None
+
+    cfg2 = CrawlConfig(
+        web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=EPOCHS,
+        max_pages_per_host=QUOTA, collect_parity_outputs=True,
+    )
+    stats = run_crawl(cfg2, seed_urls(WEB), resume=True)
+    want = oracle_crawl(
+        WEB, seed_urls(WEB), max_epochs=EPOCHS, num_shards=SHARDS,
+        max_pages_per_host=QUOTA,
+    )
+    assert _sort_log(want.fetch_log) == _sort_log(stats.fetch_log)
+
+
+def test_quota_none_is_unchanged(ray_session):
+    """Quota off must be byte-identical to the pre-quota oracle (the new
+    code path is inert when unset)."""
+    a = oracle_crawl(WEB, seed_urls(WEB), max_epochs=10, num_shards=SHARDS)
+    b = oracle_crawl(
+        WEB, seed_urls(WEB), max_epochs=10, num_shards=SHARDS,
+        max_pages_per_host=None,
+    )
+    assert _sort_log(a.fetch_log) == _sort_log(b.fetch_log)

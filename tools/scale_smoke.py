@@ -328,9 +328,10 @@ def main() -> None:
     checks["yoy_join_branch"] = (
         PATH_LOG.get("nation_yoy_revenue_growth") == "join"
     )
+    # (groupby().first() skips NaN — index the min-year row directly)
     checks["yoy_first_year_null"] = bool(
-        yy.sort_values(["n_name", "yr"]).groupby("n_name")["yoy_growth"]
-        .first().isna().all()
+        yy.loc[yy.groupby("n_name")["yr"].idxmin(), "yoy_growth"]
+        .isna().all()
     )
     rr = run("returned_item_report")
     checks["q10_top20"] = bool(
