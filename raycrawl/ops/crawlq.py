@@ -1619,3 +1619,85 @@ def tier_feedback_table(crawl_out_dir: str):
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
                          finish)
+
+
+# ---------------------------------------------------------------- quota
+_QUOTA_CRAWL_CACHE: dict = {}
+_QUOTA_PER_HOST = 6
+
+
+def _quota_crawl_dir(sf_dir: str) -> str:
+    """Run (once per sf_dir per process) a QUOTA-CAPPED crawl — the
+    crawl-budget feature under audit (CrawlConfig.max_pages_per_host)."""
+    if sf_dir in _QUOTA_CRAWL_CACHE:
+        return _QUOTA_CRAWL_CACHE[sf_dir]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(8, n_docs // n_hosts))
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_quota/{tag}-{os.getpid()}"
+    cfg = CrawlConfig(
+        web=web, out_dir=out, num_shards=4, max_epochs=60,
+        epoch_seconds=8.0, burst=16.0,
+        max_pages_per_host=_QUOTA_PER_HOST,
+    )
+    run_crawl(cfg, seed_urls(web))
+    _QUOTA_CRAWL_CACHE[sf_dir] = out
+    return out
+
+
+@register("crawl_quota_audit", sql=None)
+def crawl_quota_audit(sf_dir: str):
+    """Crawl-budget audit: run a crawl capped at 6 pages/host and verify
+    the cap from its own outputs — per-host fetched counts from the
+    payload (fixed-cardinality partials) + the shards' quota_denied /
+    quota_dropped accounting from the checkpoint manifests. Rows-only (a
+    crawl is not SQL-expressible); pytest pins the no-host-over-quota
+    invariant and the metric identities."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..crawler import read_payload
+    from .common import combine_small
+
+    out = _quota_crawl_dir(sf_dir)
+    ds = read_payload(out, columns=["url"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = [u.split("://", 1)[1].split("/", 1)[0]
+                 for u in t["url"].to_pylist()]
+        tmp = pa.table({"host": pa.array(hosts, pa.string())})
+        return (
+            pa.TableGroupBy(tmp, "host")
+            .aggregate([([], "count_all")])
+            .rename_columns(["host", "n"])
+        )
+
+    frame = frontier_metrics_frame(out)
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("host", as_index=False)["n"].sum()
+        n = g["n"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "quota": pa.array([_QUOTA_PER_HOST], pa.int64()),
+                "n_hosts": pa.array([len(g)], pa.int64()),
+                "fetched_rows": pa.array([int(n.sum())], pa.int64()),
+                "max_host_rows": pa.array([int(n.max())], pa.int64()),
+                "n_hosts_at_cap": pa.array(
+                    [int((n >= _QUOTA_PER_HOST).sum())], pa.int64()
+                ),
+                "quota_denied": pa.array(
+                    [int(frame["quota_denied"].sum())], pa.int64()
+                ),
+                "quota_dropped": pa.array(
+                    [int(frame["quota_dropped"].sum())], pa.int64()
+                ),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         finish)

@@ -1374,3 +1374,138 @@ def event_peak_hour_by_type(sf_dir: str):
     return combine_small(
         ds.map_batches(partial, batch_format="pyarrow"), final
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit of order values — the classic synthetic-data /
+# fraud sniff test: observed first-significant-digit shares vs the Benford
+# expectation log10(1 + 1/d). Fixed 9-cell partials, no shuffle ever.
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(count(*) AS DOUBLE) / SUM(count(*)) OVER (), 6) AS share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+FROM d GROUP BY digit
+"""
+
+
+@register("order_value_benford_digits", sql=_BENFORD_SQL)
+def order_value_benford_digits(sf_dir: str):
+    ds = table(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        # first significant digit: c // 10^floor(log10(c)) — cents are ≥ 1
+        mag = np.power(
+            10.0, np.floor(np.log10(c.astype(np.float64)))
+        ).astype(np.int64)
+        digit = c // mag
+        counts = np.bincount(digit, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("digit", as_index=False)["n"].sum()
+        g = g[g["n"] > 0]
+        d = g["digit"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        total = float(n.sum())
+        return pa.table(
+            {
+                "digit": pa.array(d),
+                "n": pa.array(n),
+                "share": pa.array(
+                    round_half_away(n / total, 6), pa.float64()
+                ),
+                "benford_expected": pa.array(
+                    round_half_away(np.log10(1.0 + 1.0 / d), 6), pa.float64()
+                ),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         final)
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of hourly event volume per type — the burstiness
+# statistic behind rate-limit planning. The (type, hour) count table is
+# bounded by types × the corpus time span (not by event count), so the
+# partial stream collapses locally and the lag/corr runs on the bounded
+# driver-side series — same bounded-window argument as
+# open_orders_daily_backlog.
+_AUTOCORR_SQL = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+           FROM events GROUP BY 1, 2),
+l AS (SELECT event_type, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY hr) AS pn
+      FROM h)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(n, pn), 6) AS autocorr_lag1
+FROM l WHERE pn IS NOT NULL GROUP BY event_type
+"""
+
+
+@register("event_hourly_autocorr", sql=_AUTOCORR_SQL)
+def event_hourly_autocorr(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hr": pc.cast(
+                    pc.floor_temporal(t["ts"], unit="hour"), pa.int64()
+                ),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["event_type", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hr", "n"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["event_type", "hr"], as_index=False)["n"]
+            .sum()
+            .sort_values(["event_type", "hr"], kind="stable")
+        )
+        rows = []
+        for et, s in g.groupby("event_type"):
+            n = s["n"].to_numpy(np.float64)
+            if len(n) < 2:
+                continue
+            x, y = n[1:], n[:-1]  # (n, LAG(n)) pairs
+            k = float(len(x))
+            sx, sy = x.sum(), y.sum()
+            cov = (x * y).sum() - sx * sy / k
+            vx = (x * x).sum() - sx * sx / k
+            vy = (y * y).sum() - sy * sy / k
+            rows.append((et, len(x), cov / np.sqrt(vx * vy)))
+        out = pd.DataFrame(
+            rows, columns=["event_type", "n_pairs", "autocorr_lag1"]
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"]),
+                "n_pairs": pa.array(out["n_pairs"].to_numpy(np.int64)),
+                "autocorr_lag1": pa.array(
+                    round_half_away(
+                        out["autocorr_lag1"].to_numpy(np.float64), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         final)
