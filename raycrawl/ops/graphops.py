@@ -322,16 +322,30 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
 """
 
 
+# Adaptive execution: below TRIANGLE_BITSET_MAX_NODES the oriented edge
+# set (dimension-bounded: suppliers sharing parts) broadcasts as a packed
+# adjacency BITSET matrix and each edge's triangle closure is one
+# vectorized AND+popcount — measured 96 s (wedge join, ~10^8 wedge rows)
+# vs ~5 s at 1,000 nodes. Above the gate (|V|² bits outgrow a broadcast)
+# the two-hash-join wedge-close shape runs distributed. Path equivalence
+# pytested with the gate forced to 0.
+TRIANGLE_BITSET_MAX_NODES = 16_384  # 16k² bits = 32 MB broadcast matrix
+
+
 @register("triangle_count_cosuppliers", sql=_TRIANGLE_SQL)
-def triangle_count_cosuppliers(sf_dir: str):
+def triangle_count_cosuppliers(
+    sf_dir: str, bitset_max_nodes: int = TRIANGLE_BITSET_MAX_NODES
+):
+    from .common import note_path
+
     def orient(t: pa.Table) -> pa.Table:
         keep = t.filter(pc.less(t["src"], t["dst"]))
         return pa.table({"src": keep["src"], "dst": keep["dst"]})
 
-    # cosupplier_edges emits both directions distinct → the < filter keeps
+    # cosupplier_edges emits both directions distinct -> the < filter keeps
     # exactly one copy of each undirected edge. materialize: the oriented
-    # edge table is reused by three consumers (count, wedge join both
-    # sides, closing join) and is bounded by distinct co-supplier pairs.
+    # edge table is reused by every consumer and is bounded by distinct
+    # co-supplier pairs (a dimension-scale table, never the fact stream).
     edges = (
         cosupplier_edges(sf_dir)
         .map_batches(orient, batch_format="pyarrow")
@@ -339,36 +353,90 @@ def triangle_count_cosuppliers(sf_dir: str):
     )
     n_edges = edges.count()
 
-    mid = edges.map_batches(
-        lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow"
-    )
-    wedges = edges.join(
-        mid,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("dst",),
-        right_on=("b",),
-    ).map_batches(
-        lambda t: pa.table(
-            {"a": t["src"], "c": t["c"]}
-        ),
-        batch_format="pyarrow",
-    ).materialize()  # wedge rows reused by count + closing join
-    n_wedges = wedges.count()
+    # node universe from the edge table (bounded)
+    import numpy as np
 
-    closing = edges.map_batches(
-        lambda t: pa.table(
-            {"a": t["src"], "c": t["dst"], "hit": pa.array([1] * t.num_rows, pa.int64())}
-        ),
-        batch_format="pyarrow",
+    deg = edges.to_pandas()  # dimension-bounded by the materialize above
+    nodes = np.unique(
+        np.concatenate([deg["src"].to_numpy(np.int64),
+                        deg["dst"].to_numpy(np.int64)])
     )
-    tri = wedges.join(
-        closing,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("a", "c"),
-    )
-    n_triangles = tri.count()
+    n_nodes = len(nodes)
+    # wedges (a<b<c paths) in closed form: for each middle node b,
+    # (#neighbors below b) x (#neighbors above b) — no join needed
+    indeg = np.zeros(n_nodes, np.int64)
+    outdeg = np.zeros(n_nodes, np.int64)
+    src_i = np.searchsorted(nodes, deg["src"].to_numpy(np.int64))
+    dst_i = np.searchsorted(nodes, deg["dst"].to_numpy(np.int64))
+    np.add.at(outdeg, src_i, 1)
+    np.add.at(indeg, dst_i, 1)
+    n_wedges = int((indeg * outdeg).sum())
+
+    if n_nodes <= bitset_max_nodes:
+        note_path("triangle_count_cosuppliers", "bitset")
+        words = (n_nodes + 63) // 64
+        adj = np.zeros((n_nodes, words), np.uint64)
+        w, b = dst_i // 64, dst_i % 64
+        # set bit b of word w in row src_i (duplicates OR harmlessly)
+        np.bitwise_or.at(adj, (src_i, w), np.uint64(1) << b.astype(np.uint64))
+        adj_ref = ray.put((nodes, adj))
+
+        def block_tri(t: pa.Table) -> pa.Table:
+            nds, m = ray.get(adj_ref)
+            a = np.searchsorted(nds, t["src"].to_numpy(zero_copy_only=False))
+            c = np.searchsorted(nds, t["dst"].to_numpy(zero_copy_only=False))
+            common = m[a] & m[c]
+            # SWAR popcount over the uint64 words, summed per edge
+            x = common
+            x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+            x = (x & np.uint64(0x3333333333333333)) + (
+                (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+            )
+            x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            cnt = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).sum()
+            return pa.table({"tri": pa.array([int(cnt)], pa.int64())})
+
+        tri_partials = edges.map_batches(block_tri, batch_format="pyarrow")
+        from .common import combine_small
+
+        n_triangles = int(
+            combine_small(
+                tri_partials,
+                lambda t: pa.table(
+                    {"tri": pa.array([pc.sum(t["tri"]).as_py() or 0],
+                                     pa.int64())}
+                ),
+            )["tri"][0].as_py()
+        )
+    else:
+        note_path("triangle_count_cosuppliers", "join")
+        mid = edges.map_batches(
+            lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow"
+        )
+        wedges = edges.join(
+            mid,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("dst",),
+            right_on=("b",),
+        ).map_batches(
+            lambda t: pa.table({"a": t["src"], "c": t["c"]}),
+            batch_format="pyarrow",
+        )
+        closing = edges.map_batches(
+            lambda t: pa.table(
+                {"a": t["src"], "c": t["dst"],
+                 "hit": pa.array([1] * t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        tri = wedges.join(
+            closing,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("a", "c"),
+        )
+        n_triangles = tri.count()
 
     return pa.table(
         {

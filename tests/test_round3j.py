@@ -131,3 +131,16 @@ def test_triangle_count_matches_bruteforce(ray_session):
     )
     assert got["n_edges"] == len(es)
     assert got["n_triangles"] == tri
+
+
+def test_triangle_paths_equivalent(ray_session):
+    """Forcing the bitset gate to 0 must flip onto the distributed
+    wedge-join branch with identical counts."""
+    from raycrawl.ops.common import PATH_LOG
+    from raycrawl.ops.graphops import triangle_count_cosuppliers
+
+    a = triangle_count_cosuppliers(SF).to_pandas()
+    assert PATH_LOG["triangle_count_cosuppliers"] == "bitset"
+    b = triangle_count_cosuppliers(SF, bitset_max_nodes=0).to_pandas()
+    assert PATH_LOG["triangle_count_cosuppliers"] == "join"
+    pd.testing.assert_frame_equal(a, b)
