@@ -375,7 +375,9 @@ LIMIT 20
 
 
 @register("returned_item_report", sql=_Q10_SQL)
-def returned_item_report(sf_dir: str):
+def returned_item_report(
+    sf_dir: str, broadcast_max: int = ORDERS_BROADCAST_MAX
+):
     lo_us = int(pd.Timestamp(_Q10_LO).value // 1_000)
     hi_us = int(pd.Timestamp(_Q10_HI).value // 1_000)
 
@@ -384,7 +386,7 @@ def returned_item_report(sf_dir: str):
         ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
     )
 
-    def returned_cents(t: pa.Table) -> pa.Table:
+    def rev_cents(t: pa.Table) -> tuple[pa.Table, pa.Array]:
         t = t.filter(pc.equal(t["l_returnflag"], "R"))
         rev = _cents(
             pc.multiply(
@@ -392,38 +394,92 @@ def returned_item_report(sf_dir: str):
                 pc.subtract(pa.scalar(1.0), t["l_discount"]),
             )
         )
-        m = pa.table({"o_orderkey": t["l_orderkey"], "cents": rev})
-        return (
-            pa.TableGroupBy(m, ["o_orderkey"])
-            .aggregate([("cents", "sum")])
-            .rename_columns(["o_orderkey", "cents"])
+        return t, rev
+
+    if table_num_rows(sf_dir, "orders") <= broadcast_max:
+        # orders fit a broadcast: the R-lines map straight onto their
+        # window custkey and the whole query is ONE bucketed exchange
+        # (9.1 → ~3 s at sf0.1) instead of per-order agg + hash join +
+        # per-customer agg
+        note_path("returned_item_report", "broadcast")
+        import pyarrow.dataset as pads
+
+        od = (
+            pads.dataset(f"{sf_dir}/orders.parquet")
+            .to_table(
+                columns=["o_orderkey", "o_custkey"],
+                filter=(pc.field("o_orderdate")
+                        >= pd.Timestamp(_Q10_LO).to_pydatetime())
+                & (pc.field("o_orderdate")
+                   < pd.Timestamp(_Q10_HI).to_pydatetime()),
+            )
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        ref = ray.put(
+            (od["o_orderkey"].to_numpy(np.int64),
+             od["o_custkey"].to_numpy(np.int64))
         )
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("o_orderkey", as_index=False)["cents"].sum()
+        def cust_cents(t: pa.Table) -> pa.Table:
+            keys, cust = ray.get(ref)
+            t, rev = rev_cents(t)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (len(keys) > 0) & (keys[pos_c] == ok)
+            m = pa.table(
+                {
+                    "o_custkey": pa.array(cust[pos_c[hit]], pa.int64()),
+                    "cents": rev.filter(pa.array(hit)),
+                }
+            )
+            return (
+                pa.TableGroupBy(m, ["o_custkey"])
+                .aggregate([("cents", "sum")])
+                .rename_columns(["o_custkey", "cents"])
+            )
 
-    rev_per_order = bucketed_group_agg(
-        li.map_batches(returned_cents, batch_format="pyarrow"),
-        ["o_orderkey"],
-        per_order,
-    )
+        joined = li.map_batches(cust_cents, batch_format="pyarrow")
+    else:
+        note_path("returned_item_report", "join")
 
-    orders = table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        def returned_cents(t: pa.Table) -> pa.Table:
+            t, rev = rev_cents(t)
+            m = pa.table({"o_orderkey": t["l_orderkey"], "cents": rev})
+            return (
+                pa.TableGroupBy(m, ["o_orderkey"])
+                .aggregate([("cents", "sum")])
+                .rename_columns(["o_orderkey", "cents"])
+            )
 
-    def window(t: pa.Table) -> pa.Table:
-        us = _ts_us(t, "o_orderdate")
-        return t.filter(pa.array((us >= lo_us) & (us < hi_us))).drop_columns(
-            ["o_orderdate"]
+        def per_order(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("o_orderkey", as_index=False)["cents"].sum()
+
+        rev_per_order = bucketed_group_agg(
+            li.map_batches(returned_cents, batch_format="pyarrow"),
+            ["o_orderkey"],
+            per_order,
         )
 
-    ord_f = orders.map_batches(window, batch_format="pyarrow")
+        orders = table(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        )
 
-    joined = rev_per_order.join(
-        ord_f,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("o_orderkey",),
-    )
+        def window(t: pa.Table) -> pa.Table:
+            us = _ts_us(t, "o_orderdate")
+            return t.filter(
+                pa.array((us >= lo_us) & (us < hi_us))
+            ).drop_columns(["o_orderdate"])
+
+        ord_f = orders.map_batches(window, batch_format="pyarrow")
+
+        joined = rev_per_order.join(
+            ord_f,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_orderkey",),
+        )
 
     def per_cust_partial(t: pa.Table) -> pa.Table:
         if isinstance(t, pd.DataFrame):

@@ -33,6 +33,7 @@ GATED = [
     ("order_priority_exists_check", "broadcast", "join"),
     ("disjunctive_part_revenue", "broadcast", "join"),
     ("nation_yoy_revenue_growth", "broadcast", "join"),
+    ("returned_item_report", "broadcast", "join"),
 ]
 
 

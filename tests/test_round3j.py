@@ -133,6 +133,42 @@ def test_triangle_count_matches_bruteforce(ray_session):
     assert got["n_triangles"] == tri
 
 
+def test_pmi_paths_equivalent(ray_session):
+    """Forcing the vocab gate to 0 must flip PMI onto the two-hash-join
+    branch with identical rows."""
+    from raycrawl.ops.common import PATH_LOG
+    from raycrawl.ops.textstats import pmi_top_bigrams
+
+    def run(**kw):
+        df = pmi_top_bigrams(SF, **kw).to_pandas()
+        return df.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+    a = run()
+    assert PATH_LOG["pmi_top_bigrams"] == "broadcast"
+    b = run(vocab_broadcast_max=0)
+    assert PATH_LOG["pmi_top_bigrams"] == "join"
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cosupplier_edges_paths_equivalent(ray_session):
+    """The bitset edge builder must produce the exact edge set of the
+    self-join path."""
+    from raycrawl.ops.common import PATH_LOG
+    from raycrawl.ops.graphops import cosupplier_edges
+
+    def run(**kw):
+        return (
+            cosupplier_edges(SF, **kw).to_pandas()
+            .sort_values(["src", "dst"]).reset_index(drop=True)
+        )
+
+    a = run()
+    assert PATH_LOG["cosupplier_edges"] == "bitset"
+    b = run(bitset_max_nodes=0)
+    assert PATH_LOG["cosupplier_edges"] == "join"
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_triangle_paths_equivalent(ray_session):
     """Forcing the bitset gate to 0 must flip onto the distributed
     wedge-join branch with identical counts."""
