@@ -54,11 +54,22 @@ def combine_small(partials: ray.data.Dataset, combine_fn) -> pa.Table:
     """
     import pandas as pd
 
-    all_blocks = ray.get(partials.to_arrow_refs())
-    # `to_arrow_refs` hands back raw block refs: a pandas-block stage
-    # upstream (e.g. bucketed_group_agg's map_groups) can leak EMPTY
-    # pandas blocks through a pyarrow map_batches — Ray skips the UDF on
-    # empty blocks, so they arrive here unconverted. Normalize them.
+    # Pull block refs straight off the ref-bundle iterator — ONE
+    # execution. (`Dataset.to_arrow_refs` in Ray 2.49 calls
+    # `schema(fetch_if_missing=True)` after consuming, which re-executes
+    # the whole un-materialized lineage — shuffles included — a second
+    # time; measured as a full duplicate pipeline run with
+    # `LimitOperator[limit=1]` on every combine_small-terminated op.)
+    refs = [
+        br
+        for bundle in partials.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    all_blocks = ray.get(refs)
+    # Raw block refs: a pandas-block stage upstream (e.g.
+    # bucketed_group_agg's map_groups) can leak EMPTY pandas blocks
+    # through a pyarrow map_batches — Ray skips the UDF on empty blocks,
+    # so they arrive here unconverted. Normalize them.
     all_blocks = [
         pa.Table.from_pandas(b, preserve_index=False)
         if isinstance(b, pd.DataFrame) else b

@@ -96,7 +96,9 @@ LIMIT 10
 
 @register("shipping_priority_topk", sql=_Q3_SQL)
 def shipping_priority_topk(
-    sf_dir: str, broadcast_max: int = CUST_BROADCAST_MAX
+    sf_dir: str,
+    broadcast_max: int = CUST_BROADCAST_MAX,
+    orders_broadcast_max: int = ORDERS_BROADCAST_MAX,
 ):
     cut_us = int(pd.Timestamp(_Q3_CUT).value // 1_000)
 
@@ -105,8 +107,56 @@ def shipping_priority_topk(
         ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     )
 
-    if table_num_rows(sf_dir, "customer") <= broadcast_max:
+    ord_ref = None
+    if (table_num_rows(sf_dir, "customer") <= broadcast_max
+            and table_num_rows(sf_dir, "orders") <= orders_broadcast_max):
+        # both dimensions fit: the qualifying orders (segment ∩ early)
+        # broadcast as sorted arrays, lineitem semi-prunes against them
+        # BEFORE its exchange, and the hash join disappears entirely
         note_path("shipping_priority_topk", "broadcast")
+        import pyarrow.dataset as pads
+
+        seg = (
+            pads.dataset(f"{sf_dir}/customer.parquet")
+            .to_table(
+                columns=["c_custkey"],
+                filter=pc.field("c_mktsegment") == _Q3_SEG,
+            )["c_custkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        segk = np.sort(seg)
+        od = (
+            pads.dataset(f"{sf_dir}/orders.parquet")
+            .to_table(
+                columns=["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"],
+                filter=pc.field("o_orderdate")
+                < pd.Timestamp(_Q3_CUT).to_pydatetime(),
+            )
+            .to_pandas()
+        )
+        pos = np.searchsorted(segk, od["o_custkey"].to_numpy(np.int64))
+        pos_c = np.minimum(pos, max(len(segk) - 1, 0))
+        od = od[(len(segk) > 0)
+                & (segk[pos_c] == od["o_custkey"].to_numpy(np.int64))]
+        od = od.sort_values("o_orderkey")
+        prios = np.sort(od["o_orderpriority"].unique()) if len(od) else (
+            np.array([], object)
+        )
+        pcode = {p: i for i, p in enumerate(prios)}
+        ord_ref = ray.put(
+            (
+                od["o_orderkey"].to_numpy(np.int64),
+                od["o_orderdate"].astype("int64").to_numpy(),
+                od["o_orderpriority"].map(pcode).to_numpy(np.int64),
+            )
+        )
+        ord_f = None
+    elif table_num_rows(sf_dir, "customer") <= broadcast_max:
+        # customer keys broadcast, orders too big → semi-filter orders
+        # map-side, hash-join the per-order revenue
+        note_path("shipping_priority_topk", "broadcast+join")
         import pyarrow.dataset as pads
 
         seg = (
@@ -158,6 +208,14 @@ def shipping_priority_topk(
 
     def li_cents(t: pa.Table) -> pa.Table:
         t = t.filter(pa.array(_ts_us(t, "l_shipdate") > cut_us))
+        if ord_ref is not None:
+            # semi-prune against the broadcast qualifying orders BEFORE
+            # the exchange — only winning orders' lines move
+            okeys = ray.get(ord_ref)[0]
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            pos_c = np.minimum(pos, max(len(okeys) - 1, 0))
+            t = t.filter(pa.array((len(okeys) > 0) & (okeys[pos_c] == lk)))
         rev = _cents(
             pc.multiply(
                 t["l_extendedprice"],
@@ -182,12 +240,43 @@ def shipping_priority_topk(
         per_order,
     )
 
-    joined = rev.join(
-        ord_f,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("o_orderkey",),
-    )
+    if ord_ref is not None:
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            okeys, odates, oprio = ray.get(ord_ref)
+            idx = np.searchsorted(okeys, g["o_orderkey"].to_numpy(np.int64))
+            g = g.copy(deep=False)
+            g["o_orderdate"] = odates[idx]
+            g["_prio"] = oprio[idx]
+            return g
+
+        def to_arrow(g: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        g["o_orderkey"].to_numpy(np.int64)
+                    ),
+                    "o_orderdate": pc.cast(
+                        pa.array(g["o_orderdate"].to_numpy(np.int64)),
+                        pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array(
+                        prios[g["_prio"].to_numpy(np.int64)]
+                    ),
+                    "cents": pa.array(g["cents"].to_numpy(np.int64)),
+                }
+            )
+
+        joined = rev.map_batches(
+            lambda df: to_arrow(attach(df)), batch_format="pandas"
+        )
+    else:
+        joined = rev.join(
+            ord_f,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_orderkey",),
+        )
 
     def topk(t: pa.Table) -> pa.Table:
         if isinstance(t, pd.DataFrame):  # empty pandas block leak-through
