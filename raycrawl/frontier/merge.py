@@ -119,6 +119,8 @@ _COUNTERS = (
     "phash_suppressed",
     "fetch_errors",
     "trap_denied",
+    "quota_denied",
+    "quota_dropped",
 )
 
 
@@ -229,6 +231,19 @@ def merge_shard(
         k: man_a["metrics"].get(k, 0) + man_b["metrics"].get(k, 0)
         for k in _COUNTERS
     }
+
+    # host quota: slots SPENT sum across the two crawls (each fetch was a
+    # real slot, even where the merged payload dedups the same URL — the
+    # budget semantics is spend, not distinct pages); the quota itself
+    # follows the stricter crawl, and the resumed run's config can
+    # override it (FrontierShard.restore precedence).
+    hp = dict(man_a.get("host_popped", {}))
+    for h, n in man_b.get("host_popped", {}).items():
+        hp[h] = hp.get(h, 0) + n
+    shard.host_popped = hp
+    quotas = [q for q in (man_a.get("host_quota"), man_b.get("host_quota"))
+              if q is not None]
+    shard.host_quota = min(quotas) if quotas else None
 
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     manifest = shard.checkpoint(ckpt_dir, 0)
@@ -357,6 +372,10 @@ def _reshard_build_shard(sid: int, state) -> None:
     for h, t in s["tokens"].items():
         if own(h):
             shard.politeness.bucket(h).tokens = t
+    # quota counters follow each host to its new home shard (host→shard
+    # pinning keeps the lifetime cap exact across a reshard)
+    shard.host_popped = {h: n for h, n in s["host_popped"].items() if own(h)}
+    shard.host_quota = s["host_quota"]
     if sid == 0:
         shard.metrics = dict(s["counters"])
         shard.robots.fetches = s["robots_fetches"]
@@ -439,6 +458,8 @@ def reshard_checkpoint(
     tokens: dict = {}
     counters = {k: 0 for k in _COUNTERS}
     robots_fetches = 0
+    host_popped: dict[str, int] = {}
+    host_quota = None
     man0 = None
     for sid in old_ids:
         man, seen, hk, ph, fr, pe = _load_shard(src_dir, epoch, sid)
@@ -464,6 +485,11 @@ def reshard_checkpoint(
         robots_rules.update({h: tuple(r) for h, r in man["robots"].items()})
         robots_delays.update(man.get("robots_delays", {}))
         tokens.update(man.get("tokens", {}))
+        for h, n in man.get("host_popped", {}).items():
+            host_popped[h] = host_popped.get(h, 0) + n
+        if man.get("host_quota") is not None:
+            host_quota = (man["host_quota"] if host_quota is None
+                          else min(host_quota, man["host_quota"]))
         for k in _COUNTERS:
             counters[k] += man["metrics"].get(k, 0)
         robots_fetches += man["metrics"]["robots_fetches"]
@@ -553,6 +579,7 @@ def reshard_checkpoint(
         "pending_rows": pending_rows, "robots_rules": robots_rules,
         "robots_delays": robots_delays, "tokens": tokens,
         "counters": counters, "robots_fetches": robots_fetches,
+        "host_popped": host_popped, "host_quota": host_quota,
         "src_dir": src_dir, "epoch": epoch, "old_n": len(old_ids),
         "new_num_shards": new_num_shards, "expected_urls": expected_urls,
         "phash_radius": phash_radius, "ckpt_dir": ckpt_dir,

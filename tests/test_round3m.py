@@ -134,3 +134,70 @@ def test_quota_none_is_unchanged(ray_session):
         max_pages_per_host=None,
     )
     assert _sort_log(a.fetch_log) == _sort_log(b.fetch_log)
+
+
+def test_quota_counters_survive_merge_and_reshard(ray_session, tmp_path):
+    """Merging two capped crawls must sum the per-host slot counters
+    (budget = slots spent) and resharding must route each host's counter
+    to its new home shard — a capped host stays capped through both."""
+    import json
+    import os
+
+    from raycrawl.core.urltools import shard_of_host
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.frontier.merge import merge_checkpoints, reshard_checkpoint
+
+    seeds = seed_urls(WEB)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    def run(out, s):
+        cfg = CrawlConfig(
+            web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=4,
+            saving_period=2, max_pages_per_host=QUOTA,
+        )
+        return run_crawl(cfg, s)
+
+    run(out_a, seeds[:3])
+    run(out_b, seeds[3:])
+
+    def host_popped_of(out_dir, epoch, n):
+        hp: dict[str, int] = {}
+        quotas = []
+        base = os.path.join(out_dir, "checkpoints", f"epoch={epoch}")
+        for sid in range(n):
+            with open(os.path.join(base, f"shard={sid}", "manifest.json")) as f:
+                m = json.load(f)
+            for h, c in m.get("host_popped", {}).items():
+                hp[h] = hp.get(h, 0) + c
+            quotas.append(m.get("host_quota"))
+        return hp, quotas
+
+    from raycrawl.crawler import latest_checkpoint_epoch
+
+    ea, eb = latest_checkpoint_epoch(out_a), latest_checkpoint_epoch(out_b)
+    hp_a, _ = host_popped_of(out_a, ea, SHARDS)
+    hp_b, _ = host_popped_of(out_b, eb, SHARDS)
+    assert hp_a and hp_b
+
+    out_m = str(tmp_path / "m")
+    merge_checkpoints(out_a, out_b, out_m)
+    hp_m, quotas_m = host_popped_of(out_m, 0, SHARDS)
+    want = dict(hp_a)
+    for h, c in hp_b.items():
+        want[h] = want.get(h, 0) + c
+    assert hp_m == want
+    assert all(q == QUOTA for q in quotas_m)
+
+    out_r = str(tmp_path / "r")
+    new_n = SHARDS + 2
+    reshard_checkpoint(out_m, out_r, new_n)
+    hp_r, quotas_r = host_popped_of(out_r, 0, new_n)
+    assert hp_r == want
+    assert all(q == QUOTA for q in quotas_r)
+    # each counter lives on its host's new home shard
+    base = os.path.join(out_r, "checkpoints", "epoch=0")
+    for sid in range(new_n):
+        with open(os.path.join(base, f"shard={sid}", "manifest.json")) as f:
+            m = json.load(f)
+        for h in m.get("host_popped", {}):
+            assert shard_of_host(h, new_n) == sid
