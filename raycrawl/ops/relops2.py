@@ -1654,3 +1654,201 @@ def event_hourly_autocorr(sf_dir: str):
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
                          final)
+
+
+# --------------------------------------------------------------------------
+# Jaccard overlap of user bases between event types — "do buyers also
+# search?". The distributed trick: one bucketed exchange builds each
+# user's TYPE BITMASK (≤ 2^n_types distinct values, n_types fixed ≤ ~20),
+# the mask histogram is a fixed-cardinality partial, and every pairwise
+# |A∩B| / |A∪B| falls out of the ≤ 2^n-row histogram on the driver — the
+# user set itself never moves twice and no self-join ever runs.
+_JACCARD_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+tt AS (SELECT DISTINCT event_type FROM events),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM tt a JOIN tt b ON a.event_type < b.event_type),
+j AS (
+  SELECT p.type_a, p.type_b,
+         (SELECT count(*) FROM tu x JOIN tu y USING (user_id)
+          WHERE x.event_type = p.type_a AND y.event_type = p.type_b)
+           AS n_both,
+         (SELECT count(DISTINCT user_id) FROM tu
+          WHERE event_type IN (p.type_a, p.type_b)) AS n_either
+  FROM pairs p)
+SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_either AS BIGINT) AS n_either,
+       ROUND(CAST(n_both AS DOUBLE) / n_either, 6) AS jaccard
+FROM j
+"""
+
+
+@register("event_type_user_jaccard", sql=_JACCARD_SQL)
+def event_type_user_jaccard(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["user_id", "event_type"])
+            .aggregate([])
+            .rename_columns(["user_id", "event_type"])
+        )
+
+    # one exchange: (user, type) distinct rows co-locate by user; the
+    # per-user type-set histogram is built in the SAME bucket pass
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        m = g.groupby("user_id")["event_type"].agg(
+            lambda s: "|".join(sorted(set(s)))
+        )
+        vc = m.value_counts()
+        return pd.DataFrame(
+            {"type_set": vc.index, "n_users": vc.to_numpy(np.int64)}
+        )
+
+    hist = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        bucket_hist,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("type_set", as_index=False)["n_users"]
+            .sum()
+        )
+        all_types = sorted(
+            {x for s in g["type_set"] for x in s.split("|")}
+        )
+        rows = []
+        for i, a in enumerate(all_types):
+            for b in all_types[i + 1:]:
+                has_a = g["type_set"].str.split("|").map(lambda s: a in s)
+                has_b = g["type_set"].str.split("|").map(lambda s: b in s)
+                n_both = int(g.loc[has_a & has_b, "n_users"].sum())
+                n_either = int(g.loc[has_a | has_b, "n_users"].sum())
+                rows.append((a, b, n_both, n_either, n_both / n_either))
+        out = pd.DataFrame(
+            rows, columns=["type_a", "type_b", "n_both", "n_either",
+                           "jaccard"]
+        )
+        return pa.table(
+            {
+                "type_a": pa.array(out["type_a"]),
+                "type_b": pa.array(out["type_b"]),
+                "n_both": pa.array(out["n_both"].to_numpy(np.int64)),
+                "n_either": pa.array(out["n_either"].to_numpy(np.int64)),
+                "jaccard": pa.array(
+                    round_half_away(out["jaccard"].to_numpy(np.float64), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return combine_small(hist, final)
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of the revenue distribution across nations — how evenly
+# spread is spend? Fixed-cardinality partials (≤ 25 nations), closed-form
+# entropy on the driver; the only wide step is the adaptive customer
+# nation attach (shared shape with nation_yoy_revenue_growth).
+_ENTROPY_SQL = """
+WITH r AS (
+  SELECT n_name, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1),
+tot AS (SELECT SUM(cents) AS t FROM r)
+SELECT CAST(count(*) AS BIGINT) AS n_nations,
+       ROUND(-SUM((CAST(cents AS DOUBLE) / tot.t)
+                  * ln(CAST(cents AS DOUBLE) / tot.t)), 6) AS revenue_entropy,
+       ROUND(-SUM((CAST(cents AS DOUBLE) / tot.t)
+                  * ln(CAST(cents AS DOUBLE) / tot.t)) / ln(count(*)), 6)
+         AS normalized_entropy
+FROM r CROSS JOIN tot GROUP BY tot.t
+"""
+
+
+@register("nation_revenue_entropy", sql=_ENTROPY_SQL)
+def nation_revenue_entropy(
+    sf_dir: str, broadcast_max: int = CUST_BROADCAST_MAX
+):
+    import pyarrow.dataset as pads
+
+    orders = table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial_from(nk: np.ndarray, t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {
+                "nk": pa.array(nk, pa.int64()),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["nk"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["nk", "cents"])
+        )
+
+    if table_num_rows(sf_dir, "customer") <= broadcast_max:
+        note_path("nation_revenue_entropy", "broadcast")
+        cust = (
+            pads.dataset(f"{sf_dir}/customer.parquet")
+            .to_table(columns=["c_custkey", "c_nationkey"])
+            .to_pandas()
+            .sort_values("c_custkey")
+        )
+        ref = ray.put(
+            (cust["c_custkey"].to_numpy(np.int64),
+             cust["c_nationkey"].to_numpy(np.int64))
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, nks = ray.get(ref)
+            nk = nks[np.searchsorted(keys, t["o_custkey"].to_numpy(
+                zero_copy_only=False))]
+            return partial_from(nk, t)
+
+        partials = orders.map_batches(partial, batch_format="pyarrow")
+    else:
+        note_path("nation_revenue_entropy", "join")
+        joined = orders.join(
+            table(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def partial_j(t) -> pa.Table:
+            if isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return partial_from(nk, t)
+
+        partials = joined.map_batches(partial_j, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("nk", as_index=False)["cents"].sum()
+        c = g["cents"].to_numpy(np.float64)
+        p = c / c.sum()
+        h = float(-(p * np.log(p)).sum())
+        return pa.table(
+            {
+                "n_nations": pa.array([len(g)], pa.int64()),
+                "revenue_entropy": pa.array(
+                    round_half_away(np.array([h]), 6), pa.float64()
+                ),
+                "normalized_entropy": pa.array(
+                    round_half_away(np.array([h / np.log(len(g))]), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return combine_small(partials, final)

@@ -59,3 +59,25 @@ def test_quota_audit_invariants(ray_session):
     assert row["fetched_rows"] <= row["n_hosts"] * row["quota"]
     assert row["quota_denied"] + row["quota_dropped"] > 0
     assert row["n_hosts_at_cap"] >= 1
+
+
+def test_jaccard_and_entropy_match_oracle(ray_session):
+    for name in ("event_type_user_jaccard", "nation_revenue_entropy"):
+        got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_jaccard_bounds_and_symmetric_base(ray_session):
+    df = run_query("event_type_user_jaccard", SF)
+    assert ((df["jaccard"] >= 0) & (df["jaccard"] <= 1)).all()
+    assert (df["n_both"] <= df["n_either"]).all()
+    assert (df["type_a"] < df["type_b"]).all()  # each unordered pair once
+
+
+def test_entropy_bounds(ray_session):
+    row = run_query("nation_revenue_entropy", SF).iloc[0]
+    assert 0 <= row["normalized_entropy"] <= 1
+    assert abs(
+        row["revenue_entropy"]
+        - row["normalized_entropy"] * np.log(row["n_nations"])
+    ) < 2e-6
