@@ -121,6 +121,13 @@ BENCH_QUERIES = [
     "segment_priority_chi2",
     "customer_rfm_segments",
     "token_zipf_slope",
+    "excess_quantity_suppliers",
+    "brand_type_supplier_counts",
+    "event_peak_hour_by_type",
+    "order_value_benford_digits",
+    "event_hourly_autocorr",
+    "event_type_user_jaccard",
+    "nation_revenue_entropy",
 ]
 
 

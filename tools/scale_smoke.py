@@ -353,6 +353,51 @@ def main() -> None:
     )
     run("doc_vocab_richness")
 
+    # session-8 batches D-F at 15M orders / 6M lineitem / 2.5M events
+    gn = run("order_value_gini_by_priority")
+    checks["gini_in_unit_interval"] = bool(
+        ((gn["gini"] > 0) & (gn["gini"] < 1)).all()
+        and int(gn["n_orders"].sum()) == n_orders
+    )
+    cs = run("segment_priority_chi2")
+    checks["chi2_join_branch"] = (
+        PATH_LOG.get("segment_priority_chi2") == "join"
+    )
+    checks["chi2_marginals"] = int(cs["n"].sum()) == n_orders
+    rf = run("customer_rfm_segments")
+    checks["rfm_conserves_customers"] = (
+        int(rf["n_customers"].sum()) <= n_cust
+    )
+    run("token_zipf_slope")
+    eq = run("excess_quantity_suppliers")
+    checks["dominance_nonempty"] = len(eq) > 0
+    bt = run("brand_type_supplier_counts")
+    checks["q16_counts_bounded"] = bool(
+        (bt["supplier_cnt"] >= 1).all()
+    )
+    run("event_peak_hour_by_type")
+    bf = run("order_value_benford_digits")
+    checks["benford_shares_sum"] = abs(float(bf["share"].sum()) - 1.0) < 1e-4
+    run("event_hourly_autocorr")
+    ej = run("event_type_user_jaccard")
+    checks["jaccard_bounded"] = bool(
+        ((ej["jaccard"] >= 0) & (ej["jaccard"] <= 1)).all()
+    )
+    ne = run("nation_revenue_entropy")
+    checks["entropy_join_branch"] = (
+        PATH_LOG.get("nation_revenue_entropy") == "join"
+    )
+    checks["entropy_normalized"] = bool(
+        0 <= float(ne["normalized_entropy"][0]) <= 1
+    )
+    tg = run("triangle_count_cosuppliers")
+    checks["triangle_bitset_branch"] = (
+        PATH_LOG.get("cosupplier_edges") == "bitset"
+    )
+    checks["triangles_le_wedges_2"] = bool(
+        int(tg["n_triangles"][0]) <= int(tg["n_wedges"][0])
+    )
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
