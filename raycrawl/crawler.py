@@ -501,14 +501,24 @@ def run_crawl(
                     actors[dst].offer_packed.remote((epoch, src), packed_ref,
                                                     epoch + 1)
                 )
-        suppressed = [d for _, sup, _, _ in finals for d in sup]
+        # sidecars carry (url_hash, host): host attribution is what lets
+        # checkpoint MERGE rebuild exact per-host quota spend (every pop
+        # lands in exactly one of payload/suppressed/errors, so the three
+        # trees deduped by digest ARE the popped set — merge.py)
+        suppressed = [dh for _, sup, _, _ in finals for dh in sup]
         pq.write_table(
-            pa.table({"url_hash": pa.array(suppressed, pa.binary())}),
+            pa.table({
+                "url_hash": pa.array([d for d, _ in suppressed], pa.binary()),
+                "host": pa.array([h for _, h in suppressed], pa.string()),
+            }),
             os.path.join(suppressed_dir, f"epoch={epoch}.parquet"),
         )
-        errors = [d for _, _, errs, _ in finals for d in errs]
+        errors = [dh for _, _, errs, _ in finals for dh in errs]
         pq.write_table(
-            pa.table({"url_hash": pa.array(errors, pa.binary())}),
+            pa.table({
+                "url_hash": pa.array([d for d, _ in errors], pa.binary()),
+                "host": pa.array([h for _, h in errors], pa.string()),
+            }),
             os.path.join(errors_dir, f"epoch={epoch}.parquet"),
         )
         if offer_refs:

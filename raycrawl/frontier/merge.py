@@ -111,6 +111,93 @@ def _load_shard(out_dir: str, epoch: int, shard_id: int):
     return manifest, seen, hostkeys, npz["phash"], frontier, pending
 
 
+def _chain_dirs(root_dir: str, epoch: int) -> list[tuple[str, int]]:
+    """(out_dir, epoch_cap) for ``root_dir`` and every source crawl in its
+    ``merged_from`` chain (a merge of merges recurses). A merged
+    checkpoint's payload/sidecar trees live in its SOURCES' out_dirs
+    (merge.py module docstring) — any walk of "what did this crawl emit"
+    must chase the chain, capped per dir at the epoch that dir
+    contributed."""
+    out: list[tuple[str, int]] = []
+    walk = [(root_dir, epoch)]
+    seen_dirs: set[str] = set()
+    while walk:
+        d, ep_cap = walk.pop()
+        if d in seen_dirs:
+            continue
+        seen_dirs.add(d)
+        out.append((d, ep_cap))
+        dm = os.path.join(d, "checkpoints", f"epoch={ep_cap}",
+                          "driver_manifest.json")
+        if os.path.exists(dm):
+            with open(dm) as fh:
+                man = json.load(fh)
+            srcs = man.get("merged_from") or []
+            eps = man.get("merged_from_epochs") or [None] * len(srcs)
+            for s, se in zip(srcs, eps):
+                walk.append((s, se if se is not None else _latest_epoch(s)))
+    return out
+
+
+def _popped_digest_hosts(root_dir: str, epoch: int) -> dict[bytes, str] | None:
+    """digest → host for every pop this crawl (and its merged_from chain)
+    recorded up to ``epoch``: payload rows plus the suppressed/errors
+    sidecars — every pop lands in exactly ONE of the three trees, so their
+    digest-union IS the popped set. Returns None when the trees cannot
+    support an exact rebuild (pre-host-column sidecars). Driver-tool scale
+    note: reads are column-pruned metadata (20 B digest + host per pop);
+    at 10^10 fan this out one Ray task per epoch file and merge dicts."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+
+    from ..core.urltools import host_of
+
+    popped: dict[bytes, str] = {}
+    for d, ep_cap in _chain_dirs(root_dir, epoch):
+        pay = [
+            f
+            for f in _glob.glob(
+                os.path.join(d, "payload", "epoch=*", "*.parquet")
+            )
+            if int(os.path.basename(os.path.dirname(f)).split("=")[1])
+            <= ep_cap
+        ]
+        if pay:
+            t = pads.dataset(pay).to_table(columns=["url_hash", "url"])
+            for dg, u in zip(t["url_hash"].to_pylist(),
+                             t["url"].to_pylist()):
+                popped[dg] = host_of(u)
+        for side in ("suppressed", "errors"):
+            for f in _glob.glob(os.path.join(d, side, "epoch=*.parquet")):
+                ep = int(os.path.basename(f).split("=")[1].split(".")[0])
+                if ep > ep_cap:
+                    continue
+                t = pq.read_table(f)
+                if not t.num_rows:
+                    continue
+                if "host" not in t.column_names:
+                    return None  # pre-host-column crawl → summed fallback
+                for dg, h in zip(t["url_hash"].to_pylist(),
+                                 t["host"].to_pylist()):
+                    popped[dg] = h
+    return popped
+
+
+def _manifest_host_popped(out_dir: str, epoch: int) -> dict[str, int]:
+    """Σ over shard manifests of host_popped — the crawl's own recorded
+    per-host slot spend."""
+    hp: dict[str, int] = {}
+    for sid in _shard_ids(out_dir, epoch):
+        d = os.path.join(out_dir, "checkpoints", f"epoch={epoch}",
+                         f"shard={sid}")
+        with open(os.path.join(d, "manifest.json")) as f:
+            man = json.load(f)
+        for h, n in man.get("host_popped", {}).items():
+            hp[h] = hp.get(h, 0) + n
+    return hp
+
+
 _COUNTERS = (
     "offered",
     "accepted",
@@ -232,11 +319,16 @@ def merge_shard(
         for k in _COUNTERS
     }
 
-    # host quota: slots SPENT sum across the two crawls (each fetch was a
-    # real slot, even where the merged payload dedups the same URL — the
-    # budget semantics is spend, not distinct pages); the quota itself
-    # follows the stricter crawl, and the resumed run's config can
-    # override it (FrontierShard.restore precedence).
+    # host quota: per-shard default is the SUM of the two crawls' spend.
+    # Where both crawls popped the SAME url, the sum double-counts that
+    # slot vs what one union-seed crawl would have spent —
+    # merge_checkpoints rewrites these counters with the exact
+    # digest-union rebuilt from the payload/suppressed/errors trees when
+    # the trees support it (host column present, counts reconcile); the
+    # sum survives only as the conservative (never under-counting)
+    # fallback. The quota itself follows the stricter crawl, and the
+    # resumed run's config can override it (FrontierShard.restore
+    # precedence).
     hp = dict(man_a.get("host_popped", {}))
     for h, n in man_b.get("host_popped", {}).items():
         hp[h] = hp.get(h, 0) + n
@@ -301,11 +393,52 @@ def merge_checkpoints(
             )
             for sid in ids_a
         ]
+    # Exact host-quota spend: where both crawls popped the same URL, the
+    # per-shard manifest sum double-counts that slot vs a single
+    # union-seed crawl (which pops each digest once). Rebuild the merged
+    # counters as the per-host count of the DIGEST-UNION of both crawls'
+    # pops (payload ∪ suppressed ∪ errors trees). Guard rails: each side's
+    # tree-derived counts must reconcile exactly with its own manifest sum
+    # (a side that was itself an old summed merge, or has incomplete
+    # trees, fails this and keeps the conservative summed counters), and
+    # pre-host-column sidecars fall back too. The manifest records which
+    # path ran.
+    from collections import Counter
+
+    from ..core.urltools import shard_of_host
+
+    quota_mode = "summed_fallback"
+    pop_a = _popped_digest_hosts(dir_a, epoch_a)
+    pop_b = _popped_digest_hosts(dir_b, epoch_b) if pop_a is not None else None
+    if (
+        pop_a is not None
+        and pop_b is not None
+        and dict(Counter(pop_a.values()))
+        == _manifest_host_popped(dir_a, epoch_a)
+        and dict(Counter(pop_b.values()))
+        == _manifest_host_popped(dir_b, epoch_b)
+    ):
+        exact = Counter({**pop_a, **pop_b}.values())
+        quota_mode = "exact_union"
+        n = len(ids_a)
+        for sid in ids_a:
+            mp = os.path.join(out_dir, "checkpoints", "epoch=0",
+                              f"shard={sid}", "manifest.json")
+            with open(mp) as f:
+                man = json.load(f)
+            man["host_popped"] = {
+                h: c for h, c in exact.items() if shard_of_host(h, n) == sid
+            }
+            man["host_popped_merge"] = quota_mode
+            with open(mp, "w") as f:
+                json.dump(man, f)
+
     d = os.path.join(out_dir, "checkpoints", "epoch=0")
     with open(os.path.join(d, "driver_manifest.json"), "w") as f:
         json.dump(
             {"epoch": 0, "merged_from": [dir_a, dir_b],
              "merged_from_epochs": [epoch_a, epoch_b],
+             "host_popped_merge": quota_mode,
              "phase_seconds": {}},
             f,
         )
@@ -509,27 +642,12 @@ def reshard_checkpoint(
     # files up to the epoch that source contributed, so the payload↔index
     # invariant (index == payload-emitted phashes) keeps holding and the
     # reshard stays EXACT for federated crawls too.
-    pay_files = []
-    walk = [(src_dir, epoch)]
-    seen_dirs = set()
-    while walk:
-        d, ep_cap = walk.pop()
-        if d in seen_dirs:
-            continue
-        seen_dirs.add(d)
-        for f in _glob.glob(os.path.join(d, "payload", "epoch=*", "*.parquet")):
-            ep = int(os.path.basename(os.path.dirname(f)).split("=")[1])
-            if ep <= ep_cap:
-                pay_files.append(f)
-        dm = os.path.join(d, "checkpoints", f"epoch={ep_cap}",
-                          "driver_manifest.json")
-        if os.path.exists(dm):
-            with open(dm) as fh:
-                man = json.load(fh)
-            srcs = man.get("merged_from") or []
-            eps = man.get("merged_from_epochs") or [None] * len(srcs)
-            for s, se in zip(srcs, eps):
-                walk.append((s, se if se is not None else _latest_epoch(s)))
+    pay_files = [
+        f
+        for d, ep_cap in _chain_dirs(src_dir, epoch)
+        for f in _glob.glob(os.path.join(d, "payload", "epoch=*", "*.parquet"))
+        if int(os.path.basename(os.path.dirname(f)).split("=")[1]) <= ep_cap
+    ]
     if not len(union_ph):
         # nothing was ever gated (e.g. the crawl ran with phash_radius=-1,
         # or no page emitted yet): empty per-shard indexes ARE the exact

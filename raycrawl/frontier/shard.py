@@ -487,18 +487,21 @@ class FrontierShard:
     def gate_finalize(self, epoch: int, num_shards: int):
         """Run the ordered phash gate over this epoch's submitted rows.
 
-        Returns (kept_count, suppressed_digests, error_digests,
-        {dst_shard: offer_ref}) where an offer payload is (urls, digests,
-        hosts, priorities, depths) for the driver to route to
-        ``offer_packed`` on each target shard."""
+        Returns (kept_count, suppressed, errors, {dst_shard: offer_ref})
+        where suppressed/errors entries are (digest, host) pairs — the
+        host rides along so the driver's sidecars can attribute each
+        non-payload pop to its host (checkpoint-merge rebuilds exact
+        per-host quota spend from the sidecars) — and an offer payload is
+        (urls, digests, hosts, priorities, depths) for the driver to
+        route to ``offer_packed`` on each target shard."""
         if epoch in self._gate_memo:
             return self._gate_memo[epoch]
         buf = self._gate_buf.pop(epoch, {})
         order = sorted(
             buf.items(), key=lambda kv: (-kv[1][1][2], kv[1][1][3], kv[1][1][4], kv[0])
         )
-        suppressed: list[bytes] = []
-        errors: list[bytes] = []
+        suppressed: list[tuple[bytes, str]] = []
+        errors: list[tuple[bytes, str]] = []
         best: dict[str, tuple] = {}  # canonical url → (digest,host,pri,min depth)
         kept = 0
         for digest, (ph, m, ls) in order:
@@ -507,13 +510,13 @@ class FrontierShard:
                 self.metrics["fetch_errors"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
                                  "fetch_error")
-                errors.append(digest)
+                errors.append((digest, host))
                 continue
             if self.phash.query(ph) is not None:
                 self.metrics["phash_suppressed"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
                                  "dup_suppressed")
-                suppressed.append(digest)
+                suppressed.append((digest, host))
                 continue
             self.phash.add(ph)
             self.metrics["fetched"] += 1
@@ -577,8 +580,8 @@ class FrontierShard:
         order = sorted(
             buf.items(), key=lambda kv: (-kv[1][1][2], kv[1][1][3], kv[1][1][4], kv[0])
         )
-        suppressed: list[bytes] = []
-        errors: list[bytes] = []
+        suppressed: list[tuple[bytes, str]] = []
+        errors: list[tuple[bytes, str]] = []
         best: dict[str, tuple] = {}
         kept = 0
         for digest, (ph, m, ls) in order:
@@ -587,13 +590,13 @@ class FrontierShard:
                 self.metrics["fetch_errors"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
                                  "fetch_error")
-                errors.append(digest)
+                errors.append((digest, host))
                 continue
             if digest in sup:
                 self.metrics["phash_suppressed"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
                                  "dup_suppressed")
-                suppressed.append(digest)
+                suppressed.append((digest, host))
                 continue
             self.metrics["fetched"] += 1
             kept += 1

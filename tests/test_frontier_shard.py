@@ -87,7 +87,8 @@ def test_gate_submit_finalize():
     s.gate_submit(0, digests[1:2], phashes[1:2], meta[1:2], links[1:2])
     kept, suppressed, errors, offers = s.gate_finalize(0, num_shards=4)
     assert kept == 2
-    assert suppressed == [digests[1]]  # ordered gate: digest 0 wins, 1 near-dup
+    # ordered gate: digest 0 wins, 1 near-dup; host rides along for sidecars
+    assert suppressed == [(digests[1], "h1.web.test")]
     assert s.metrics["phash_suppressed"] == 1
     # surviving row 2's outlink routed to its host shard
     def _deref(x):

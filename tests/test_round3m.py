@@ -137,9 +137,12 @@ def test_quota_none_is_unchanged(ray_session):
 
 
 def test_quota_counters_survive_merge_and_reshard(ray_session, tmp_path):
-    """Merging two capped crawls must sum the per-host slot counters
-    (budget = slots spent) and resharding must route each host's counter
-    to its new home shard — a capped host stays capped through both."""
+    """Merging two capped crawls must carry per-host slot counters as the
+    DIGEST-UNION of both crawls' pops (what one union-seed crawl would
+    have spent — disjoint seeds can still reach the same URLs through
+    links, and those slots must not double-count), and resharding must
+    route each host's counter to its new home shard — a capped host
+    stays capped through both."""
     import json
     import os
 
@@ -154,11 +157,12 @@ def test_quota_counters_survive_merge_and_reshard(ray_session, tmp_path):
         cfg = CrawlConfig(
             web=WEB, out_dir=out, num_shards=SHARDS, max_epochs=4,
             saving_period=2, max_pages_per_host=QUOTA,
+            collect_parity_outputs=True,
         )
         return run_crawl(cfg, s)
 
-    run(out_a, seeds[:3])
-    run(out_b, seeds[3:])
+    stats_a = run(out_a, seeds[:3])
+    stats_b = run(out_b, seeds[3:])
 
     def host_popped_of(out_dir, epoch, n):
         hp: dict[str, int] = {}
@@ -182,9 +186,19 @@ def test_quota_counters_survive_merge_and_reshard(ray_session, tmp_path):
     out_m = str(tmp_path / "m")
     merge_checkpoints(out_a, out_b, out_m)
     hp_m, quotas_m = host_popped_of(out_m, 0, SHARDS)
-    want = dict(hp_a)
-    for h, c in hp_b.items():
-        want[h] = want.get(h, 0) + c
+
+    def popped(stats):
+        out: dict[str, set] = {}
+        for row in stats.fetch_log:
+            if row["status"] in ("fetched", "fetch_error", "dup_suppressed"):
+                out.setdefault(row["host"], set()).add(row["url_hash"])
+        return out
+
+    pa_, pb_ = popped(stats_a), popped(stats_b)
+    want = {
+        h: len(pa_.get(h, set()) | pb_.get(h, set()))
+        for h in set(pa_) | set(pb_)
+    }
     assert hp_m == want
     assert all(q == QUOTA for q in quotas_m)
 
