@@ -60,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="max URLs popped per shard per epoch — the "
                    "fetch-capacity contention that makes host boosts "
                    "reallocate capacity across hosts")
+    c.add_argument("--error-backoff", action="store_true",
+                   help="halve a host's token rate per consecutive fetch "
+                        "error (cap /64); restored on next success")
     c.add_argument("--max-pages-per-host", type=int, default=None,
                    help="lifetime per-host page cap (crawl budget): at "
                    "quota a host's queued URLs are dropped and new offers "
@@ -186,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         epoch_pop_budget=args.pop_budget,
         max_pages_per_host=args.max_pages_per_host,
+        error_backoff=args.error_backoff,
     )
     import signal
 

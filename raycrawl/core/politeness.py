@@ -109,7 +109,10 @@ class HostPoliteness:
         return b
 
     def refill_all(self) -> None:
-        for b in self.buckets.values():
+        # rates are re-evaluated every refill: effective rate is dynamic
+        # (robots Crawl-delay discovered later, error-backoff streaks)
+        for host, b in self.buckets.items():
+            b.rate = self.rate_fn(host)
             b.refill(self.epoch_seconds)
 
     def try_take(self, host: str) -> bool:

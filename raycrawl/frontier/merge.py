@@ -333,6 +333,15 @@ def merge_shard(
     for h, n in man_b.get("host_popped", {}).items():
         hp[h] = hp.get(h, 0) + n
     shard.host_popped = hp
+    # error-backoff streaks: conservative MAX per host (the flakier view
+    # wins — a merged crawl backs off at least as hard as either source);
+    # the flag itself is ON if either crawl ran with it
+    shard.error_backoff = (man_a.get("error_backoff", False)
+                           or man_b.get("error_backoff", False))
+    ce = dict(man_a.get("host_consec_errors", {}))
+    for h, n in man_b.get("host_consec_errors", {}).items():
+        ce[h] = max(n, ce.get(h, 0))
+    shard.host_consec_errors = ce
     quotas = [q for q in (man_a.get("host_quota"), man_b.get("host_quota"))
               if q is not None]
     shard.host_quota = min(quotas) if quotas else None
@@ -509,6 +518,10 @@ def _reshard_build_shard(sid: int, state) -> None:
     # pinning keeps the lifetime cap exact across a reshard)
     shard.host_popped = {h: n for h, n in s["host_popped"].items() if own(h)}
     shard.host_quota = s["host_quota"]
+    shard.error_backoff = s["error_backoff"]
+    shard.host_consec_errors = {
+        h: n for h, n in s["host_consec_errors"].items() if own(h)
+    }
     if sid == 0:
         shard.metrics = dict(s["counters"])
         shard.robots.fetches = s["robots_fetches"]
@@ -592,6 +605,8 @@ def reshard_checkpoint(
     counters = {k: 0 for k in _COUNTERS}
     robots_fetches = 0
     host_popped: dict[str, int] = {}
+    host_consec_errors: dict[str, int] = {}
+    error_backoff = False
     host_quota = None
     man0 = None
     for sid in old_ids:
@@ -620,6 +635,9 @@ def reshard_checkpoint(
         tokens.update(man.get("tokens", {}))
         for h, n in man.get("host_popped", {}).items():
             host_popped[h] = host_popped.get(h, 0) + n
+        for h, n in man.get("host_consec_errors", {}).items():
+            host_consec_errors[h] = max(n, host_consec_errors.get(h, 0))
+        error_backoff = error_backoff or man.get("error_backoff", False)
         if man.get("host_quota") is not None:
             host_quota = (man["host_quota"] if host_quota is None
                           else min(host_quota, man["host_quota"]))
@@ -698,6 +716,8 @@ def reshard_checkpoint(
         "robots_delays": robots_delays, "tokens": tokens,
         "counters": counters, "robots_fetches": robots_fetches,
         "host_popped": host_popped, "host_quota": host_quota,
+        "host_consec_errors": host_consec_errors,
+        "error_backoff": error_backoff,
         "src_dir": src_dir, "epoch": epoch, "old_n": len(old_ids),
         "new_num_shards": new_num_shards, "expected_urls": expected_urls,
         "phash_radius": phash_radius, "ckpt_dir": ckpt_dir,

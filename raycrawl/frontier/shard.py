@@ -115,8 +115,18 @@ class FrontierShard:
         trap_filter: bool = False,
         pop_budget: int | None = None,
         host_quota: int | None = None,
+        error_backoff: bool = False,
     ):
         self.shard_id = shard_id
+        # adaptive politeness: halve a host's effective token rate per
+        # CONSECUTIVE fetch error (capped at /64), restored to full on the
+        # next successful fetch — the production back-off for flaky hosts.
+        # Counted at gate time (the point fetch outcome is known); the
+        # rate change takes effect at the next epoch's refill, identically
+        # in the sequential oracle (oracle.py eff_rate) so crawl-ordering
+        # parity holds with the feature on.
+        self.error_backoff = error_backoff
+        self.host_consec_errors: dict[str, int] = {}
         # lifetime per-host page cap: max fetch slots (pops) a host may
         # ever consume across the whole crawl — the production-crawler
         # "crawl budget" knob. Counted at pop time (includes fetch errors
@@ -197,7 +207,10 @@ class FrontierShard:
 
         delay = self.robots.crawl_delay(host)
         rate = host_rate(host)
-        return min(rate, 1.0 / delay) if delay else rate
+        rate = min(rate, 1.0 / delay) if delay else rate
+        if self.error_backoff:
+            rate /= 1 << min(self.host_consec_errors.get(host, 0), 6)
+        return rate
 
     # ------------------------------------------------------------- enqueue
     def offer(
@@ -510,8 +523,12 @@ class FrontierShard:
                 self.metrics["fetch_errors"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
                                  "fetch_error")
+                self.host_consec_errors[host] = (
+                    self.host_consec_errors.get(host, 0) + 1
+                )
                 errors.append((digest, host))
                 continue
+            self.host_consec_errors.pop(host, None)
             if self.phash.query(ph) is not None:
                 self.metrics["phash_suppressed"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
@@ -590,8 +607,12 @@ class FrontierShard:
                 self.metrics["fetch_errors"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
                                  "fetch_error")
+                self.host_consec_errors[host] = (
+                    self.host_consec_errors.get(host, 0) + 1
+                )
                 errors.append((digest, host))
                 continue
+            self.host_consec_errors.pop(host, None)
             if digest in sup:
                 self.metrics["phash_suppressed"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
@@ -732,6 +753,8 @@ class FrontierShard:
             epoch_seconds=self.epoch_seconds,
             host_quota=self.host_quota,
             host_popped=self.host_popped,
+            error_backoff=self.error_backoff,
+            host_consec_errors=self.host_consec_errors,
         )
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -813,6 +836,10 @@ class FrontierShard:
         }
         self.host_quota = manifest.get("host_quota")
         self.host_popped = dict(manifest.get("host_popped", {}))
+        self.error_backoff = manifest.get("error_backoff", False)
+        self.host_consec_errors = dict(
+            manifest.get("host_consec_errors", {})
+        )
         base = os.path.dirname(os.path.dirname(d))  # ckpt_dir
         rows: list[dict] = []
         for ed in sorted(

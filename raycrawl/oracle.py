@@ -78,6 +78,7 @@ def oracle_crawl(
     host_priority_boost: dict | None = None,
     epoch_pop_budget: int | None = None,
     max_pages_per_host: int | None = None,
+    error_backoff: bool = False,
 ) -> OracleResult:
     res = OracleResult()
 
@@ -101,6 +102,9 @@ def oracle_crawl(
         for s in range(num_shards)
     }
     host_popped: dict[str, int] = {}
+    # error-backoff streaks: consecutive fetch errors per host (engine:
+    # FrontierShard.host_consec_errors)
+    consec_errors: dict[str, int] = {}
 
     def enqueue(url: str, depth: int, discovered_at: int) -> None:
         digest = url_sha1(url)
@@ -151,7 +155,10 @@ def oracle_crawl(
     def eff_rate(h: str) -> float:
         delay = robots.crawl_delay(h)
         r = host_rate(h)
-        return min(r, 1.0 / delay) if delay else r
+        r = min(r, 1.0 / delay) if delay else r
+        if error_backoff:
+            r /= 1 << min(consec_errors.get(h, 0), 6)
+        return r
 
     epoch = 0
     while epoch < max_epochs and frontier:
@@ -236,8 +243,14 @@ def oracle_crawl(
             shard = item["shard"]
             if fetch_fails(item["digest"]):
                 metrics[shard]["fetch_errors"] += 1
+                consec_errors[item["host"]] = (
+                    consec_errors.get(item["host"], 0) + 1
+                )
                 res.fetch_log.append({**_log(item, epoch), "status": "fetch_error"})
                 continue
+            # HTTP fetch succeeded (even if later near-dup-suppressed):
+            # the host's error streak resets
+            consec_errors.pop(item["host"], None)
             page = page_for(cfg, item["url"])
             # gating phash comes from the DECODED payload (consumer view)
             pixels, _ = decode_image(page.data)
