@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     "event_hourly_autocorr",
     "event_type_user_jaccard",
     "nation_revenue_entropy",
+    # round-3 session-9 additions (LLM-corpus selection: DSIR importance
+    # weights, CCNet perplexity terciles)
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
 ]
 
 

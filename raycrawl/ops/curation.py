@@ -460,9 +460,12 @@ GROUP BY t.doc_id
 """
 
 
-@register("unigram_logprob_scores", sql=_UNIGRAM_SQL)
-def unigram_logprob_scores(sf_dir: str):
-    from .common import combine_small, round_half_away
+def _fit_unigram_lm(sf_dir: str):
+    """Pass 1 of the unigram-LM proxy: fit log-probs over the corpus
+    vocabulary (per-block value_counts collapse to local vocab before the
+    exchange; the fold is vocabulary-sized) → broadcast ObjectRef of a
+    word→logp Series."""
+    from .common import combine_small
 
     def block_counts(t: pa.Table) -> pa.Table:
         lower = pc.utf8_lower(t["text"])
@@ -493,7 +496,16 @@ def unigram_logprob_scores(sf_dir: str):
     logp = pd.Series(
         np.log(n / n.sum()), index=vocab["word"].to_pylist()
     )
-    lm_ref = ray.put(logp)
+    return ray.put(logp)
+
+
+def _unigram_scored(sf_dir: str, carry: tuple[str, ...] = ()):
+    """Pass 2: stream the corpus against the broadcast LM → Dataset of
+    (doc_id, *carry, n_tokens, avg_nll). ``carry`` names extra document
+    columns to ride along (e.g. lang for per-language filtering)."""
+    from .common import round_half_away
+
+    lm_ref = _fit_unigram_lm(sf_dir)
 
     def score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
         lm = ray.get(ref)
@@ -505,22 +517,30 @@ def unigram_logprob_scores(sf_dir: str):
         if not len(ex):
             return pd.DataFrame(
                 {"doc_id": pd.Series([], dtype="int64"),
+                 **{c: pd.Series([], dtype="object") for c in carry},
                  "n_tokens": pd.Series([], dtype="int64"),
                  "avg_nll": pd.Series([], dtype="float64")}
             )
         nll = -ex.map(lm).to_numpy(np.float64)
         g = pd.DataFrame(
-            {"doc_id": df["doc_id"].reindex(ex.index).to_numpy(), "nll": nll}
-        ).groupby("doc_id", as_index=False).agg(
+            {"doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+             **{c: df[c].reindex(ex.index).to_numpy() for c in carry},
+             "nll": nll}
+        ).groupby(["doc_id", *carry], as_index=False).agg(
             n_tokens=("nll", "size"), avg_nll=("nll", "mean")
         )
         g["avg_nll"] = round_half_away(g["avg_nll"].to_numpy(), 6)
         g["n_tokens"] = g["n_tokens"].astype("int64")
         return g
 
-    return table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    return table(sf_dir, "documents", ["doc_id", *carry, "text"]).map_batches(
         score, fn_kwargs={"ref": lm_ref}, batch_format="pandas"
     )
+
+
+@register("unigram_logprob_scores", sql=_UNIGRAM_SQL)
+def unigram_logprob_scores(sf_dir: str):
+    return _unigram_scored(sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -608,3 +628,210 @@ def chunk_overlap_windows(sf_dir: str):
     return table_spread(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         chunks, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection with Importance
+# Resampling"): score every document by how target-like its hashed-unigram
+# profile is — log p_target(doc) − log p_raw(doc) under two bag-of-buckets
+# unigram models (add-1 smoothed over the md5-mod-256 feature space; the
+# same hash convention as feature_hash_bucket_stats). Target = the English
+# slice of the corpus; raw = everything. Dataflow: pass 1 folds per-block
+# (bucket, n_all, n_target) token counts to a 256-row table (combine_small
+# — no shuffle), the 256 log-ratios broadcast; pass 2 streams the corpus
+# once more and emits per-doc Σ log-ratio. At 100 TB both passes are
+# single streaming scans; nothing corpus-sized ever exchanges.
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+b AS (SELECT doc_id, lang,
+             CAST(md5_number_upper(tok) % {_DSIR_BUCKETS} AS BIGINT)
+                 AS bucket
+      FROM toks),
+raw AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS n FROM b
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+tot AS (SELECT (SELECT sum(n) FROM raw) AS nr,
+               (SELECT COALESCE(sum(n), 0) FROM tgt) AS nt),
+lr AS (SELECT r.bucket,
+              ln((COALESCE(t.n, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}.0))
+              - ln((r.n + 1.0) / (tot.nr + {_DSIR_BUCKETS}.0)) AS lw
+       FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(sum(lr.lw), 6) AS logw
+FROM b JOIN lr USING (bucket)
+GROUP BY 1
+"""
+
+
+@register("dsir_importance_weights", sql=_DSIR_SQL)
+def dsir_importance_weights(sf_dir: str):
+    from .common import combine_small, round_half_away
+
+    def _buckets_of(ex: pd.Series) -> np.ndarray:
+        # md5 once per DISTINCT token in the block, never per occurrence
+        uniq = pd.unique(ex)
+        bmap = {t: md5_u64_le(t) % _DSIR_BUCKETS for t in uniq}
+        return ex.map(bmap).to_numpy(np.int64)
+
+    def _explode(df: pd.DataFrame) -> pd.Series:
+        toks = df["text"].str.lower().str.split(r"[^a-z0-9]+", regex=True)
+        ex = toks.explode()
+        return ex[ex.astype(bool)]
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode(df)
+        if not len(ex):
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "n_all": pd.Series([], dtype="int64"),
+                 "n_tgt": pd.Series([], dtype="int64")}
+            )
+        b = _buckets_of(ex)
+        is_tgt = (
+            df["lang"].reindex(ex.index).to_numpy() == _DSIR_TARGET_LANG
+        )
+        n_all = np.bincount(b, minlength=_DSIR_BUCKETS)
+        n_tgt = np.bincount(b[is_tgt], minlength=_DSIR_BUCKETS)
+        nz = np.nonzero(n_all)[0]
+        return pd.DataFrame(
+            {"bucket": nz.astype(np.int64),
+             "n_all": n_all[nz].astype(np.int64),
+             "n_tgt": n_tgt[nz].astype(np.int64)}
+        )
+
+    counts = combine_small(
+        table(sf_dir, "documents", ["lang", "text"]).map_batches(
+            bucket_partial, batch_format="pandas"
+        ),
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().groupby("bucket", as_index=False).agg(
+                n_all=("n_all", "sum"), n_tgt=("n_tgt", "sum")
+            ),
+            preserve_index=False,
+        ),
+    ).to_pandas()
+    n_all = np.zeros(_DSIR_BUCKETS, np.float64)
+    n_tgt = np.zeros(_DSIR_BUCKETS, np.float64)
+    n_all[counts["bucket"].to_numpy(np.int64)] = counts["n_all"].to_numpy()
+    n_tgt[counts["bucket"].to_numpy(np.int64)] = counts["n_tgt"].to_numpy()
+    nr, nt = n_all.sum(), n_tgt.sum()
+    # identical double expression to the SQL: ln((t+1)/(Nt+B)) − ln((r+1)/(Nr+B))
+    lw = np.log((n_tgt + 1.0) / (nt + float(_DSIR_BUCKETS))) - np.log(
+        (n_all + 1.0) / (nr + float(_DSIR_BUCKETS))
+    )
+    lw_ref = ray.put(lw)
+
+    def score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        lw = ray.get(ref)
+        ex = _explode(df)
+        if not len(ex):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "logw": pd.Series([], dtype="float64")}
+            )
+        b = _buckets_of(ex)
+        g = pd.DataFrame(
+            {"doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+             "lw": lw[b]}
+        ).groupby("doc_id", as_index=False).agg(
+            n_tokens=("lw", "size"), logw=("lw", "sum")
+        )
+        g["logw"] = round_half_away(g["logw"].to_numpy(), 6)
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    return table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, fn_kwargs={"ref": lw_ref}, batch_format="pandas"
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+# language's documents into head / middle / tail thirds by unigram-LM
+# avg-NLL (the perplexity proxy scored above) — the standard quality
+# stratification before sampling pretraining data. Cutoffs are the exact
+# per-language discrete tercile VALUES from the bounded two-pass
+# histogram machinery (relops._exact_group_discrete_quantiles — no global
+# sort); assignment is value-based (avg_nll ≤ cutoff), so it is a
+# broadcast comparison, not a rank shuffle. The scored table (4 cols/doc)
+# is materialized once so the quantile passes re-scan doc-sized metadata,
+# never the corpus text.
+
+_CCNET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents),
+freq AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+tot AS (SELECT sum(n) AS total FROM freq),
+scored AS (
+  SELECT t.doc_id, ROUND(-avg(ln(f.n / tot.total)), 6) AS avg_nll
+  FROM toks t JOIN freq f USING (word) CROSS JOIN tot
+  GROUP BY t.doc_id),
+sl AS (SELECT s.doc_id, d.lang, s.avg_nll
+       FROM scored s JOIN documents d USING (doc_id)),
+cut AS (SELECT lang,
+               quantile_disc(avg_nll, 1.0/3) AS c1,
+               quantile_disc(avg_nll, 2.0/3) AS c2
+        FROM sl GROUP BY lang)
+SELECT sl.doc_id, sl.lang, sl.avg_nll,
+       CASE WHEN sl.avg_nll <= cut.c1 THEN 'head'
+            WHEN sl.avg_nll <= cut.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl JOIN cut USING (lang)
+"""
+
+
+@register("ccnet_perplexity_buckets", sql=_CCNET_SQL)
+def ccnet_perplexity_buckets(sf_dir: str):
+    from .relops import _exact_group_discrete_quantiles
+
+    # scored table: 4 small cols per doc — bounded intermediate (the
+    # quantile machinery scans it three times; re-running the LM scoring
+    # per pass would re-read the corpus text)
+    scored = _unigram_scored(sf_dir, carry=("lang",)).materialize()
+
+    def micro_of(t: pa.Table) -> np.ndarray:
+        # avg_nll is already rounded to 6 dp → ×1e6 is integral up to fp
+        # noise; half-away rounding recovers the exact int64 micro-units
+        return pc.cast(
+            pc.round(
+                pc.multiply(t["avg_nll"], pa.scalar(1e6)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+
+    groups, _, quants = _exact_group_discrete_quantiles(
+        scored, "lang", micro_of, (1.0 / 3, 2.0 / 3)
+    )
+    gcode = {g: i for i, g in enumerate(groups)}
+    cut_ref = ray.put((gcode, quants[1.0 / 3], quants[2.0 / 3]))
+
+    def assign(t: pa.Table, *, ref) -> pa.Table:
+        gcode, c1, c2 = ray.get(ref)
+        m = micro_of(t)
+        gi = np.fromiter(
+            (gcode[g] for g in t["lang"].to_pylist()), np.int64, t.num_rows
+        )
+        bucket = np.where(
+            m <= c1[gi], "head", np.where(m <= c2[gi], "middle", "tail")
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"],
+             "avg_nll": t["avg_nll"], "bucket": pa.array(bucket)}
+        )
+
+    return scored.map_batches(assign, fn_kwargs={"ref": cut_ref},
+                              batch_format="pyarrow")

@@ -19,6 +19,9 @@ SF = "/root/testdata/sf0.001"
         "benchmark_contamination",
         "pack_documents_to_chunks",
         "bpe_token_counts",
+        "unigram_logprob_scores",
+        "dsir_importance_weights",
+        "ccnet_perplexity_buckets",
     ],
 )
 def test_oracle_parity(ray_session, name):
@@ -69,3 +72,34 @@ def test_packing_respects_budget_and_order(ray_session):
         tok=("n_tokens", "sum"), mx=("n_tokens", "max")
     )
     assert (per["tok"] <= PACK_BUDGET + per["mx"]).all()
+
+
+def test_dsir_weights_separate_target_language(ray_session):
+    """English documents must score higher on average than non-English
+    ones — the whole point of the importance weight — and every doc gets
+    exactly one weight."""
+    import numpy as np
+
+    got = run_query("dsir_importance_weights", SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    m = got.merge(docs, on="doc_id")
+    assert len(got) == got["doc_id"].nunique()
+    en = m.loc[m["lang"] == "en", "logw"].to_numpy()
+    other = m.loc[m["lang"] != "en", "logw"].to_numpy()
+    assert len(en) and len(other)
+    assert np.mean(en) > np.mean(other)
+
+
+def test_ccnet_buckets_are_per_language_thirds(ray_session):
+    """Within every language the head/middle/tail split is as even as an
+    exact tercile allows (sizes differ by ≤ tie-mass at the cutoffs) and
+    bucket order respects avg_nll order."""
+    got = run_query("ccnet_perplexity_buckets", SF)
+    for lang, g in got.groupby("lang"):
+        order = {"head": 0, "middle": 1, "tail": 2}
+        g = g.sort_values("avg_nll")
+        codes = g["bucket"].map(order).to_numpy()
+        assert (codes[:-1] <= codes[1:]).all(), lang  # monotone in NLL
+        sizes = g["bucket"].value_counts()
+        assert sizes.get("head", 0) >= len(g) // 3  # ties only ever grow head-ward
