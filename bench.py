@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     # weights, CCNet perplexity terciles)
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
+    "semdedup_cluster_prune",
 ]
 
 

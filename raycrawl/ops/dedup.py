@@ -1680,3 +1680,107 @@ def repeated_paragraph_dedup(sf_dir: str):
         )
 
     return out.map_batches(cast_out, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic near-dup pruning scoped to k-means
+# clusters — the published recipe for deduplicating web-scale corpora by
+# embedding similarity without an all-pairs pass. Cluster assignment
+# reuses kmeans_embeddings' deterministic one-update Lloyd's fit
+# (mlprep.kmeans_one_update_centroids, identical rounding, so the SQL
+# oracle replays the same fit via the shared KMEANS_ASSIGN_CTE). Within a
+# cluster, points are ordered by vec_id and a point is PRUNED iff some
+# EARLIER point of its cluster has cosine ≥ τ to it (first-occurrence-wins,
+# the repo-wide D1 convention, made order-insensitive by the id sort).
+# Distributed shape: broadcast K×dim centroids → streamed assignment →
+# ONE cluster-partitioned exchange → per-cluster blocked matmul. The
+# pairwise work is bounded per cluster, which is the SemDeDup design
+# point: K grows with the corpus so max cluster size stays fixed; the
+# matmul is chunked so memory is cluster_rows × chunk, not cluster_rows².
+# τ = 0.35 matches embedding_cosine_neardups (the synthetic embeddings
+# carry no real near-dups, so the pairs threshold doubles as the prune
+# threshold that actually exercises both branches).
+
+SEMDEDUP_TAU = 0.35
+_SEMDEDUP_CHUNK = 1024
+
+
+@register(
+    "semdedup_cluster_prune",
+    sql=None,  # assembled below from the shared k-means CTE
+)
+def semdedup_cluster_prune(sf_dir: str):
+    from .common import round_half_away
+    from .mlprep import _kmeans_dists, kmeans_one_update_centroids
+
+    cent1, ids1 = kmeans_one_update_centroids(sf_dir)
+    ref = ray.put((cent1, ids1))
+
+    def assign(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "embedding": pd.Series([], dtype="object")})
+        c, ids = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        cl = ids[np.argmin(_kmeans_dists(m, c), axis=1)]
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(np.int64),
+                             "cluster": cl.astype(np.int64),
+                             "embedding": df["embedding"]})
+
+    assigned = table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        assign, fn_kwargs={"ref": ref}, batch_format="pandas"
+    )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        n = len(g)
+        mc = np.full(n, -1.0)
+        for j0 in range(0, n, _SEMDEDUP_CHUNK):
+            j1 = min(j0 + _SEMDEDUP_CHUNK, n)
+            if j0 == 0 and j1 == 1:
+                continue
+            # cos of every row i < j against columns [j0, j1)
+            block = (m[: j1 - 1] @ m[j0:j1].T) / (
+                norms[: j1 - 1, None] * norms[None, j0:j1]
+            )
+            block = round_half_away(block, 6)
+            for j in range(max(j0, 1), j1):
+                mc[j] = block[: j, j - j0].max()
+        return pd.DataFrame(
+            {"vec_id": g["vec_id"],
+             "cluster": g["cluster"],
+             "max_cos_earlier": mc,
+             "keep": mc < SEMDEDUP_TAU}
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pandas"
+    )
+
+
+def _semdedup_sql() -> str:
+    from .mlprep import KMEANS_ASSIGN_CTE
+
+    return f"""
+    WITH {KMEANS_ASSIGN_CTE},
+    v AS (SELECT a2.vec_id, a2.cl, CAST(e.embedding AS DOUBLE[]) AS emb
+          FROM a2 JOIN embeddings e USING (vec_id)),
+    dom AS (SELECT b.vec_id,
+                   max(ROUND(list_cosine_similarity(a.emb, b.emb), 6)) AS mc
+            FROM v a JOIN v b ON a.cl = b.cl AND a.vec_id < b.vec_id
+            GROUP BY b.vec_id)
+    SELECT v.vec_id, CAST(v.cl AS BIGINT) AS cluster,
+           COALESCE(dom.mc, -1.0) AS max_cos_earlier,
+           COALESCE(dom.mc, -1.0) < {SEMDEDUP_TAU} AS keep
+    FROM v LEFT JOIN dom USING (vec_id)
+    """
+
+
+# attach the composed oracle once mlprep's shared CTE is importable (the
+# deferred import avoids a dedup<->mlprep module cycle at package init)
+from .queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["semdedup_cluster_prune"]["sql"] = _semdedup_sql()

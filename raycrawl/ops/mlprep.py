@@ -538,10 +538,68 @@ KMEANS_K = 8
 _EMB_DIM = 64
 
 
-@register(
-    "kmeans_embeddings",
-    sql=f"""
-    WITH c0 AS (
+def _kmeans_dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # rounded Euclidean distance matrix (batch, K); argmin tie-break =
+    # lowest cluster id via first-minimum argmin over id-ordered columns
+    return round_half_away(
+        np.sqrt(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)), 6
+    )
+
+
+def kmeans_one_update_centroids(sf_dir: str):
+    """The deterministic Lloyd's fit shared by kmeans_embeddings and
+    semdedup_cluster_prune: init = first K vectors by vec_id, ONE
+    assignment + centroid update. Returns (centroids, cluster_ids) —
+    K×dim doubles rounded to 6 dp, matching the SQL replay (c0→a1→c1)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    ds = table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # init: the first K vectors -- a row-group-pruned driver-side read
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < KMEANS_K,
+    )
+    df0 = t.to_pandas().sort_values("vec_id")
+    cent = np.stack(df0["embedding"].to_numpy()).astype(np.float64)
+    cluster_ids = df0["vec_id"].to_numpy().astype(np.int64)
+
+    # pass 1: assign against init centroids, emit per-cluster partial sums
+    def partial_sums(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cl": [], "s": [], "n": []})
+        c, ids = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        assign = ids[np.argmin(_kmeans_dists(m, c), axis=1)]
+        rows = {"cl": [], "s": [], "n": []}
+        for cl in np.unique(assign):
+            sel = m[assign == cl]
+            rows["cl"].append(int(cl))
+            rows["s"].append(sel.sum(axis=0).tolist())
+            rows["n"].append(len(sel))
+        return pd.DataFrame(rows)
+
+    ref0 = ray.put((cent, cluster_ids))
+    parts = ds.map_batches(
+        partial_sums, fn_kwargs={"ref": ref0}, batch_format="pandas"
+    ).to_pandas()
+    new_ids, new_cent = [], []
+    for cl, g in parts.groupby("cl"):
+        s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+        new_ids.append(int(cl))
+        new_cent.append(round_half_away(s / g["n"].sum(), 6))
+    return np.stack(new_cent), np.asarray(new_ids, dtype=np.int64)
+
+
+
+
+# the c0 -> a1 -> c1 -> a2 chain (init on first-K vectors, one Lloyd's
+# update, final assignment) shared by kmeans_embeddings and
+# semdedup_cluster_prune's oracles — one definition so the replayed fit
+# can never drift between the two.
+KMEANS_ASSIGN_CTE = f"""c0 AS (
       SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings WHERE vec_id < {KMEANS_K}),
     a1 AS (
@@ -569,61 +627,22 @@ _EMB_DIM = 64
                  PARTITION BY e.vec_id
                  ORDER BY ROUND(list_distance(CAST(e.embedding AS DOUBLE[]),
                                               c.cv), 6), c.cl) AS r
-        FROM embeddings e CROSS JOIN c1 c) WHERE r = 1)
+        FROM embeddings e CROSS JOIN c1 c) WHERE r = 1)"""
+
+
+@register(
+    "kmeans_embeddings",
+    sql=f"""
+    WITH {KMEANS_ASSIGN_CTE}
     SELECT CAST(cl AS BIGINT) AS cluster, COUNT(*) AS n,
            ROUND(SUM(d) / COUNT(*), 4) AS avg_dist
     FROM a2 GROUP BY cl
     """,
 )
 def kmeans_embeddings(sf_dir: str):
-    import os
-
-    import pyarrow.dataset as pads
-
     ds = table(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    # init: the first K vectors -- a row-group-pruned driver-side read
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
-        columns=["vec_id", "embedding"],
-        filter=pads.field("vec_id") < KMEANS_K,
-    )
-    df0 = t.to_pandas().sort_values("vec_id")
-    cent = np.stack(df0["embedding"].to_numpy()).astype(np.float64)
-    cluster_ids = df0["vec_id"].to_numpy().astype(np.int64)
-
-    def _dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # rounded Euclidean distance matrix (batch, K); argmin tie-break =
-        # lowest cluster id via first-minimum argmin over id-ordered columns
-        return round_half_away(
-            np.sqrt(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)), 6
-        )
-
-    # pass 1: assign against init centroids, emit per-cluster partial sums
-    def partial_sums(df: pd.DataFrame, *, ref) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"cl": [], "s": [], "n": []})
-        c, ids = ray.get(ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        assign = ids[np.argmin(_dists(m, c), axis=1)]
-        rows = {"cl": [], "s": [], "n": []}
-        for cl in np.unique(assign):
-            sel = m[assign == cl]
-            rows["cl"].append(int(cl))
-            rows["s"].append(sel.sum(axis=0).tolist())
-            rows["n"].append(len(sel))
-        return pd.DataFrame(rows)
-
-    ref0 = ray.put((cent, cluster_ids))
-    parts = ds.map_batches(
-        partial_sums, fn_kwargs={"ref": ref0}, batch_format="pandas"
-    ).to_pandas()
-    new_ids, new_cent = [], []
-    for cl, g in parts.groupby("cl"):
-        s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
-        new_ids.append(int(cl))
-        new_cent.append(round_half_away(s / g["n"].sum(), 6))
-    cent1 = np.stack(new_cent)
-    ids1 = np.asarray(new_ids, dtype=np.int64)
+    cent1, ids1 = kmeans_one_update_centroids(sf_dir)
+    _dists = _kmeans_dists
 
     # pass 2: assign against updated centroids, emit per-cluster (n, sum d)
     def partial_stats(df: pd.DataFrame, *, ref) -> pd.DataFrame:

@@ -20,6 +20,7 @@ SF = "/root/testdata/sf0.001"
         "customer_urgent_order_stats",
         "parts_price_band_stats",
         "kmeans_embeddings",
+        "semdedup_cluster_prune",
     ],
 )
 def test_oracle_parity(ray_session, name):
@@ -101,3 +102,33 @@ def test_pivot_row_totals_match_event_count(ray_session):
     ).fetchone()[0]
     count_cols = [c for c in got.columns if c.startswith("n_")]
     assert int(got[count_cols].to_numpy().sum()) == n_events
+
+
+def test_semdedup_prune_semantics(ray_session):
+    """First-occurrence-wins within a cluster: the lowest vec_id of every
+    cluster is always kept, and a pruned point really does have an
+    earlier same-cluster point at cosine ≥ τ (recomputed independently
+    with plain numpy)."""
+    import numpy as np
+
+    from raycrawl.ops.dedup import SEMDEDUP_TAU
+
+    got = run_query("semdedup_cluster_prune", SF).sort_values("vec_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).sort_values(
+        "vec_id").reset_index(drop=True)
+    assert len(got) == len(emb)
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    vid_to_row = {v: i for i, v in enumerate(emb["vec_id"])}
+    for cl, g in got.groupby("cluster"):
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        assert bool(g["keep"].iloc[0])  # the earliest point survives
+        rows = np.array([vid_to_row[v] for v in g["vec_id"]])
+        cos = m[rows] @ m[rows].T
+        for j in range(1, len(g)):
+            dominated = bool((cos[:j, j] >= SEMDEDUP_TAU - 1e-9).any())
+            assert dominated == (not g["keep"].iloc[j]) or (
+                abs(cos[:j, j].max() - SEMDEDUP_TAU) < 1e-6
+            )
+    assert (~got["keep"]).sum() > 0  # pruning actually fired
