@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="max URLs popped per shard per epoch — the "
                    "fetch-capacity contention that makes host boosts "
                    "reallocate capacity across hosts")
+    c.add_argument("--focus-keywords", default=None,
+                   help="comma-separated caption keywords: outlinks "
+                        "propagate only from pages whose caption matches "
+                        "(focused/topical crawl)")
     c.add_argument("--error-backoff", action="store_true",
                    help="halve a host's token rate per consecutive fetch "
                         "error (cap /64); restored on next success")
@@ -190,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
         epoch_pop_budget=args.pop_budget,
         max_pages_per_host=args.max_pages_per_host,
         error_backoff=args.error_backoff,
+        focus_keywords=(tuple(k for k in args.focus_keywords.split(",") if k)
+                        if args.focus_keywords else None),
     )
     import signal
 

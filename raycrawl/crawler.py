@@ -141,6 +141,13 @@ class CrawlConfig:
     # consecutive fetch error (cap /64), full rate restored on the next
     # success. Off by default (byte-identical schedules when unset).
     error_backoff: bool = False
+    # FOCUSED crawl (the reference's topic-keyword crawl loop,
+    # pages/Crawler.py topic search + the isabout containment predicate,
+    # PreprocessDump.py): outlinks propagate ONLY from pages whose caption
+    # contains at least one of these keywords (case-insensitive
+    # substring). The page itself is still fetched/stored — the gate
+    # shapes frontier EXPANSION, not collection. None = unfocused.
+    focus_keywords: tuple[str, ...] | None = None
 
 
 @dataclass
@@ -397,6 +404,7 @@ def run_crawl(
                     cfg.web, actors, epoch, keep_bytes, bsz,
                     os.path.join(payload_dir, f"epoch={epoch}"), *refs,
                     host_boost=cfg.host_priority_boost,
+                    focus_keywords=cfg.focus_keywords,
                 )
             )
             t = _mark("pipeline", t)
@@ -418,6 +426,7 @@ def run_crawl(
                     os.path.join(payload_dir, f"epoch={epoch}"),
                     ref, part_base=j * 100_000,
                     host_boost=cfg.host_priority_boost,
+                    focus_keywords=cfg.focus_keywords,
                 )
                 for j, ref in enumerate(refs)
             ])
@@ -435,7 +444,8 @@ def run_crawl(
                 batch_size=bsz,
             ).map_batches(
                 _make_decode_submit(actors, epoch, keep_bytes,
-                                    cfg.host_priority_boost),
+                                    cfg.host_priority_boost,
+                                    cfg.focus_keywords),
                 batch_format="pyarrow",
                 batch_size=bsz,
             )
@@ -577,13 +587,17 @@ PAYLOAD_SCHEMA = pa.schema(
 
 
 def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
-                        host_boost: dict | None = None):
+                        host_boost: dict | None = None,
+                        focus_keywords: tuple[str, ...] | None = None):
     """Decode + phash each fetched row, canonicalize its outlinks, stream
     the (digest, phash, meta, links) tuples to the owning shard actor
     (gate_submit — idempotent by digest), and emit the payload row. The
     near-dup gate itself runs AFTER the pipeline (gate_finalize) in
     deterministic frontier order; payload rows of suppressed pages are
     filtered at read time via the suppressed sidecar."""
+
+    focus = (tuple(k.lower() for k in focus_keywords)
+             if focus_keywords else None)
 
     def decode_submit(tbl: pa.Table) -> pa.Table:
         empty = PAYLOAD_SCHEMA.empty_table()
@@ -594,7 +608,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
         tbl = decode_batch(tbl)
 
         per_shard: dict[int, tuple[list, list, list, list]] = {}
-        for url, digest, host, shard, pri, depth, disc, ph, links, ok in zip(
+        for url, digest, host, shard, pri, depth, disc, ph, links, ok, cap in zip(
             tbl["url"].to_pylist(),
             tbl["url_hash"].to_pylist(),
             tbl["host"].to_pylist(),
@@ -605,9 +619,20 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
             tbl["phash"].to_pylist(),
             tbl["outlinks"].to_pylist(),
             tbl["fetch_ok"].to_pylist(),
+            tbl["caption"].to_pylist(),
         ):
             canon: dict[str, tuple] = {}
-            if ok:
+            # focused crawl: an off-topic page contributes no expansion
+            # (cheap substring gate BEFORE the per-link canonicalize work)
+            if focus is not None and ok:
+                lc = (cap or "").lower()
+                if not any(k in lc for k in focus):
+                    ok_links = False
+                else:
+                    ok_links = True
+            else:
+                ok_links = ok
+            if ok_links:
                 for raw in links or ():
                     cu = canonicalize_url(raw, base=url)
                     if cu not in canon:
@@ -653,7 +678,8 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
 @ray.remote(num_cpus=1)
 def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
                       out_uri, *tables, part_base: int = 0,
-                      host_boost: dict | None = None):
+                      host_boost: dict | None = None,
+                      focus_keywords: tuple[str, ...] | None = None):
     """Tail-epoch fast path: a popped set that fits ONE block runs fetch →
     decode/gate-submit → payload write inside a single Ray task, skipping
     the per-epoch Ray Data pipeline launch (~0.15-0.4 s) that dominates
@@ -666,7 +692,8 @@ def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
     — at no point does more than one slice's payload sit in this task's
     heap."""
     tbl = pa.concat_tables([t for t in tables if t.num_rows])
-    decode = _make_decode_submit(actors, epoch, keep_bytes, host_boost)
+    decode = _make_decode_submit(actors, epoch, keep_bytes, host_boost,
+                                 focus_keywords)
     written = 0
     for part, off in enumerate(range(0, tbl.num_rows, batch_size)):
         out = decode(fetch_batch(tbl.slice(off, batch_size), web_cfg=web_cfg))

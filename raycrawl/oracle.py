@@ -79,6 +79,7 @@ def oracle_crawl(
     epoch_pop_budget: int | None = None,
     max_pages_per_host: int | None = None,
     error_backoff: bool = False,
+    focus_keywords: tuple | None = None,
 ) -> OracleResult:
     res = OracleResult()
 
@@ -283,6 +284,11 @@ def oracle_crawl(
                     shard=shard,
                 )
             )
+            # focused crawl: off-topic pages are stored but not expanded
+            if focus_keywords is not None:
+                lc = page.caption.lower()
+                if not any(k.lower() in lc for k in focus_keywords):
+                    continue
             for raw in page.outlinks:
                 new_links.append((canonicalize_url(raw, base=item["url"]), item["depth"] + 1))
 
