@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
     "semdedup_cluster_prune",
+    "rolling_7d_distinct_users",
+    "first_touch_event_share",
+    "orders_rolling_30d_revenue",
 ]
 
 

@@ -623,3 +623,232 @@ def user_funnel_conversion(sf_dir: str):
             "conversion": pa.array(round_half_away(np.array(conv), 6)),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct active users — the sliding-window DISTINCT the
+# engagement dashboards need (distinct does not decompose over windows, so
+# the standard distributed shape is: dedup to (day, user) pairs, explode
+# each pair into the ≤7 window-days it contributes to, dedup again on
+# (window_day, user), count). Both dedups ride bucketed_group_agg (a pair
+# lives in exactly one bucket, so bucket counts sum exactly); the observed
+# -day set is a bounded (time-span-sized) broadcast. ~7× the distinct-pair
+# row count crosses the exchange — pairs, never raw events.
+from .common import bucketed_group_agg  # noqa: E402
+
+
+@register(
+    "rolling_7d_distinct_users",
+    sql="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users
+    FROM days d
+    JOIN du ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1
+    """,
+)
+def rolling_7d_distinct_users(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+
+    from .common import combine_small
+
+    ds = table(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {"day": pc.floor_temporal(t["ts"], unit="day"),
+             "user_id": t["user_id"]}
+        )
+        return m.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["day", "user_id"],
+        lambda g: g.drop_duplicates(),
+    )
+
+    # observed-day set: bounded by the corpus time span → broadcast
+    day_set = combine_small(
+        pairs.map_batches(
+            lambda df: df[["day"]].drop_duplicates(), batch_format="pandas"
+        ),
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False
+        ),
+    ).to_pandas()
+    days_ref = ray.put(
+        np.sort(day_set["day"].to_numpy("datetime64[us]"))
+    )
+
+    def explode_window(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        days = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype="datetime64[us]"),
+                 "user_id": pd.Series([], dtype="int64")}
+            )
+        day = df["day"].to_numpy("datetime64[us]")
+        uid = df["user_id"].to_numpy(np.int64)
+        out_day, out_uid = [], []
+        for i in range(7):
+            w = day + np.timedelta64(i, "D").astype("timedelta64[us]")
+            keep = np.isin(w, days)  # only OBSERVED days are output rows
+            out_day.append(w[keep])
+            out_uid.append(uid[keep])
+        return pd.DataFrame(
+            {"day": np.concatenate(out_day), "user_id": np.concatenate(out_uid)}
+        )
+
+    win = pairs.map_batches(
+        explode_window, fn_kwargs={"ref": days_ref}, batch_format="pandas"
+    )
+
+    counts = bucketed_group_agg(
+        win,
+        ["day", "user_id"],
+        lambda g: g.drop_duplicates().groupby("day", as_index=False)
+        .agg(n_users=("user_id", "size")),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas().groupby("day", as_index=False)
+            .agg(n_users=("n_users", "sum"))
+        )
+        return pa.table(
+            {"day": pa.array(g["day"].to_numpy("datetime64[us]")),
+             "n_users": pa.array(g["n_users"].to_numpy(np.int64), pa.int64())}
+        )
+
+    return combine_small(counts, final)
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution: which event type is each user's FIRST event
+# (order = (ts, event_id), total and deterministic), and what share of
+# users each type captures. Per-block argmin partials → bucketed exchange
+# keyed on user (exact per-user argmin at any cardinality) → tiny
+# per-type count fold. The mergeable-argmin shape of
+# cheapest_supplier_leaderboard pointed at the events log.
+@register(
+    "first_touch_event_share",
+    sql="""
+    WITH f AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS r
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(count(*) / SUM(count(*)) OVER (), 6) AS share
+    FROM f WHERE r = 1
+    GROUP BY 1
+    """,
+)
+def first_touch_event_share(sf_dir: str):
+    from .common import combine_small, round_half_away
+
+    ds = table(sf_dir, "events", ["ts", "user_id", "event_type", "event_id"])
+
+    def argmin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["user_id", "ts", "event_id", "event_type"]]
+        return (
+            df.sort_values(["ts", "event_id"])
+            .drop_duplicates("user_id")[["user_id", "ts", "event_id",
+                                         "event_type"]]
+        )
+
+    firsts = bucketed_group_agg(
+        ds.map_batches(argmin_partial, batch_format="pandas"),
+        ["user_id"],
+        lambda g: g.sort_values(["ts", "event_id"])
+        .drop_duplicates("user_id"),
+    )
+
+    def type_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return g
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas().groupby("event_type", as_index=False)
+            .agg(n_users=("n_users", "sum"))
+        )
+        g["share"] = round_half_away(
+            g["n_users"].to_numpy(np.float64) / g["n_users"].sum(), 6
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return combine_small(
+        firsts.map_batches(type_partial, batch_format="pandas"), final
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 30-day revenue: per-day order revenue plus its trailing 30-day
+# window sum — daily partials in EXACT integer cents (block partials and
+# the DuckDB window can never diverge by summation order), the rolling
+# fold on the driver over the bounded day spine (|days| rows, corpus-span
+# bounded). RANGE semantics: calendar window [d−29, d], gaps contribute 0.
+@register(
+    "orders_rolling_30d_revenue",
+    sql="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1)
+    SELECT day,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(SUM(cents) OVER (
+                  ORDER BY day
+                  RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS rolling_30d
+    FROM d
+    """,
+)
+def orders_rolling_30d_revenue(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from .common import combine_small
+
+    ds = table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        m = pa.table({"day": t["o_orderdate"], "cents": cents})
+        return (
+            pa.TableGroupBy(m, ["day"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["day", "cents"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas().groupby("day", as_index=False)
+            .agg(cents=("cents", "sum")).sort_values("day")
+            .reset_index(drop=True)
+        )
+        day = g["day"].to_numpy("datetime64[us]")
+        cents = g["cents"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(
+            day, day - np.timedelta64(29, "D").astype("timedelta64[us]")
+        )
+        rolling = cum[np.arange(1, len(cents) + 1)] - cum[lo]
+        return pa.table(
+            {"day": pa.array(day),
+             "revenue": pa.array(cents / 100.0, pa.float64()),
+             "rolling_30d": pa.array(rolling / 100.0, pa.float64())}
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)
