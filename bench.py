@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "rolling_7d_distinct_users",
     "first_touch_event_share",
     "orders_rolling_30d_revenue",
+    "suppliers_covering_brand",
+    "part_type_price_skyline",
 ]
 
 

@@ -1852,3 +1852,132 @@ def nation_revenue_entropy(
         )
 
     return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# Relational DIVISION (the "suppliers who ship EVERY part of the brand"
+# shape — the one classic relational operator the registry lacked): per
+# supplier, how many DISTINCT Brand#13 parts they ever shipped and whether
+# that covers the whole brand. Brand part set broadcasts (bounded: parts
+# of one brand); lineitem streams once, block-filtered with np.isin before
+# the distinct-pair exchange (pairs only, bucket-partitioned); the
+# division itself is a count-vs-broadcast-total comparison.
+_DIVISION_BRAND = "Brand#13"
+
+
+@register(
+    "suppliers_covering_brand",
+    sql=f"""
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{_DIVISION_BRAND}'),
+    cov AS (
+      SELECT l_suppkey, count(DISTINCT l_partkey) AS n_covered
+      FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM bp)
+      GROUP BY 1)
+    SELECT l_suppkey AS s_suppkey, CAST(n_covered AS BIGINT) AS n_covered,
+           n_covered = (SELECT count(*) FROM bp) AS covers_all
+    FROM cov
+    """,
+)
+def suppliers_covering_brand(sf_dir: str):
+    import os
+
+    import pyarrow.dataset as pads
+
+    bp = (
+        pads.dataset(os.path.join(sf_dir, "part.parquet"))
+        .to_table(columns=["p_partkey"],
+                  filter=pc.field("p_brand") == _DIVISION_BRAND)
+    )["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bp = np.sort(bp)
+    total = len(bp)
+    bp_ref = ray.put(bp)
+
+    li = table(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def pair_partial(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        keys = ray.get(ref)
+        lp = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, lp)
+        pos_c = np.minimum(pos, max(total - 1, 0))
+        hit = (total > 0) & (keys[pos_c] == lp)
+        return df.loc[hit, ["l_suppkey", "l_partkey"]].drop_duplicates()
+
+    pairs = bucketed_group_agg(
+        li.map_batches(pair_partial, fn_kwargs={"ref": bp_ref},
+                       batch_format="pandas"),
+        ["l_suppkey", "l_partkey"],
+        lambda g: g.drop_duplicates().groupby("l_suppkey", as_index=False)
+        .agg(n_covered=("l_partkey", "size")),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas().groupby("l_suppkey", as_index=False)
+            .agg(n_covered=("n_covered", "sum"))
+        )
+        return pa.table(
+            {"s_suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64),
+                                   pa.int64()),
+             "n_covered": pa.array(g["n_covered"].to_numpy(np.int64),
+                                   pa.int64()),
+             "covers_all": pa.array(g["n_covered"].to_numpy(np.int64)
+                                    == total)}
+        )
+
+    return combine_small(pairs, final)
+
+
+# --------------------------------------------------------------------------
+# Pareto SKYLINE per part type: the (retailprice ↓, size ↑) frontier —
+# parts not dominated by any same-type part that is no pricier AND no
+# smaller (strict in at least one). One exchange keyed on the bounded
+# p_type, then a per-group SORTED SWEEP (price asc, size desc): a part is
+# dominated iff a strictly-cheaper part reached its size, or a same-price
+# part is strictly larger — O(n log n) per group, never the O(n²)
+# self-join the SQL oracle replays.
+@register(
+    "part_type_price_skyline",
+    sql="""
+    SELECT p.p_type, p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT)
+             AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_type = p.p_type
+        AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def part_type_price_skyline(sf_dir: str):
+    ds = table(sf_dir, "part",
+               ["p_partkey", "p_type", "p_size", "p_retailprice"])
+
+    def skyline(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["p_retailprice", "p_size"], ascending=[True, False]
+        ).reset_index(drop=True)
+        price = g["p_retailprice"].to_numpy(np.float64)
+        size = g["p_size"].to_numpy(np.int64)
+        # max size among STRICTLY cheaper rows: running max shifted to the
+        # start of each equal-price run
+        run_max = np.maximum.accumulate(size)
+        first_of_price = np.concatenate([[True], price[1:] != price[:-1]])
+        starts = np.flatnonzero(first_of_price)
+        prev_max = np.full(len(g), np.iinfo(np.int64).min)
+        run_id = np.cumsum(first_of_price) - 1
+        # max size before each price run began
+        before_run = np.concatenate(
+            [[np.iinfo(np.int64).min], run_max[starts[1:] - 1]]
+        )
+        prev_max = before_run[run_id]
+        dominated_cheaper = prev_max >= size
+        # same price, strictly larger: within a run sizes are descending,
+        # so only the run's first (largest) rows survive this clause
+        run_first_size = size[starts][run_id]
+        dominated_same = size < run_first_size
+        keep = ~(dominated_cheaper | dominated_same)
+        out = g.loc[keep, ["p_type", "p_partkey", "p_retailprice", "p_size"]]
+        out["p_size"] = out["p_size"].astype("int64")
+        return out
+
+    return ds.groupby("p_type").map_groups(skyline, batch_format="pandas")

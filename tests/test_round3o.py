@@ -58,3 +58,39 @@ def test_rolling_revenue_window_identity(ray_session):
     ]
     flat = np.isclose(got["rolling_30d"], got["revenue"])
     assert (flat == ~np.array(prev_in_window)).all()
+
+
+@pytest.mark.parametrize(
+    "name", ["suppliers_covering_brand", "part_type_price_skyline"]
+)
+def test_division_and_skyline_match_oracle(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_skyline_sweep_equals_bruteforce(ray_session):
+    """The O(n log n) sweep equals the quadratic dominance definition on
+    every type group."""
+    got = run_query("part_type_price_skyline", SF)
+    parts = pd.read_parquet(f"{SF}/part.parquet")
+    for ptype, g in parts.groupby("p_type"):
+        pr = g["p_retailprice"].to_numpy()
+        sz = g["p_size"].to_numpy()
+        keep = []
+        for i in range(len(g)):
+            dominated = (
+                (pr <= pr[i]) & (sz >= sz[i]) & ((pr < pr[i]) | (sz > sz[i]))
+            ).any()
+            if not dominated:
+                keep.append(g["p_partkey"].iloc[i])
+        assert sorted(keep) == sorted(
+            got.loc[got["p_type"] == ptype, "p_partkey"]
+        ), ptype
+
+
+def test_division_total_and_flag_consistency(ray_session):
+    got = run_query("suppliers_covering_brand", SF)
+    parts = pd.read_parquet(f"{SF}/part.parquet")
+    total = (parts["p_brand"] == "Brand#13").sum()
+    assert (got["n_covered"] <= total).all()
+    assert (got["covers_all"] == (got["n_covered"] == total)).all()
