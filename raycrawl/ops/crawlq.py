@@ -1701,3 +1701,165 @@ def crawl_quota_audit(sf_dir: str):
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
                          finish)
+
+
+# --------------------------------------------------------------------------
+# Focused-crawl yield audit (CrawlConfig.focus_keywords — session-9
+# feature): run the SAME universe focused and unfocused and measure what
+# the focus bought. The synthetic web's captions are topically
+# UNCORRELATED with link structure, so the honest headline here is FETCH
+# SAVINGS (frontier containment at equal reachable-on-topic coverage),
+# not precision lift — on-topic fractions are reported for completeness
+# and stay ≈equal by construction. Caption matching on the payload is
+# one vectorized substring pass per block; per-run totals are
+# fixed-cardinality partials. Rows-only (a crawl is not
+# SQL-expressible); pytest pins the savings and count consistencies.
+
+_FOCUS_KEYWORDS = ("cedar", "quartz")
+_FOCUS_CRAWL_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _focus_crawl_dirs(sf_dir: str) -> tuple[str, str]:
+    if sf_dir in _FOCUS_CRAWL_CACHE:
+        return _FOCUS_CRAWL_CACHE[sf_dir]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(8, n_docs // n_hosts))
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    outs = []
+    for label, focus in (("plain", None), ("focus", _FOCUS_KEYWORDS)):
+        out = f"/tmp/raycrawl_focus/{tag}-{os.getpid()}-{label}"
+        cfg = CrawlConfig(
+            web=web, out_dir=out, num_shards=4, max_epochs=40,
+            epoch_seconds=8.0, burst=16.0, focus_keywords=focus,
+        )
+        run_crawl(cfg, seed_urls(web))
+        outs.append(out)
+    _FOCUS_CRAWL_CACHE[sf_dir] = (outs[0], outs[1])
+    return _FOCUS_CRAWL_CACHE[sf_dir]
+
+
+@register("crawl_focus_yield", sql=None)
+def crawl_focus_yield(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..crawler import read_payload
+    from .common import combine_small, round_half_away
+
+    out_plain, out_focus = _focus_crawl_dirs(sf_dir)
+
+    def topic_partial(t: pa.Table) -> pa.Table:
+        cap = pc.utf8_lower(t["caption"])
+        on = pa.array([False] * t.num_rows)
+        for k in _FOCUS_KEYWORDS:
+            on = pc.or_(on, pc.match_substring(cap, k))
+        return pa.table(
+            {"n": pa.array([t.num_rows], pa.int64()),
+             "on_topic": pa.array([pc.sum(on).as_py() or 0], pa.int64())}
+        )
+
+    stats = {}
+    for label, out in (("plain", out_plain), ("focus", out_focus)):
+        t = combine_small(
+            read_payload(out, columns=["caption"]).map_batches(
+                topic_partial, batch_format="pyarrow"
+            ),
+            lambda t: pa.table(
+                {"n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                 "on_topic": pa.array([pc.sum(t["on_topic"]).as_py() or 0],
+                                      pa.int64())}
+            ),
+        )
+        stats[label] = (t["n"][0].as_py(), t["on_topic"][0].as_py())
+
+    (n_p, on_p), (n_f, on_f) = stats["plain"], stats["focus"]
+    import numpy as np
+
+    return pa.table(
+        {
+            "fetched_plain": pa.array([n_p], pa.int64()),
+            "fetched_focus": pa.array([n_f], pa.int64()),
+            "on_topic_plain": pa.array([on_p], pa.int64()),
+            "on_topic_focus": pa.array([on_f], pa.int64()),
+            "on_topic_frac_plain": pa.array(
+                round_half_away(np.array([on_p / max(n_p, 1)]), 6),
+                pa.float64()),
+            "on_topic_frac_focus": pa.array(
+                round_half_away(np.array([on_f / max(n_f, 1)]), 6),
+                pa.float64()),
+            "fetch_savings_frac": pa.array(
+                round_half_away(np.array([1.0 - n_f / max(n_p, 1)]), 6),
+                pa.float64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Error-backoff audit (CrawlConfig.error_backoff — session-9 feature): run
+# a backoff-enabled crawl over the default flaky universe and reconcile
+# its error accounting across three independent records — shard metrics
+# (fetch_errors counters), the dead-letter sidecar rows (one per errored
+# pop), and the final checkpoint's per-host consecutive-error streaks.
+# Rows-only; pytest pins sidecar-rows == metric total and streak bounds.
+
+_BACKOFF_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _backoff_crawl_dir(sf_dir: str) -> str:
+    if sf_dir in _BACKOFF_CRAWL_CACHE:
+        return _BACKOFF_CRAWL_CACHE[sf_dir]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(8, n_docs // n_hosts))
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_backoff/{tag}-{os.getpid()}"
+    cfg = CrawlConfig(
+        web=web, out_dir=out, num_shards=4, max_epochs=60,
+        epoch_seconds=8.0, burst=16.0, error_backoff=True,
+    )
+    run_crawl(cfg, seed_urls(web))
+    _BACKOFF_CRAWL_CACHE[sf_dir] = out
+    return out
+
+
+@register("crawl_backoff_audit", sql=None)
+def crawl_backoff_audit(sf_dir: str):
+    import glob as _glob
+    import json
+
+    import pyarrow as pa
+
+    from ..crawler import latest_checkpoint_epoch
+
+    out = _backoff_crawl_dir(sf_dir)
+    epoch = latest_checkpoint_epoch(out)
+    fetch_errors = 0
+    streaks: dict[str, int] = {}
+    base = os.path.join(out, "checkpoints", f"epoch={epoch}")
+    for sd in sorted(os.listdir(base)):
+        if not sd.startswith("shard="):
+            continue
+        with open(os.path.join(base, sd, "manifest.json")) as f:
+            man = json.load(f)
+        fetch_errors += man["metrics"]["fetch_errors"]
+        for h, n in man.get("host_consec_errors", {}).items():
+            streaks[h] = n
+    sidecar_rows = 0
+    for f in _glob.glob(os.path.join(out, "errors", "epoch=*.parquet")):
+        sidecar_rows += pq.read_metadata(f).num_rows
+    return pa.table(
+        {
+            "fetch_errors": pa.array([fetch_errors], pa.int64()),
+            "error_sidecar_rows": pa.array([sidecar_rows], pa.int64()),
+            "n_hosts_final_streak": pa.array([len(streaks)], pa.int64()),
+            "max_final_streak": pa.array(
+                [max(streaks.values()) if streaks else 0], pa.int64()
+            ),
+            "epochs": pa.array([int(epoch)], pa.int64()),
+        }
+    )

@@ -106,3 +106,17 @@ def test_backoff_streaks_survive_resume(ray_session, tmp_path, oracle_on):
     )
     stats = run_crawl(cfg2, seed_urls(WEB), resume=True)
     assert _sort_log(oracle_on.fetch_log) == _sort_log(stats.fetch_log)
+
+
+def test_crawl_backoff_audit_query(ray_session):
+    """Three independent error records must reconcile: dead-letter
+    sidecar rows == shard fetch_errors counters; final streaks bounded
+    by the error total; the audited universe actually errored."""
+    from raycrawl.ops import REGISTRY
+
+    t = REGISTRY["crawl_backoff_audit"]["fn"]("/root/testdata/sf0.001")
+    r = (t.to_pandas() if hasattr(t, "to_pandas") else t).iloc[0]
+    assert r["fetch_errors"] > 0
+    assert r["error_sidecar_rows"] == r["fetch_errors"]
+    assert r["max_final_streak"] <= r["fetch_errors"]
+    assert r["n_hosts_final_streak"] <= 16

@@ -91,3 +91,21 @@ def test_focus_none_is_inert(ray_session, tmp_path):
     )
     stats = run_crawl(cfg, seed_urls(WEB))
     assert _sort_log(a.fetch_log) == _sort_log(stats.fetch_log)
+
+
+def test_crawl_focus_yield_query(ray_session):
+    """The registry audit's self-reported numbers must be internally
+    consistent: focused fetches strictly fewer pages (savings > 0),
+    on-topic counts bounded by fetched counts, fractions consistent."""
+    from raycrawl.ops import REGISTRY
+
+    t = REGISTRY["crawl_focus_yield"]["fn"]("/root/testdata/sf0.001")
+    df = t.to_pandas() if hasattr(t, "to_pandas") else t
+    r = df.iloc[0]
+    assert r["fetched_focus"] < r["fetched_plain"]
+    assert r["fetch_savings_frac"] > 0
+    assert 0 <= r["on_topic_focus"] <= r["fetched_focus"]
+    assert 0 <= r["on_topic_plain"] <= r["fetched_plain"]
+    assert abs(
+        r["on_topic_frac_focus"] - r["on_topic_focus"] / r["fetched_focus"]
+    ) < 1e-5
