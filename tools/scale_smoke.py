@@ -398,6 +398,54 @@ def main() -> None:
         int(tg["n_triangles"][0]) <= int(tg["n_wedges"][0])
     )
 
+    # round-3 session-9 additions at 2.05M docs / 15M orders / 6M
+    # lineitem / 2.5M events
+    dw = run("dsir_importance_weights")  # 2.05M docs, two streaming scans
+    checks["dsir_scores_every_doc"] = len(dw) == n_docs
+    checks["dsir_finite"] = bool(np.isfinite(dw["logw"]).all())
+    cb = run("ccnet_perplexity_buckets")
+    checks["ccnet_covers_corpus"] = len(cb) == n_docs
+    sizes = cb.groupby(["lang", "bucket"]).size().unstack(fill_value=0)
+    n_lang = cb.groupby("lang").size()
+    checks["ccnet_terciles_even"] = bool(
+        (sizes.get("head", 0) >= n_lang // 3).all()
+    )
+    sd = run("semdedup_cluster_prune")
+    checks["semdedup_covers_vectors"] = (
+        len(sd) == table_num_rows(args.dir, "embeddings")
+    )
+    checks["semdedup_pruned_and_kept"] = bool(
+        sd["keep"].any() and (~sd["keep"]).any()
+    )
+    r7 = run("rolling_7d_distinct_users")  # 2.5M events, two pair dedups
+    ev_users = pq.read_table(
+        os.path.join(args.dir, "events.parquet"), columns=["user_id"]
+    )["user_id"]
+    import pyarrow.compute as _pc
+
+    n_users_total = len(_pc.unique(ev_users))
+    checks["rolling7_bounded_by_universe"] = bool(
+        (r7["n_users"] <= n_users_total).all() and len(r7) > 0
+    )
+    ft = run("first_touch_event_share")
+    checks["first_touch_partitions_users"] = (
+        int(ft["n_users"].sum()) == n_users_total
+    )
+    rr30 = run("orders_rolling_30d_revenue")  # 15M orders, exact cents
+    checks["rolling30_window_identity"] = bool(
+        (rr30["rolling_30d"] >= rr30["revenue"] - 1e-9).all()
+    )
+    dv = run("suppliers_covering_brand")  # 6M lineitem distinct pairs
+    checks["division_counts_bounded"] = bool(
+        len(dv) > 0 and (dv["n_covered"] >= 1).all()
+    )
+    sk = run("part_type_price_skyline")
+    checks["skyline_every_type_represented"] = (
+        sk["p_type"].nunique()
+        == pq.read_table(os.path.join(args.dir, "part.parquet"),
+                         columns=["p_type"]).to_pandas()["p_type"].nunique()
+    )
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
