@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="aggregate lineage metrics only (the at-scale default)")
     c.add_argument("--trap-links", action="store_true",
                    help="synthetic web emits calendar-loop trap links")
+    c.add_argument("--redirect-every", type=int, default=0,
+                   help="synthetic web emits a 301 alias link from every "
+                   "N-th page; the crawler follows targets at the same "
+                   "depth (0 = off)")
     c.add_argument("--trap-filter", action="store_true",
                    help="frontier denies trap-shaped URLs at offer time")
     c.add_argument("--phash-radius", type=int, default=2,
@@ -170,7 +174,8 @@ def main(argv: list[str] | None = None) -> int:
     from raycrawl.crawler import CrawlConfig, run_crawl
 
     web = WebConfig(n_hosts=args.hosts, pages_per_host=args.pages_per_host,
-                    trap_links=args.trap_links)
+                    trap_links=args.trap_links,
+                    redirect_every=args.redirect_every)
     cfg = CrawlConfig(
         web=web,
         out_dir=args.out,

@@ -51,6 +51,13 @@ class WebConfig:
     # trap_filter gate (urltools.trap_reason) is what stops it.
     trap_links: bool = False
     trap_every: int = 5
+    # when >0, every redirect_every-th page (i % redirect_every == 2) also
+    # links to a 301 ALIAS spelling `http://hK/r/J` of page J on the same
+    # host. Fetching the alias costs a politeness token and returns NO
+    # payload/outlinks — only `redirect_to`, the target's canonical URL.
+    # The crawler must follow the target through the normal enqueue path
+    # at the SAME depth (redirects do not deepen the crawl).
+    redirect_every: int = 0
 
 
 def host_name(k: int) -> str:
@@ -87,14 +94,15 @@ def fetch_transient_fails(digest: bytes, attempt: int) -> bool:
     return digest[5] % 11 == 0 and attempt == 0
 
 
-def _parse(canonical_url: str) -> tuple[int, int, bool]:
-    """canonical URL → (host_idx, page_idx, private)."""
+def _parse(canonical_url: str) -> tuple[int, int, bool, bool]:
+    """canonical URL → (host_idx, page_idx, private, alias)."""
     rest = canonical_url.split("://", 1)[1]
     host, path = rest.split("/", 1)
     k = int(host.split(".")[0][1:])
     private = path.startswith("private/")
+    alias = path.startswith("r/")
     i = int(path.rsplit("/", 1)[1])
-    return k, i, private
+    return k, i, private, alias
 
 
 def _page_seed(cfg: WebConfig, k: int, i: int, private: bool) -> int:
@@ -121,6 +129,8 @@ class Page:
     phash: int
     outlinks: list[str]
     pixels: np.ndarray
+    # 301 alias pages carry ONLY this: the target's canonical URL
+    redirect_to: str | None = None
 
 
 def _messy(url: str, rng: np.random.Generator) -> str:
@@ -143,7 +153,16 @@ def _messy(url: str, rng: np.random.Generator) -> str:
 
 def page_for(cfg: WebConfig, canonical_url: str) -> Page:
     """The synthetic fetch: canonical URL → full page. Deterministic."""
-    k, i, private = _parse(canonical_url)
+    k, i, private, alias = _parse(canonical_url)
+    if alias:
+        # 301 redirect page: no payload, no outlinks — just the target.
+        # The alias is a real URL (token spent, seen-set entry, fetch_fails
+        # rules apply upstream); only the response differs.
+        return Page(
+            url=canonical_url, host=host_name(k), image_id=None,
+            w=0, h=0, fmt=None, data=None, caption=None, phash=0,
+            outlinks=[], pixels=None, redirect_to=page_url(k, i),
+        )
     digest = url_sha1(canonical_url)
     # trap spellings (cal/2024/... prefixes) are DISTINCT pages with their
     # own content — each level deeper reseeds, so the phash near-dup gate
@@ -199,6 +218,12 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
         pairs = path.count("cal/2024/")
         outlinks.append(
             f"http://{host_name(k)}/" + "cal/2024/" * (pairs + 2) + f"p/{i}"
+        )
+    # redirect alias link: also rng-free and appended last, so
+    # redirect_every=0 universes stay byte-identical to before
+    if cfg.redirect_every and not private and i % cfg.redirect_every == 2:
+        outlinks.append(
+            f"http://{host_name(k)}/r/{(i * 3 + 1) % cfg.pages_per_host}"
         )
 
     return Page(

@@ -52,6 +52,7 @@ import shutil
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -328,6 +329,8 @@ def run_crawl(
     os.makedirs(suppressed_dir, exist_ok=True)
     errors_dir = os.path.join(cfg.out_dir, "errors")
     os.makedirs(errors_dir, exist_ok=True)  # dead-letter sidecars
+    redirects_dir = os.path.join(cfg.out_dir, "redirects")
+    os.makedirs(redirects_dir, exist_ok=True)  # 301-pop sidecars
     import time as _time
 
     phases = stats.phase_seconds
@@ -511,7 +514,7 @@ def run_crawl(
         # (~50 ms/epoch of fixed driver-loop cost; results unchanged —
         # ordering is a data property of the frontier, not of this join)
         offer_refs = []
-        for src, (_, _, _, offers) in enumerate(finals):
+        for src, (_, _, _, _, offers) in enumerate(finals):
             for dst, packed_ref in offers.items():
                 offer_refs.append(
                     actors[dst].offer_packed.remote((epoch, src), packed_ref,
@@ -521,7 +524,7 @@ def run_crawl(
         # checkpoint MERGE rebuild exact per-host quota spend (every pop
         # lands in exactly one of payload/suppressed/errors, so the three
         # trees deduped by digest ARE the popped set — merge.py)
-        suppressed = [dh for _, sup, _, _ in finals for dh in sup]
+        suppressed = [dh for _, sup, _, _, _ in finals for dh in sup]
         pq.write_table(
             pa.table({
                 "url_hash": pa.array([d for d, _ in suppressed], pa.binary()),
@@ -529,13 +532,24 @@ def run_crawl(
             }),
             os.path.join(suppressed_dir, f"epoch={epoch}.parquet"),
         )
-        errors = [dh for _, _, errs, _ in finals for dh in errs]
+        errors = [dh for _, _, errs, _, _ in finals for dh in errs]
         pq.write_table(
             pa.table({
                 "url_hash": pa.array([d for d, _ in errors], pa.binary()),
                 "host": pa.array([h for _, h in errors], pa.string()),
             }),
             os.path.join(errors_dir, f"epoch={epoch}.parquet"),
+        )
+        # 301 pops land in neither payload nor suppressed/errors — their
+        # own sidecar keeps the merge-tool invariant that the digest-union
+        # of the sidecar trees IS the popped set (exact quota rebuild)
+        redirs = [dh for _, _, _, rds, _ in finals for dh in rds]
+        pq.write_table(
+            pa.table({
+                "url_hash": pa.array([d for d, _ in redirs], pa.binary()),
+                "host": pa.array([h for _, h in redirs], pa.string()),
+            }),
+            os.path.join(redirects_dir, f"epoch={epoch}.parquet"),
         )
         if offer_refs:
             ray.get(offer_refs)
@@ -608,7 +622,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
         tbl = decode_batch(tbl)
 
         per_shard: dict[int, tuple[list, list, list, list]] = {}
-        for url, digest, host, shard, pri, depth, disc, ph, links, ok, cap in zip(
+        for url, digest, host, shard, pri, depth, disc, ph, links, ok, cap, rd_url in zip(
             tbl["url"].to_pylist(),
             tbl["url_hash"].to_pylist(),
             tbl["host"].to_pylist(),
@@ -620,6 +634,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
             tbl["outlinks"].to_pylist(),
             tbl["fetch_ok"].to_pylist(),
             tbl["caption"].to_pylist(),
+            tbl["redirect_to"].to_pylist(),
         ):
             canon: dict[str, tuple] = {}
             # focused crawl: an off-topic page contributes no expansion
@@ -639,10 +654,18 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
                         d = url_sha1(cu)
                         h2 = host_of(cu)
                         canon[cu] = (cu, d, h2, _prio(d, h2, host_boost))
+            # 301 alias: canonicalize the target once here; the gate offers
+            # it at the SAME depth (redirects do not deepen the crawl)
+            rd = None
+            if ok and rd_url is not None:
+                rcu = canonicalize_url(rd_url, base=url)
+                rh = host_of(rcu)
+                rdg = url_sha1(rcu)
+                rd = (rcu, rdg, rh, _prio(rdg, rh, host_boost))
             b = per_shard.setdefault(shard, ([], [], [], []))
             b[0].append(digest)
             b[1].append(ph if ok else None)
-            b[2].append((url, host, pri, depth, disc))
+            b[2].append((url, host, pri, depth, disc, rd))
             b[3].append(list(canon.values()))
         ray.get(
             [
@@ -651,7 +674,10 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
             ]
         )
 
-        tbl = tbl.filter(tbl["fetch_ok"])  # dead-letter rows carry no payload
+        # dead-letter AND 301-alias rows carry no payload
+        tbl = tbl.filter(
+            pc.and_(tbl["fetch_ok"], pc.is_null(tbl["redirect_to"]))
+        )
         out = pa.table(
             {
                 "image_id": tbl["image_id"],

@@ -141,9 +141,9 @@ def _chain_dirs(root_dir: str, epoch: int) -> list[tuple[str, int]]:
 
 def _popped_digest_hosts(root_dir: str, epoch: int) -> dict[bytes, str] | None:
     """digest → host for every pop this crawl (and its merged_from chain)
-    recorded up to ``epoch``: payload rows plus the suppressed/errors
-    sidecars — every pop lands in exactly ONE of the three trees, so their
-    digest-union IS the popped set. Returns None when the trees cannot
+    recorded up to ``epoch``: payload rows plus the suppressed/errors/
+    redirects sidecars — every pop lands in exactly ONE of the four trees,
+    so their digest-union IS the popped set. Returns None when the trees cannot
     support an exact rebuild (pre-host-column sidecars). Driver-tool scale
     note: reads are column-pruned metadata (20 B digest + host per pop);
     at 10^10 fan this out one Ray task per epoch file and merge dicts."""
@@ -168,7 +168,7 @@ def _popped_digest_hosts(root_dir: str, epoch: int) -> dict[bytes, str] | None:
             for dg, u in zip(t["url_hash"].to_pylist(),
                              t["url"].to_pylist()):
                 popped[dg] = host_of(u)
-        for side in ("suppressed", "errors"):
+        for side in ("suppressed", "errors", "redirects"):
             for f in _glob.glob(os.path.join(d, side, "epoch=*.parquet")):
                 ep = int(os.path.basename(f).split("=")[1].split(".")[0])
                 if ep > ep_cap:
@@ -208,6 +208,7 @@ _COUNTERS = (
     "trap_denied",
     "quota_denied",
     "quota_dropped",
+    "redirects_followed",
 )
 
 

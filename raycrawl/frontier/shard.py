@@ -191,7 +191,7 @@ class FrontierShard:
         self.metrics = dict(
             offered=0, accepted=0, fetched=0, robots_denied=0,
             phash_suppressed=0, fetch_errors=0, trap_denied=0,
-            quota_denied=0, quota_dropped=0,
+            quota_denied=0, quota_dropped=0, redirects_followed=0,
         )
         self.log: list[dict] = []
         # url → (digest, host, priority, min_depth, discovered_at)
@@ -501,8 +501,8 @@ class FrontierShard:
         """Run the ordered phash gate over this epoch's submitted rows.
 
         Returns (kept_count, suppressed, errors, {dst_shard: offer_ref})
-        where suppressed/errors entries are (digest, host) pairs — the
-        host rides along so the driver's sidecars can attribute each
+        where suppressed/errors/redirects entries are (digest, host) pairs
+        — the host rides along so the driver's sidecars can attribute each
         non-payload pop to its host (checkpoint-merge rebuilds exact
         per-host quota spend from the sidecars) — and an offer payload is
         (urls, digests, hosts, priorities, depths) for the driver to
@@ -515,10 +515,23 @@ class FrontierShard:
         )
         suppressed: list[tuple[bytes, str]] = []
         errors: list[tuple[bytes, str]] = []
+        redirs: list[tuple[bytes, str]] = []
         best: dict[str, tuple] = {}  # canonical url → (digest,host,pri,min depth)
         kept = 0
         for digest, (ph, m, ls) in order:
-            url, host, pri, depth, disc = m
+            url, host, pri, depth, disc, *rest = m
+            rd = rest[0] if rest else None  # 5-tuple metas: no redirect
+            if rd is not None:  # 301 alias: follow target at SAME depth
+                self.host_consec_errors.pop(host, None)  # HTTP succeeded
+                self.metrics["redirects_followed"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "redirected")
+                redirs.append((digest, host))
+                lu, ld, lh, lp = rd
+                cur = best.get(lu)
+                if cur is None or depth < cur[3]:
+                    best[lu] = (ld, lh, lp, depth)
+                continue
             if ph is None:  # dead-letter: fetch failed (4xx/timeout analog)
                 self.metrics["fetch_errors"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
@@ -561,7 +574,7 @@ class FrontierShard:
             # the data moves store-to-store when the target actor receives
             # it as a (top-level, auto-dereferenced) task argument
             offers[dst] = _put_offer(payload)
-        result = (kept, suppressed, errors, offers)
+        result = (kept, suppressed, errors, redirs, offers)
         self._gate_memo[epoch] = result
         return result
 
@@ -599,10 +612,23 @@ class FrontierShard:
         )
         suppressed: list[tuple[bytes, str]] = []
         errors: list[tuple[bytes, str]] = []
+        redirs: list[tuple[bytes, str]] = []
         best: dict[str, tuple] = {}
         kept = 0
         for digest, (ph, m, ls) in order:
-            url, host, pri, depth, disc = m
+            url, host, pri, depth, disc, *rest = m
+            rd = rest[0] if rest else None  # 5-tuple metas: no redirect
+            if rd is not None:  # 301 alias: follow target at SAME depth
+                self.host_consec_errors.pop(host, None)
+                self.metrics["redirects_followed"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "redirected")
+                redirs.append((digest, host))
+                lu, ld, lh, lp = rd
+                cur = best.get(lu)
+                if cur is None or depth < cur[3]:
+                    best[lu] = (ld, lh, lp, depth)
+                continue
             if ph is None:
                 self.metrics["fetch_errors"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
@@ -641,7 +667,7 @@ class FrontierShard:
                 [best[u][3] for u in urls],
             )
             offers[dst] = _put_offer(payload)
-        result = (kept, suppressed, errors, offers)
+        result = (kept, suppressed, errors, redirs, offers)
         self._gate_memo[epoch] = result
         return result
 
@@ -832,7 +858,7 @@ class FrontierShard:
             k: manifest["metrics"].get(k, 0)
             for k in ("offered", "accepted", "fetched", "robots_denied",
                       "phash_suppressed", "fetch_errors", "trap_denied",
-                      "quota_denied", "quota_dropped")
+                      "quota_denied", "quota_dropped", "redirects_followed")
         }
         self.host_quota = manifest.get("host_quota")
         self.host_popped = dict(manifest.get("host_popped", {}))

@@ -209,7 +209,7 @@ def frontier_metrics_frame(out_dir: str):
                 **{k: m["metrics"].get(k, 0) for k in
                    ("offered", "accepted", "fetched", "robots_denied",
                     "phash_suppressed", "fetch_errors", "trap_denied",
-                    "quota_denied", "quota_dropped",
+                    "quota_denied", "quota_dropped", "redirects_followed",
                     "seen_count", "bloom_cuckoo_false_positives",
                     "robots_fetches")},
             )
@@ -1860,6 +1860,78 @@ def crawl_backoff_audit(sf_dir: str):
             "max_final_streak": pa.array(
                 [max(streaks.values()) if streaks else 0], pa.int64()
             ),
+            "epochs": pa.array([int(epoch)], pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Redirect-chain audit: run a redirect-enabled crawl (301 alias pages —
+# webgraph.redirect_every) and reconcile the three places a followed
+# redirect must appear: shard metrics (redirects_followed), the redirects
+# sidecar tree (exactly one (url_hash, host) row per follow — the merge
+# tool's quota-rebuild invariant), and the payload (NO alias row may ever
+# carry payload). Rows-only: the crawl engine is not SQL-expressible; the
+# per-value oracle is tests/test_redirects.py's engine-vs-sequential-oracle
+# parity plus the reconciliation pytest over this table.
+_REDIRECT_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _redirect_crawl_dir(sf_dir: str) -> str:
+    if sf_dir in _REDIRECT_CRAWL_CACHE:
+        return _REDIRECT_CRAWL_CACHE[sf_dir]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(8, n_docs // n_hosts),
+                    redirect_every=3)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_redirect/{tag}-{os.getpid()}"
+    cfg = CrawlConfig(
+        web=web, out_dir=out, num_shards=4, max_epochs=60,
+        epoch_seconds=8.0, burst=16.0,
+    )
+    run_crawl(cfg, seed_urls(web))
+    _REDIRECT_CRAWL_CACHE[sf_dir] = out
+    return out
+
+
+@register("crawl_redirect_audit", sql=None)
+def crawl_redirect_audit(sf_dir: str):
+    import glob as _glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ..crawler import latest_checkpoint_epoch
+
+    out = _redirect_crawl_dir(sf_dir)
+    epoch = latest_checkpoint_epoch(out)
+    redirects_followed = 0
+    base = os.path.join(out, "checkpoints", f"epoch={epoch}")
+    for sd in sorted(os.listdir(base)):
+        if not sd.startswith("shard="):
+            continue
+        with open(os.path.join(base, sd, "manifest.json")) as f:
+            man = json.load(f)
+        redirects_followed += man["metrics"].get("redirects_followed", 0)
+    sidecar_rows = 0
+    sidecar_hosts: set[str] = set()
+    for f in _glob.glob(os.path.join(out, "redirects", "epoch=*.parquet")):
+        t = pq.read_table(f)
+        sidecar_rows += t.num_rows
+        sidecar_hosts.update(t["host"].to_pylist())
+    pay = _glob.glob(os.path.join(out, "payload", "epoch=*", "*.parquet"))
+    urls = pads.dataset(pay).to_table(columns=["url"])["url"].to_pylist()
+    alias_payload_rows = sum("/r/" in u for u in urls)
+    return pa.table(
+        {
+            "redirects_followed": pa.array([redirects_followed], pa.int64()),
+            "redirect_sidecar_rows": pa.array([sidecar_rows], pa.int64()),
+            "hosts_with_redirects": pa.array([len(sidecar_hosts)], pa.int64()),
+            "alias_payload_rows": pa.array([alias_payload_rows], pa.int64()),
             "epochs": pa.array([int(epoch)], pa.int64()),
         }
     )

@@ -99,7 +99,7 @@ def oracle_crawl(
     metrics = {
         s: dict(offered=0, accepted=0, fetched=0, robots_denied=0,
                 phash_suppressed=0, fetch_errors=0, trap_denied=0,
-                quota_denied=0, quota_dropped=0)
+                quota_denied=0, quota_dropped=0, redirects_followed=0)
         for s in range(num_shards)
     }
     host_popped: dict[str, int] = {}
@@ -216,6 +216,8 @@ def oracle_crawl(
                 if fetch_fails(item["digest"]):
                     continue
                 page = page_for(cfg, item["url"])
+                if page.redirect_to is not None:
+                    continue  # 301 alias: no pixels, never judged
                 pixels, _ = decode_image(page.data)
                 cands.append((item, phash64(pixels)))
             # selected is already in global frontier order
@@ -253,6 +255,19 @@ def oracle_crawl(
             # the host's error streak resets
             consec_errors.pop(item["host"], None)
             page = page_for(cfg, item["url"])
+            if page.redirect_to is not None:
+                # 301 alias: no payload, no phash gate — the target enters
+                # the frontier through the normal enqueue path at the SAME
+                # depth (redirects do not deepen the crawl)
+                metrics[shard]["redirects_followed"] += 1
+                res.fetch_log.append(
+                    {**_log(item, epoch), "status": "redirected"}
+                )
+                new_links.append(
+                    (canonicalize_url(page.redirect_to, base=item["url"]),
+                     item["depth"]),
+                )
+                continue
             # gating phash comes from the DECODED payload (consumer view)
             pixels, _ = decode_image(page.data)
             ph = phash64(pixels)

@@ -107,6 +107,11 @@ class FetchWorker:
             pa.array(
                 [p.outlinks if p else [] for p in pages], pa.list_(pa.string())
             ),
+        ).append_column(
+            "redirect_to",
+            pa.array(
+                [p.redirect_to if p else None for p in pages], pa.string()
+            ),
         )
 
 
