@@ -138,6 +138,12 @@ BENCH_QUERIES = [
     "orders_rolling_30d_revenue",
     "suppliers_covering_brand",
     "part_type_price_skyline",
+    # round-3 session-10 additions (Q7/Q8/Q9/Q11/Q21 join shapes)
+    "nation_pair_trade_volume",
+    "nation_market_share",
+    "nation_part_profit",
+    "sole_late_shipper_suppliers",
+    "important_parts_revenue_share",
 ]
 
 

@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="lifetime per-host page cap (crawl budget): at "
                    "quota a host's queued URLs are dropped and new offers "
                    "denied; counters persist across --resume")
+    c.add_argument("--max-depth", type=int, default=None,
+                   help="crawl-depth cap: offers deeper than this many "
+                   "hops from a seed are denied (depth_denied)")
 
     m = sub.add_parser(
         "merge-checkpoints",
@@ -198,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         epoch_pop_budget=args.pop_budget,
         max_pages_per_host=args.max_pages_per_host,
+        max_depth=args.max_depth,
         error_backoff=args.error_backoff,
         focus_keywords=(tuple(k for k in args.focus_keywords.split(",") if k)
                         if args.focus_keywords else None),

@@ -138,6 +138,10 @@ class CrawlConfig:
     # (quota_denied); counters persist in checkpoints so a resumed crawl
     # never re-serves a capped host.
     max_pages_per_host: int | None = None
+    # crawl-depth cap: offers deeper than this many hops from a seed are
+    # denied at offer time (depth_denied). Deny-and-seen, matching the
+    # robots/trap precedent. None = unbounded.
+    max_depth: int | None = None
     # adaptive politeness: halve a flaky host's effective token rate per
     # consecutive fetch error (cap /64), full rate restored on the next
     # success. Off by default (byte-identical schedules when unset).
@@ -201,7 +205,8 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
                          cfg.burst, cfg.keep_fetch_log,
                          cfg.frontier_spill_threshold, spill_dir(s),
                          cfg.trap_filter, cfg.epoch_pop_budget,
-                         cfg.max_pages_per_host, cfg.error_backoff)
+                         cfg.max_pages_per_host, cfg.error_backoff,
+                         cfg.max_depth)
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place
@@ -210,7 +215,8 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
         RestActor.remote(ckpt, restore_epoch, s, cfg.expected_urls,
                          cfg.phash_radius, cfg.frontier_spill_threshold,
                          spill_dir(s), cfg.epoch_pop_budget,
-                         cfg.max_pages_per_host, cfg.error_backoff)
+                         cfg.max_pages_per_host, cfg.error_backoff,
+                         cfg.max_depth)
         for s in range(cfg.num_shards)
     ]
 
@@ -224,7 +230,7 @@ class _RestoredPhashShard(PhashDedupShard):
 class _RestoredShard(FrontierShard):
     def __init__(self, ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
                  spill_threshold=None, spill_dir=None, pop_budget=None,
-                 host_quota=None, error_backoff=False):
+                 host_quota=None, error_backoff=False, max_depth=None):
         restored = FrontierShard.restore(
             ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
             spill_threshold, spill_dir,
@@ -235,6 +241,7 @@ class _RestoredShard(FrontierShard):
             self.host_quota = host_quota
         # backoff flag follows the run; the error streaks persist
         self.error_backoff = error_backoff
+        self.max_depth = max_depth  # config, not state — follows the run
 
 
 def latest_checkpoint_epoch(out_dir: str) -> int | None:

@@ -209,6 +209,7 @@ _COUNTERS = (
     "quota_denied",
     "quota_dropped",
     "redirects_followed",
+    "depth_denied",
 )
 
 

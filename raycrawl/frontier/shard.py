@@ -116,7 +116,15 @@ class FrontierShard:
         pop_budget: int | None = None,
         host_quota: int | None = None,
         error_backoff: bool = False,
+        max_depth: int | None = None,
     ):
+        # crawl-depth cap: offers deeper than max_depth hops from a seed
+        # are denied at offer-merge time (depth_denied). Deny-and-seen,
+        # matching the robots/trap precedent: the URL stays in the seen
+        # set, so a later shallower rediscovery is NOT re-admitted — the
+        # oracle replicates this exactly (within-epoch min-depth merging
+        # still applies BEFORE the gate, so the best same-epoch path wins).
+        self.max_depth = max_depth
         self.shard_id = shard_id
         # adaptive politeness: halve a host's effective token rate per
         # CONSECUTIVE fetch error (capped at /64), restored to full on the
@@ -192,6 +200,7 @@ class FrontierShard:
             offered=0, accepted=0, fetched=0, robots_denied=0,
             phash_suppressed=0, fetch_errors=0, trap_denied=0,
             quota_denied=0, quota_dropped=0, redirects_followed=0,
+            depth_denied=0,
         )
         self.log: list[dict] = []
         # url → (digest, host, priority, min_depth, discovered_at)
@@ -259,6 +268,11 @@ class FrontierShard:
             if self.seen.check_and_add(digest):
                 continue
             self.seen_hostkey[digest] = host_shard_key(host)
+            if self.max_depth is not None and depth > self.max_depth:
+                self.metrics["depth_denied"] += 1
+                self._log_append(discovered_at, url, digest, host, pri,
+                                 depth, discovered_at, "depth_denied")
+                continue
             if self.trap_filter:
                 reason = trap_reason(url)
                 if reason:
@@ -858,7 +872,8 @@ class FrontierShard:
             k: manifest["metrics"].get(k, 0)
             for k in ("offered", "accepted", "fetched", "robots_denied",
                       "phash_suppressed", "fetch_errors", "trap_denied",
-                      "quota_denied", "quota_dropped", "redirects_followed")
+                      "quota_denied", "quota_dropped", "redirects_followed",
+                      "depth_denied")
         }
         self.host_quota = manifest.get("host_quota")
         self.host_popped = dict(manifest.get("host_popped", {}))

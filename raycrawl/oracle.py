@@ -80,6 +80,7 @@ def oracle_crawl(
     max_pages_per_host: int | None = None,
     error_backoff: bool = False,
     focus_keywords: tuple | None = None,
+    max_depth: int | None = None,
 ) -> OracleResult:
     res = OracleResult()
 
@@ -99,7 +100,8 @@ def oracle_crawl(
     metrics = {
         s: dict(offered=0, accepted=0, fetched=0, robots_denied=0,
                 phash_suppressed=0, fetch_errors=0, trap_denied=0,
-                quota_denied=0, quota_dropped=0, redirects_followed=0)
+                quota_denied=0, quota_dropped=0, redirects_followed=0,
+                depth_denied=0)
         for s in range(num_shards)
     }
     host_popped: dict[str, int] = {}
@@ -115,6 +117,15 @@ def oracle_crawl(
         if digest in seen[shard]:  # first-occurrence-wins, reference D1
             return
         seen[shard].add(digest)
+        if max_depth is not None and depth > max_depth:
+            metrics[shard]["depth_denied"] += 1
+            res.fetch_log.append(
+                {**_log(dict(url=url, digest=digest, host=host, shard=shard,
+                             priority=_prio(digest, host), depth=depth,
+                             discovered_at=discovered_at), discovered_at),
+                 "status": "depth_denied"}
+            )
+            return
         if trap_filter:
             reason = trap_reason(url)
             if reason:
