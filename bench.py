@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "nation_part_profit",
     "sole_late_shipper_suppliers",
     "important_parts_revenue_share",
+    "doc_token_fertility_by_lang",
+    "doc_dedup_rate_by_source",
+    "cumulative_unique_users_daily",
 ]
 
 

@@ -1936,3 +1936,74 @@ def crawl_redirect_audit(sf_dir: str):
             "epochs": pa.array([int(epoch)], pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Caption n-gram novelty curve: per crawl epoch, what fraction of the
+# epoch's distinct caption token-trigrams had NEVER been seen in an
+# earlier epoch — the diminishing-returns telemetry a crawl operator uses
+# to decide when a frontier is exhausted. The sequential-looking "seen in
+# an earlier epoch" state is re-expressed as a fully distributed fold:
+# distinct (gram, epoch) pairs stream through a bucketed exchange keyed on
+# the gram hash; each bucket computes every gram's FIRST epoch and emits
+# per-epoch (novel, present) partials; the final combine is one row per
+# epoch. No epoch-ordered driver loop, no growing driver-side seen set.
+# Rows-only: the crawl corpus is not SQL-expressible; the oracle is a
+# sequential python recompute in tests/test_round3q.py.
+@register("crawl_caption_novelty_by_epoch", sql=None)
+def crawl_caption_novelty_by_epoch(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..crawler import read_payload
+    from .common import bucketed_group_agg, combine_small
+
+    out = _crawl_out_dir(sf_dir)
+    ds = read_payload(out, columns=["caption", "epoch"])
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_e = [], []
+        for cap, ep in zip(df["caption"], df["epoch"]):
+            toks = cap.split()
+            rows_g.extend(
+                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+            )
+            rows_e.extend([ep] * max(len(toks) - 2, 0))
+        out_df = pd.DataFrame({"gram": rows_g, "epoch": rows_e})
+        return out_df.drop_duplicates()
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        first = g.groupby("gram")["epoch"].transform("min")
+        g = g.assign(novel=(g["epoch"] == first).astype(np.int64))
+        return (
+            g.groupby("epoch", as_index=False)
+            .agg(novel=("novel", "sum"), present=("gram", "size"))
+        )
+
+    partials = bucketed_group_agg(
+        ds.map_batches(grams, batch_format="pandas"), ["gram"], per_gram
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("epoch", as_index=False)[["novel", "present"]]
+            .sum()
+            .sort_values("epoch", kind="stable")
+        )
+        nv = g["novel"].to_numpy(np.int64)
+        pr = g["present"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "epoch": pa.array(g["epoch"].to_numpy(np.int64)),
+                "novel_grams": pa.array(nv),
+                "present_grams": pa.array(pr),
+                "novelty": pa.array(
+                    np.round(nv.astype(np.float64) / pr, 6)
+                ),
+            }
+        )
+
+    return combine_small(partials, final)

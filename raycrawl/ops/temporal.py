@@ -852,3 +852,137 @@ def orders_rolling_30d_revenue(sf_dir: str):
         )
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+# --------------------------------------------------------------------------
+# Above-average ingest days with EXACT integer-scaled deviation: a day is
+# flagged when n·n_days > Σn (i.e. its count beats the mean), and the
+# emitted deviation is n·n_days − Σn — pure integer cross-multiplication,
+# so no float mean computed in different summation orders can flip a
+# boundary day between engines (same exactness trick as the repo's Q22 /
+# Q17 scalar-subquery shapes). The daily table is bounded by the date
+# span, so the global scalar and filter finish in one local combine.
+_BURST_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT count(*) AS k, SUM(n) AS s FROM d)
+SELECT day, CAST(n AS BIGINT) AS n,
+       CAST(n * k - s AS BIGINT) AS dev_scaled
+FROM d, t
+WHERE n * k > s
+ORDER BY day
+"""
+
+
+@register("event_above_average_days", sql=_BURST_SQL)
+def event_above_average_days(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
+        return (
+            pa.TableGroupBy(m, ["day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "n"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("day", as_index=False)["n"].sum()
+        if not len(g):
+            return pa.table(
+                {"day": pa.array([], pa.timestamp("us")),
+                 "n": pa.array([], pa.int64()),
+                 "dev_scaled": pa.array([], pa.int64())}
+            )
+        n = g["n"].to_numpy(np.int64)
+        k, s = len(g), int(n.sum())
+        dev = n * k - s
+        out = g[dev > 0].sort_values("day")
+        return pa.table(
+            {
+                "day": pa.array(out["day"].to_numpy("datetime64[us]")),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+                "dev_scaled": pa.array(dev[dev > 0]),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         final)
+
+
+# --------------------------------------------------------------------------
+# Cumulative unique users by day: the corpus-growth curve (how many
+# distinct users have EVER been seen as of each day). First-seen day per
+# user is the one high-cardinality fold (bucketed exchange keyed on
+# user_id, min per user); the per-day new-user counts and the running sum
+# are bounded by the date span and finish in one local combine.
+_CUMU_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT first_day AS day, count(*) AS new_users FROM f GROUP BY 1)
+SELECT day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+ORDER BY day
+"""
+
+
+@register("cumulative_unique_users_daily", sql=_CUMU_SQL)
+def cumulative_unique_users_daily(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from .common import bucketed_group_agg
+
+    ds = table(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+            }
+        )
+        return (
+            pa.TableGroupBy(m, ["user_id"])
+            .aggregate([("day", "min")])
+            .rename_columns(["user_id", "first_day"])
+        )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id", as_index=False)["first_day"].min()
+        # collapse inside the bucket: one row per (day) partial count
+        return (
+            f.groupby("first_day", as_index=False)
+            .size()
+            .rename(columns={"size": "new_users"})
+        )
+
+    firsts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"],
+        per_user,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("first_day", as_index=False)["new_users"]
+            .sum()
+            .sort_values("first_day", kind="stable")
+        )
+        nu = g["new_users"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(g["first_day"].to_numpy("datetime64[us]")),
+                "new_users": pa.array(nu),
+                "cum_users": pa.array(np.cumsum(nu)),
+            }
+        )
+
+    return combine_small(firsts, final)

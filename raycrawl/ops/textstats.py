@@ -32,6 +32,7 @@ from .common import (
     join_partitions,
     md5_u64_le,
     round_half_away,
+    table,
     table_spread,
 )
 from .queries import register
@@ -546,3 +547,154 @@ def token_zipf_slope(sf_dir: str):
         )
 
     return combine_small(counts.map_batches(topk, batch_format="pandas"), fit)
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language: tokens-per-character per lang — the
+# knob multilingual-corpus mixers threshold on (a lang whose tokenizer
+# yields too few tokens per char is under-segmented). Token convention is
+# the repo-wide [a-z0-9]+ run over lowered text (== the DuckDB
+# string_split_regex filter); chars come from the table's own n_chars
+# column so both sides count identically. Fixed lang cardinality →
+# per-block partials + ONE local combine, no shuffle at any scale.
+_FERTILITY_SQL = """
+SELECT lang,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(ntok) AS DOUBLE) / SUM(n_chars), 6) AS tokens_per_char
+FROM (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS ntok
+  FROM documents
+) t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("doc_token_fertility_by_lang", sql=_FERTILITY_SQL)
+def doc_token_fertility_by_lang(sf_dir: str):
+    ds = table(sf_dir, "documents", ["text", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        # vectorized token-run count == len(split tokens) for [a-z0-9]+
+        df["ntok"] = df["text"].str.lower().str.count("[a-z0-9]+")
+        return (
+            df.groupby("lang", as_index=False)
+            .agg(ntok=("ntok", "sum"), nch=("n_chars", "sum"))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("lang", as_index=False)[["ntok", "nch"]]
+            .sum()
+            .sort_values("lang", kind="stable")
+        )
+        tok = g["ntok"].to_numpy(np.int64)
+        nch = g["nch"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "total_tokens": pa.array(tok),
+                "total_chars": pa.array(nch),
+                "tokens_per_char": pa.array(
+                    np.round(tok.astype(np.float64) / nch, 6)
+                ),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pandas"),
+                         final)
+
+
+# --------------------------------------------------------------------------
+# Exact-duplicate rate per source: n_docs vs distinct texts — the
+# per-provenance dedup telemetry a curation pipeline reports before/after
+# exact dedup. Distinctness is computed on the full 128-bit md5 of the
+# text (collision-free at any practical corpus size) so the corpus itself
+# never shuffles: per-block distinct (source, md5) pairs → bucketed
+# exchange keyed on the hash dedups globally (~40 B/row) → per-bucket
+# per-source counts → one local combine joins them with the plain doc
+# counts. SQL oracle compares against COUNT(DISTINCT text) directly.
+_DUPRATE_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts,
+       ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("doc_dedup_rate_by_source", sql=_DUPRATE_SQL)
+def doc_dedup_rate_by_source(sf_dir: str):
+    import hashlib as _hashlib
+
+    ds = table(sf_dir, "documents", ["text", "source"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t.select(["source"]), ["source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "n_docs"])
+        )
+
+    counts = combine_small(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().groupby("source", as_index=False)["n_docs"].sum(),
+            preserve_index=False,
+        ),
+    ).to_pandas()
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            _hashlib.md5(x.encode("utf-8", "surrogatepass")).hexdigest()
+            for x in df["text"]
+        ]
+        out = pd.DataFrame({"h": h, "source": df["source"]})
+        return out.drop_duplicates()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # global dedup of (hash, source): a text duplicated across sources
+        # counts as distinct in each source, matching COUNT(DISTINCT text)
+        # per group
+        return (
+            g.drop_duplicates()
+            .groupby("source", as_index=False)
+            .size()
+            .rename(columns={"size": "distinct_texts"})
+        )
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pandas"), ["h"],
+        per_bucket,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("source", as_index=False)["distinct_texts"]
+            .sum()
+            .merge(counts, on="source")
+            .sort_values("source", kind="stable")
+        )
+        nd = g["n_docs"].to_numpy(np.int64)
+        dt = g["distinct_texts"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(nd),
+                "distinct_texts": pa.array(dt),
+                "dup_rate": pa.array(
+                    np.round(1.0 - dt.astype(np.float64) / nd, 6)
+                ),
+            }
+        )
+
+    return combine_small(pairs, final)

@@ -1,0 +1,85 @@
+"""Session-10 batch B: corpus/ingest telemetry — tokenizer fertility by
+language, exact-duplicate rate by source, above-average ingest days
+(exact integer deviation), cumulative unique users by day (all
+SQL-oracled), and the crawl caption-trigram novelty curve (rows-only;
+sequential python oracle here)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.oracle_utils import norm, oracle, run_query
+
+SF = "/root/testdata/sf0.001"
+
+NEW_OPS = [
+    "doc_token_fertility_by_lang",
+    "doc_dedup_rate_by_source",
+    "event_above_average_days",
+    "cumulative_unique_users_daily",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_new_ops_match_oracle(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_caption_novelty_matches_sequential_oracle(ray_session):
+    """Sequential replay: walk the crawl payload epoch by epoch with a
+    growing seen-set of caption trigrams and compare the distributed
+    first-epoch fold against it row for row."""
+    from raycrawl.crawler import read_payload
+    from raycrawl.ops.crawlq import _crawl_out_dir
+
+    out = _crawl_out_dir(SF)
+    pay = read_payload(out, columns=["caption", "epoch"]).to_pandas()
+
+    def grams(cap):
+        toks = cap.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    seen: set[str] = set()
+    rows = []
+    for ep in sorted(pay["epoch"].unique()):
+        present: set[str] = set()
+        for cap in pay.loc[pay["epoch"] == ep, "caption"]:
+            present |= grams(cap)
+        novel = present - seen
+        seen |= present
+        rows.append(
+            dict(epoch=int(ep), novel_grams=len(novel),
+                 present_grams=len(present),
+                 novelty=round(len(novel) / len(present), 6))
+        )
+    want = pd.DataFrame(rows)
+    got = run_query("crawl_caption_novelty_by_epoch", SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    # the curve decays: later epochs revisit earlier grams
+    assert got["novelty"].iloc[2:-1].min() < 1.0
+
+
+def test_dedup_rate_counts_cross_source_dups_per_source(ray_session):
+    """A text duplicated across two sources must count as distinct in
+    EACH source (COUNT(DISTINCT text) is per-group)."""
+    got = run_query("doc_dedup_rate_by_source", SF)
+    assert (got["distinct_texts"] <= got["n_docs"]).all()
+    assert (got["distinct_texts"] > 0).all()
+
+
+def test_above_average_days_exact_integer_threshold(ray_session):
+    """Recompute the integer cross-multiplication independently."""
+    import pyarrow.dataset as pads
+
+    ev = pads.dataset(f"{SF}/events.parquet").to_table(columns=["ts"])
+    days = pd.Series(ev["ts"].to_pandas()).dt.floor("D")
+    d = days.value_counts().sort_index()
+    k, s = len(d), int(d.sum())
+    want = {(day, int(n), int(n * k - s)) for day, n in d.items()
+            if n * k > s}
+    got = run_query("event_above_average_days", SF)
+    have = {(r.day, int(r.n), int(r.dev_scaled)) for r in got.itertuples()}
+    assert have == want and want
