@@ -446,6 +446,53 @@ def main() -> None:
                          columns=["p_type"]).to_pandas()["p_type"].nunique()
     )
 
+    # round-3 session-10 additions: 15M orders > 1M gate → the Q7/Q8/Q9
+    # shapes must take their JOIN branches on real data; Q21's per-order
+    # fold and Q11's per-part fold run their bucketed exchanges at 6M
+    # lineitem rows; the telemetry ops stream 2.05M docs / 2.5M events
+    tv = run("nation_pair_trade_volume")
+    checks["q7_join_branch"] = (
+        PATH_LOG.get("nation_pair_trade_volume") == "join"
+    )
+    checks["q7_both_directions"] = bool(
+        tv["supp_nation"].nunique() == 2 and (tv["revenue"] > 0).all()
+    )
+    ms = run("nation_market_share")
+    checks["q8_join_branch"] = PATH_LOG.get("nation_market_share") == "join"
+    checks["q8_share_in_unit_interval"] = bool(
+        ((ms["mkt_share"] >= 0) & (ms["mkt_share"] <= 1)).all()
+    )
+    pf = run("nation_part_profit")
+    checks["q9_join_branch"] = PATH_LOG.get("nation_part_profit") == "join"
+    checks["q9_all_nations_all_years"] = bool(
+        pf["n_name"].nunique() == 25 and len(pf) > 25
+    )
+    sl = run("sole_late_shipper_suppliers")
+    checks["q21_join_branch"] = (
+        PATH_LOG.get("sole_late_shipper_suppliers") == "join"
+    )
+    checks["q21_nonempty_and_positive"] = bool(
+        len(sl) > 0 and (sl["numwait"] >= 1).all()
+    )
+    ip = run("important_parts_revenue_share")
+    checks["q11_selective"] = bool(0 < len(ip))
+    tf = run("doc_token_fertility_by_lang")
+    checks["fertility_plausible"] = bool(
+        ((tf["tokens_per_char"] > 0) & (tf["tokens_per_char"] < 1)).all()
+    )
+    dr = run("doc_dedup_rate_by_source")
+    checks["dedup_rate_found_replicas"] = bool(
+        (dr["dup_rate"] > 0).any()  # the smoke corpus is seeded replicas
+        and int(dr["n_docs"].sum()) == n_docs
+    )
+    ad = run("event_above_average_days")
+    checks["above_avg_days_nonempty"] = len(ad) > 0
+    cu = run("cumulative_unique_users_daily")
+    checks["cumulative_users_monotone"] = bool(
+        cu["cum_users"].is_monotonic_increasing
+        and int(cu["new_users"].sum()) == int(cu["cum_users"].iloc[-1])
+    )
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
