@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "doc_token_fertility_by_lang",
     "doc_dedup_rate_by_source",
     "cumulative_unique_users_daily",
+    "pq_codebook_stats",
+    "score_calibration_bins",
 ]
 
 

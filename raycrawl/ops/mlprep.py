@@ -1095,3 +1095,165 @@ def embedding_pca_variance_spectrum(sf_dir: str):
     return combine_small(
         ds.map_batches(moments, batch_format="pandas"), final
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) codebook training + encode distortion: split
+# the 64-dim embedding into 4 contiguous 16-dim subspaces, fit an 8-word
+# codebook per subspace with the SAME deterministic one-update Lloyd's
+# used by kmeans_embeddings (init = first K vectors' subvectors, one
+# assignment + centroid update), encode every vector, and report per
+# (subspace, code) membership + quantization distortion. This is the
+# training+encode step of an IVF-PQ ANN index — the at-scale companion to
+# ann_ivf_topk. Distances are rounded to 6 dp and summed as integer
+# micro-units, so the distortion aggregate is order-independent on both
+# engines. Two streaming passes total (all 4 subspaces fold in the same
+# map_batches); only K×dim partials ever reach the driver.
+PQ_M = 4          # subspaces
+PQ_SUBDIM = 16    # dims per subspace (PQ_M * PQ_SUBDIM == _EMB_DIM)
+PQ_K = 8          # codewords per subspace
+
+
+def _pq_sql() -> str:
+    parts = []
+    ctes = [f"dims AS (SELECT unnest(range(1, {PQ_SUBDIM + 1})) AS i)"]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        sl = f"CAST(e.embedding AS DOUBLE[])[{lo}:{hi}]"
+        ctes.append(f"""c0_{m} AS (
+      SELECT vec_id AS cl, CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS cv
+      FROM embeddings WHERE vec_id < {PQ_K})""")
+        ctes.append(f"""a1_{m} AS (
+      SELECT vec_id, cl FROM (
+        SELECT e.vec_id, c.cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_distance({sl}, c.cv), 6), c.cl) AS r
+        FROM embeddings e CROSS JOIN c0_{m} c) WHERE r = 1)""")
+        ctes.append(f"""c1_{m} AS (
+      SELECT cl, list(mn ORDER BY i) AS cv FROM (
+        SELECT a1_{m}.cl, d.i,
+               ROUND(AVG(CAST(e.embedding[CAST(d.i + {lo - 1} AS INTEGER)]
+                              AS DOUBLE)), 6) AS mn
+        FROM a1_{m} JOIN embeddings e USING (vec_id), dims d
+        GROUP BY a1_{m}.cl, d.i) GROUP BY cl)""")
+        ctes.append(f"""a2_{m} AS (
+      SELECT vec_id, cl, dist FROM (
+        SELECT e.vec_id, c.cl,
+               ROUND(list_distance({sl}, c.cv), 6) AS dist,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_distance({sl}, c.cv), 6), c.cl) AS r
+        FROM embeddings e CROSS JOIN c1_{m} c) WHERE r = 1)""")
+        parts.append(f"""
+  SELECT {m} AS subspace, CAST(cl AS BIGINT) AS code,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(ROUND(dist * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 / COUNT(*), 6) AS avg_dist
+  FROM a2_{m} GROUP BY cl""")
+    return ("WITH " + ",\n    ".join(ctes) + "\n"
+            + "\nUNION ALL".join(parts)
+            + "\nORDER BY subspace, code")
+
+
+@register("pq_codebook_stats", sql=_pq_sql())
+def pq_codebook_stats(sf_dir: str):
+    import os
+
+    import pyarrow.dataset as pads
+
+    ds = table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bounds = [(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM) for m in range(PQ_M)]
+
+    # init: first PQ_K vectors, sliced per subspace (row-group-pruned read)
+    t0 = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < PQ_K,
+    )
+    df0 = t0.to_pandas().sort_values("vec_id")
+    full0 = np.stack(df0["embedding"].to_numpy()).astype(np.float64)
+    ids0 = df0["vec_id"].to_numpy().astype(np.int64)
+    cent0 = [full0[:, lo:hi] for lo, hi in bounds]
+
+    # pass 1: assign each subvector against its init codebook; per
+    # (subspace, code) partial sums — all subspaces in one scan
+    def partial_sums(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"m": [], "cl": [], "s": [], "n": []})
+        cents, ids = ray.get(ref)
+        full = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        rows = {"m": [], "cl": [], "s": [], "n": []}
+        for m, (lo, hi) in enumerate(bounds):
+            sub = full[:, lo:hi]
+            assign = ids[np.argmin(_kmeans_dists(sub, cents[m]), axis=1)]
+            for cl in np.unique(assign):
+                sel = sub[assign == cl]
+                rows["m"].append(m)
+                rows["cl"].append(int(cl))
+                rows["s"].append(sel.sum(axis=0).tolist())
+                rows["n"].append(len(sel))
+        return pd.DataFrame(rows)
+
+    ref0 = ray.put((cent0, ids0))
+    parts = ds.map_batches(
+        partial_sums, fn_kwargs={"ref": ref0}, batch_format="pandas"
+    ).to_pandas()
+    cent1 = [c.copy() for c in cent0]
+    ids1 = [ids0.copy() for _ in range(PQ_M)]
+    for m in range(PQ_M):
+        new_ids, new_cv = [], []
+        for cl, g in parts[parts["m"] == m].groupby("cl"):
+            s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+            new_ids.append(int(cl))
+            new_cv.append(round_half_away(s / g["n"].sum(), 6))
+        cent1[m] = np.stack(new_cv)
+        ids1[m] = np.asarray(new_ids, dtype=np.int64)
+
+    # pass 2: encode against the trained codebooks; integer micro-unit
+    # distortion partials per (subspace, code)
+    def encode_stats(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"m": [], "code": [], "n": [], "sd": []})
+        cents, idss = ray.get(ref)
+        full = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        rows = {"m": [], "code": [], "n": [], "sd": []}
+        for m, (lo, hi) in enumerate(bounds):
+            sub = full[:, lo:hi]
+            d = _kmeans_dists(sub, cents[m])
+            j = np.argmin(d, axis=1)
+            dmic = np.round(
+                d[np.arange(len(j)), j] * 1_000_000
+            ).astype(np.int64)
+            assign = idss[m][j]
+            for cl in np.unique(assign):
+                sel = assign == cl
+                rows["m"].append(m)
+                rows["code"].append(int(cl))
+                rows["n"].append(int(sel.sum()))
+                rows["sd"].append(int(dmic[sel].sum()))
+        return pd.DataFrame(rows)
+
+    ref1 = ray.put((cent1, ids1))
+    parts2 = ds.map_batches(
+        encode_stats, fn_kwargs={"ref": ref1}, batch_format="pandas"
+    ).to_pandas()
+    out = (
+        parts2.groupby(["m", "code"])
+        .agg(n=("n", "sum"), sd=("sd", "sum"))
+        .reset_index()
+        .sort_values(["m", "code"], kind="stable")
+    )
+    return pa.table(
+        {
+            "subspace": pa.array(out["m"].to_numpy(np.int64) * 0
+                                 + out["m"].to_numpy(np.int64)),
+            "code": pa.array(out["code"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "avg_dist": pa.array(
+                round_half_away(
+                    out["sd"].to_numpy(np.float64) / 1_000_000
+                    / out["n"].to_numpy(np.float64), 6
+                )
+            ),
+        }
+    )

@@ -523,7 +523,9 @@ def nation_market_share(
             .set_index("o_year")["cents"]
             .reindex(tot.index, fill_value=0)
         )
-        share = np.round(
+        from .common import round_half_away
+
+        share = round_half_away(
             tgt.to_numpy(np.float64) / tot.to_numpy(np.float64), 6
         )
         return pa.table(

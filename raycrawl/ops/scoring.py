@@ -393,3 +393,91 @@ def pickled_estimator_scores(sf_dir: str):
         EstimatorScorer, fn_constructor_args=(path,), batch_format="pandas",
         batch_size=100, concurrency=(1, 8),
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration bins (reliability diagram): the replayable
+# logistic scorer's probability binned into 10 fixed-width bins over
+# [0, 1], each bin reporting count, mean score and the TRUE-positive rate
+# (ground truth = embeddings.label >= 5 — the upper half of the label
+# alphabet). The eval a scorer-gated curation pipeline runs before
+# trusting a quality threshold. Exactness: score is ROUND(p, 6) computed
+# from the identical coefficient vector on both engines, the bin is
+# floor(score*10) on that shared double, and mean score is summed as
+# integer micro-units — no order-dependent float sums anywhere. One
+# streaming pass; 10-row partials per block; one local combine.
+_CALIB_SQL = f"""
+WITH s AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-(list_inner_product(
+             CAST(embedding AS DOUBLE[]), CAST({_CLF_COEF_SQL} AS DOUBLE[]))
+             + {_CLF_ICPT}))), 6) AS score,
+         (label >= 5) AS pos
+  FROM embeddings
+)
+SELECT CAST(LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(score * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*), 6) AS mean_score,
+       ROUND(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS positive_rate
+FROM s
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("score_calibration_bins", sql=_CALIB_SQL)
+def score_calibration_bins(sf_dir: str):
+    from .common import combine_small, round_half_away, table
+
+    coef = _CLF.coef_[0].astype(np.float64)
+    icpt = float(_CLF.intercept_[0])
+    ref = ray.put(coef)
+
+    def rha6(x):
+        # round_half_away(x, 6) inlined as a closure (scores are positive):
+        # referencing the common.py helper from inside the UDF would make
+        # every worker import the full raycrawl.ops package (~20 s cold)
+        return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"bin": [], "n": [], "smic": [], "npos": []})
+        w = ray.get(ref)
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        score = rha6(1.0 / (1.0 + np.exp(-(x @ w + icpt))))
+        b = np.minimum(np.floor(score * 10).astype(np.int64), 9)
+        smic = np.round(score * 1_000_000).astype(np.int64)
+        pos = (df["label"].to_numpy(np.int64) >= 5).astype(np.int64)
+        g = pd.DataFrame({"bin": b, "smic": smic, "npos": pos})
+        out = g.groupby("bin", as_index=False).agg(
+            n=("smic", "size"), smic=("smic", "sum"), npos=("npos", "sum")
+        )
+        return out
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("bin", as_index=False)[["n", "smic", "npos"]]
+            .sum()
+            .sort_values("bin", kind="stable")
+        )
+        n = g["n"].to_numpy(np.float64)
+        return pa.table(
+            {
+                "bin": pa.array(g["bin"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "mean_score": pa.array(
+                    round_half_away(
+                        g["smic"].to_numpy(np.float64) / 1_000_000 / n, 6
+                    )
+                ),
+                "positive_rate": pa.array(
+                    round_half_away(g["npos"].to_numpy(np.float64) / n, 6)
+                ),
+            }
+        )
+
+    ds = table(sf_dir, "embeddings", ["embedding", "label"])
+    return combine_small(ds.map_batches(partial, batch_format="pandas"),
+                         final)

@@ -601,7 +601,7 @@ def doc_token_fertility_by_lang(sf_dir: str):
                 "total_tokens": pa.array(tok),
                 "total_chars": pa.array(nch),
                 "tokens_per_char": pa.array(
-                    np.round(tok.astype(np.float64) / nch, 6)
+                    round_half_away(tok.astype(np.float64) / nch, 6)
                 ),
             }
         )
@@ -692,7 +692,7 @@ def doc_dedup_rate_by_source(sf_dir: str):
                 "n_docs": pa.array(nd),
                 "distinct_texts": pa.array(dt),
                 "dup_rate": pa.array(
-                    np.round(1.0 - dt.astype(np.float64) / nd, 6)
+                    round_half_away(1.0 - dt.astype(np.float64) / nd, 6)
                 ),
             }
         )

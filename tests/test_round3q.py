@@ -83,3 +83,35 @@ def test_above_average_days_exact_integer_threshold(ray_session):
     got = run_query("event_above_average_days", SF)
     have = {(r.day, int(r.n), int(r.dev_scaled)) for r in got.itertuples()}
     assert have == want and want
+
+
+@pytest.mark.parametrize("name", ["pq_codebook_stats",
+                                  "score_calibration_bins"])
+def test_ml_eval_ops_match_oracle(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pq_codebooks_cover_corpus(ray_session):
+    """Every vector is encoded in every subspace: per-subspace membership
+    sums to the table size; codes come from the init id universe."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    got = run_query("pq_codebook_stats", SF)
+    per = got.groupby("subspace")["n"].sum()
+    assert (per == n).all() and len(per) == 4
+    assert got["code"].between(0, 7).all()
+    assert (got["avg_dist"] > 0).all()
+
+
+def test_calibration_bins_reconcile(ray_session):
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    got = run_query("score_calibration_bins", SF)
+    assert int(got["n"].sum()) == n
+    assert got["positive_rate"].between(0, 1).all()
+    # mean score must sit inside its bin's [lo, hi) span
+    for r in got.itertuples():
+        assert r.bin / 10 <= r.mean_score <= (r.bin + 1) / 10 + 1e-9
