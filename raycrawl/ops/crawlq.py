@@ -2007,3 +2007,55 @@ def crawl_caption_novelty_by_epoch(sf_dir: str):
         )
 
     return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# Crawl depth histogram: fetched pages per crawl depth, computed from the
+# per-shard fetch-log increments persisted inside the checkpoints (the
+# lineage record every crawl writes) — a distributed Ray Data read over
+# the increment files, never the in-actor logs. The operator's telemetry
+# answer to "how deep did the crawl actually get" and the observable the
+# --max-depth budget knob acts on. Rows-only (the crawl is not
+# SQL-expressible); oracle = recompute from the parity fetch log
+# (tests/test_round3q.py).
+def depth_histogram_from_out(out_dir: str):
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    files = sorted(
+        _glob.glob(os.path.join(out_dir, "checkpoints", "epoch=*",
+                                "shard=*", "fetch_log_increment.parquet"))
+    )
+    ds = ray.data.read_parquet(files, columns=["depth", "status"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t["status"], "fetched"))
+        return (
+            pa.TableGroupBy(t.select(["depth"]), ["depth"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["depth", "n"])
+        )
+
+    from .common import combine_small
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas().groupby("depth", as_index=False)["n"].sum()
+            .sort_values("depth", kind="stable")
+        )
+        return pa.table(
+            {
+                "depth": pa.array(g["depth"].to_numpy(np.int64)),
+                "n_fetched": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         final)
+
+
+@register("crawl_depth_histogram", sql=None)
+def crawl_depth_histogram(sf_dir: str):
+    return depth_histogram_from_out(_crawl_out_dir(sf_dir))

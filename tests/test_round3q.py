@@ -115,3 +115,31 @@ def test_calibration_bins_reconcile(ray_session):
     # mean score must sit inside its bin's [lo, hi) span
     for r in got.itertuples():
         assert r.bin / 10 <= r.mean_score <= (r.bin + 1) / 10 + 1e-9
+
+
+def test_depth_histogram_matches_fetch_log(ray_session, tmp_path):
+    """The distributed increment-file histogram equals the parity fetch
+    log's, and the --max-depth knob truncates it exactly at the cap."""
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.ops.crawlq import depth_histogram_from_out
+
+    web = WebConfig(n_hosts=5, pages_per_host=15)
+    out = str(tmp_path / "dh")
+    cfg = CrawlConfig(web=web, out_dir=out, num_shards=4, max_epochs=30,
+                      saving_period=5, collect_parity_outputs=True)
+    stats = run_crawl(cfg, seed_urls(web))
+    want = (
+        pd.Series([r["depth"] for r in stats.fetch_log
+                   if r["status"] == "fetched"])
+        .value_counts().sort_index()
+    )
+    got = depth_histogram_from_out(out).to_pandas()
+    assert dict(zip(got["depth"], got["n_fetched"])) == want.to_dict()
+
+    out2 = str(tmp_path / "dh2")
+    cfg2 = CrawlConfig(web=web, out_dir=out2, num_shards=4, max_epochs=30,
+                       saving_period=5, max_depth=2)
+    run_crawl(cfg2, seed_urls(web))
+    capped = depth_histogram_from_out(out2).to_pandas()
+    assert capped["depth"].max() <= 2
