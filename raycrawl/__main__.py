@@ -113,7 +113,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write the {host: boost} map to this file")
     tf.add_argument("--num-cpus", type=int, default=None)
 
+    ins = sub.add_parser(
+        "inspect",
+        help="summarize a crawl out_dir from manifests + parquet footers "
+        "(epochs, metrics, backlog, payload/sidecar rows, quota spend, "
+        "lineage) — no Ray session needed",
+    )
+    ins.add_argument("out_dir")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "inspect":
+        from raycrawl.crawler import inspect_run
+
+        print(json.dumps(inspect_run(args.out_dir)))
+        return 0
 
     if args.cmd == "tier-feedback":
         import ray

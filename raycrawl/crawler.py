@@ -872,3 +872,83 @@ def collect_fetch_log(actors_or_stats=None, out_dir: str | None = None) -> list[
     for a in actors_or_stats:
         logs.extend(ray.get(a.get_log.remote()))
     return _log_sorted(logs)
+
+
+def inspect_run(out_dir: str) -> dict:
+    """Operational summary of a crawl out_dir — manifests + parquet
+    FOOTERS only (no Ray session, no data read): latest checkpoint epoch,
+    summed shard metrics, frontier/pending backlog sizes, seen counts,
+    per-epoch payload row counts and sidecar totals, quota spend, and
+    lineage (merged_from / resharded_from chains). The `raycrawl inspect`
+    CLI surface; at 10^10 scale every number here is already aggregated
+    (manifest scalars) or a row count from a parquet footer."""
+    import glob as _glob
+
+    epoch = latest_checkpoint_epoch(out_dir)
+    if epoch is None:
+        return {"out_dir": out_dir, "error": "no checkpoints"}
+    base = os.path.join(out_dir, "checkpoints", f"epoch={epoch}")
+    shards = sorted(
+        int(x.split("=")[1]) for x in os.listdir(base)
+        if x.startswith("shard=")
+    )
+    metrics: dict[str, int] = {}
+    frontier_rows = pending_rows = seen_count = 0
+    host_popped: dict[str, int] = {}
+    for sid in shards:
+        d = os.path.join(base, f"shard={sid}")
+        with open(os.path.join(d, "manifest.json")) as f:
+            man = json.load(f)
+        for k, v in man["metrics"].items():
+            if isinstance(v, (int, float)):
+                metrics[k] = metrics.get(k, 0) + v
+        seen_count += man.get("seen_count", man["metrics"].get("seen_count", 0))
+        for h, n in man.get("host_popped", {}).items():
+            host_popped[h] = host_popped.get(h, 0) + n
+        frontier_rows += pq.read_metadata(
+            os.path.join(d, "frontier.parquet")).num_rows
+        pending_rows += pq.read_metadata(
+            os.path.join(d, "pending.parquet")).num_rows
+    payload_by_epoch: dict[int, int] = {}
+    for f in _glob.glob(os.path.join(out_dir, "payload", "epoch=*",
+                                     "*.parquet")):
+        ep = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        payload_by_epoch[ep] = (
+            payload_by_epoch.get(ep, 0) + pq.read_metadata(f).num_rows
+        )
+    sidecars = {}
+    for side in ("suppressed", "errors", "redirects"):
+        n = 0
+        for f in _glob.glob(os.path.join(out_dir, side, "epoch=*.parquet")):
+            n += pq.read_metadata(f).num_rows
+        sidecars[side] = n
+    lineage = {}
+    dm = os.path.join(base, "driver_manifest.json")
+    if os.path.exists(dm):
+        with open(dm) as f:
+            drv = json.load(f)
+        lineage = {
+            k: drv[k]
+            for k in ("merged_from", "resharded_from", "host_popped_merge")
+            if k in drv
+        }
+    return {
+        "out_dir": out_dir,
+        "latest_checkpoint_epoch": int(epoch),
+        "num_shards": len(shards),
+        "metrics": metrics,
+        "seen_count": int(seen_count),
+        "frontier_backlog": int(frontier_rows),
+        "pending_offers": int(pending_rows),
+        # raw footer rows include near-dup-suppressed rows (filtered at
+        # read time by read_payload's sidecar anti-filter) — report both
+        "payload_rows_raw": int(sum(payload_by_epoch.values())),
+        "payload_rows_net": int(
+            sum(payload_by_epoch.values()) - sidecars["suppressed"]
+        ),
+        "payload_epochs": len(payload_by_epoch),
+        "sidecar_rows": sidecars,
+        "hosts_with_spend": len(host_popped),
+        "max_host_spend": max(host_popped.values()) if host_popped else 0,
+        "lineage": lineage,
+    }

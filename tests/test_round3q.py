@@ -143,3 +143,25 @@ def test_depth_histogram_matches_fetch_log(ray_session, tmp_path):
     run_crawl(cfg2, seed_urls(web))
     capped = depth_histogram_from_out(out2).to_pandas()
     assert capped["depth"].max() <= 2
+
+
+def test_inspect_run_reconciles(ray_session, tmp_path):
+    """`raycrawl inspect` totals must reconcile with the crawl's own
+    stats: pops = fetched + suppressed + errors + redirected (+ sidecar
+    partition), net payload = fetched metric."""
+    from raycrawl.core.webgraph import WebConfig, seed_urls
+    from raycrawl.crawler import CrawlConfig, inspect_run, run_crawl
+
+    web = WebConfig(n_hosts=5, pages_per_host=12, redirect_every=3)
+    out = str(tmp_path / "ins")
+    cfg = CrawlConfig(web=web, out_dir=out, num_shards=4, max_epochs=30,
+                      saving_period=1)
+    stats = run_crawl(cfg, seed_urls(web))
+    info = inspect_run(out)
+    m = info["metrics"]
+    assert info["payload_rows_net"] == m["fetched"]
+    assert info["sidecar_rows"]["suppressed"] == m["phash_suppressed"]
+    assert info["sidecar_rows"]["errors"] == m["fetch_errors"]
+    assert info["sidecar_rows"]["redirects"] == m["redirects_followed"] > 0
+    assert info["latest_checkpoint_epoch"] == stats.epochs - 1
+    assert info["frontier_backlog"] == 0  # crawl ran to exhaustion
