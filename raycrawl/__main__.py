@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--saving-period", type=int, default=10)
     c.add_argument("--seeds", type=int, default=None,
                    help="number of seed hosts (default: all)")
+    c.add_argument("--seeds-file", default=None,
+                   help="file of seed URLs (one per line, # comments); "
+                   "raw spellings are canonicalized on enqueue. Overrides "
+                   "--seeds")
     c.add_argument("--resume", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
     c.add_argument("--no-bytes", action="store_true",
@@ -229,7 +233,13 @@ def main(argv: list[str] | None = None) -> int:
 
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
-    stats = run_crawl(cfg, seed_urls(web, args.seeds), resume=args.resume,
+    if args.seeds_file:
+        with open(args.seeds_file) as f:
+            seeds = [ln.strip() for ln in f
+                     if ln.strip() and not ln.lstrip().startswith("#")]
+    else:
+        seeds = seed_urls(web, args.seeds)
+    stats = run_crawl(cfg, seeds, resume=args.resume,
                       should_stop=lambda: stop["flag"])
     print(
         json.dumps(

@@ -47,3 +47,34 @@ def test_cli_tier_feedback_loop(tmp_path):
     # boosts + budget change the schedule, never the coverage of an
     # exhaustive crawl: same number of pages fetched
     assert c2["payload_rows"] == c1["payload_rows"]
+
+
+def test_cli_seeds_file(ray_session, tmp_path):
+    """--seeds-file: messy seed spellings canonicalize on enqueue and the
+    crawl matches the oracle run on the same (canonicalized) seeds."""
+    import json
+    import subprocess
+    import sys
+
+    from raycrawl.core.urltools import canonicalize_url
+    from raycrawl.core.webgraph import WebConfig
+    from raycrawl.oracle import oracle_crawl
+
+    raw = ["http://H1.WEB.TEST/p/0", "http://h2.web.test:80/./p/3#frag"]
+    sf = tmp_path / "seeds.txt"
+    sf.write_text("# comment\n" + "\n".join(raw) + "\n")
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "raycrawl", "crawl", "--out", out,
+         "--hosts", "5", "--pages-per-host", "10", "--max-epochs", "20",
+         "--num-cpus", "4", "--seeds-file", str(sf)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    j = json.loads(r.stdout.strip().splitlines()[-1])
+    web = WebConfig(n_hosts=5, pages_per_host=10)
+    o = oracle_crawl(web, [canonicalize_url(u) for u in raw], max_epochs=20,
+                     num_shards=4)
+    assert j["payload_rows"] == sum(
+        m["fetched"] for m in o.metrics.values()
+    )
