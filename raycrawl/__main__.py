@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="aggregate lineage metrics only (the at-scale default)")
     c.add_argument("--trap-links", action="store_true",
                    help="synthetic web emits calendar-loop trap links")
+    c.add_argument("--content-epoch", type=int, default=0,
+                   help="crawl generation: volatile pages' content is "
+                   "re-derived per generation (0 = static web); feed two "
+                   "generations to `recrawl-plan` for freshness boosts")
     c.add_argument("--redirect-every", type=int, default=0,
                    help="synthetic web emits a 301 alias link from every "
                    "N-th page; the crawler follows targets at the same "
@@ -117,6 +121,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write the {host: boost} map to this file")
     tf.add_argument("--num-cpus", type=int, default=None)
 
+    rp = sub.add_parser(
+        "recrawl-plan",
+        help="compare two crawl generations' payloads and emit the "
+        "{host: boost} freshness plan (+2 at/above the 75th change-rate "
+        "percentile, +1 above the median) for the next crawl's "
+        "--host-boosts",
+    )
+    rp.add_argument("dir_a")
+    rp.add_argument("dir_b")
+    rp.add_argument("--boosts-out", default=None,
+                    help="also write the {host: boost} map to this file")
+    rp.add_argument("--num-cpus", type=int, default=None)
+
     ins = sub.add_parser(
         "inspect",
         help="summarize a crawl out_dir from manifests + parquet footers "
@@ -131,6 +148,29 @@ def main(argv: list[str] | None = None) -> int:
         from raycrawl.crawler import inspect_run
 
         print(json.dumps(inspect_run(args.out_dir)))
+        return 0
+
+    if args.cmd == "recrawl-plan":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from raycrawl.ops.crawlq import host_change_rates, recrawl_boost_plan
+
+        rates = host_change_rates(args.dir_a, args.dir_b).to_pandas()
+        boosts = recrawl_boost_plan(args.dir_a, args.dir_b)
+        if args.boosts_out:
+            with open(args.boosts_out, "w") as f:
+                json.dump(boosts, f)
+        print(json.dumps(
+            {"hosts": json.loads(rates.to_json(orient="records")),
+             "boosts": boosts}))
+        ray.shutdown()
         return 0
 
     if args.cmd == "tier-feedback":
@@ -196,7 +236,8 @@ def main(argv: list[str] | None = None) -> int:
 
     web = WebConfig(n_hosts=args.hosts, pages_per_host=args.pages_per_host,
                     trap_links=args.trap_links,
-                    redirect_every=args.redirect_every)
+                    redirect_every=args.redirect_every,
+                    content_epoch=args.content_epoch)
     cfg = CrawlConfig(
         web=web,
         out_dir=args.out,

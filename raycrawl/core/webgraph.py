@@ -58,6 +58,14 @@ class WebConfig:
     # The crawler must follow the target through the normal enqueue path
     # at the SAME depth (redirects do not deepen the crawl).
     redirect_every: int = 0
+    # crawl GENERATION counter for recrawl scenarios: ~1/3 of public pages
+    # (a stable, seed-derived property of (host, page)) are VOLATILE —
+    # their content (pixels, caption, outlinks) is re-derived per
+    # content_epoch, modeling pages that change between crawls. 0 (the
+    # default) is byte-identical to the pre-feature universe; stable pages
+    # never change. Volatility mixes into the page seed itself, so
+    # near-dup clone pages track their base page's current content.
+    content_epoch: int = 0
 
 
 def host_name(k: int) -> str:
@@ -107,7 +115,18 @@ def _parse(canonical_url: str) -> tuple[int, int, bool, bool]:
 
 def _page_seed(cfg: WebConfig, k: int, i: int, private: bool) -> int:
     d = hashlib.sha1(f"{cfg.seed}:{k}:{i}:{int(private)}".encode()).digest()
-    return int.from_bytes(d[:8], "big")
+    s = int.from_bytes(d[:8], "big")
+    if cfg.content_epoch and not private and page_is_volatile(cfg, k, i):
+        # golden-ratio odd constant: distinct generation → distinct seed
+        s = (s + cfg.content_epoch * 0x9E3779B97F4A7C15) % (1 << 64)
+    return s
+
+
+def page_is_volatile(cfg: WebConfig, k: int, i: int) -> bool:
+    """Stable per-(host, page) property (independent of content_epoch):
+    does this page's content change between crawl generations?"""
+    d = hashlib.sha1(f"{cfg.seed}:{k}:{i}:0".encode()).digest()
+    return d[9] % 3 == 0
 
 
 _WORDS = (

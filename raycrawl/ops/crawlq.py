@@ -2059,3 +2059,130 @@ def depth_histogram_from_out(out_dir: str):
 @register("crawl_depth_histogram", sql=None)
 def crawl_depth_histogram(sf_dir: str):
     return depth_histogram_from_out(_crawl_out_dir(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Freshness-directed recrawl: per-host content-change rates between two
+# crawl generations, and the priority-boost plan the next crawl consumes.
+# The change detector joins the two generations' payloads on image_id
+# (canonical-URL sha1 — stable across recrawls) and compares the content
+# tuple; only common URLs count (added/removed pages are growth, not
+# churn). Grouping is by host (bounded by the host universe) so the whole
+# statistic is one hash join + one tiny combine — payload bytes never
+# read. Boost plan: hosts at/above the 75th change-rate percentile get
+# +2, above the median +1 — the same {host: boost} shape `crawl
+# --host-boosts` already consumes (tier-feedback precedent).
+def host_change_rates(dir_a: str, dir_b: str,
+                      num_partitions: int | None = None):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..core.urltools import host_of
+    from ..crawler import read_payload
+    from .common import combine_small, join_partitions, round_half_away
+
+    cols = ["image_id", "url", "w", "h", "fmt", "phash", "caption"]
+    a = read_payload(dir_a, columns=cols)
+    b = read_payload(dir_b, columns=cols)
+
+    def tag_b(t):
+        t = t.drop_columns(["url"])  # host comes from side A's url
+        return t.rename_columns([f"{c}_b" for c in t.column_names])
+
+    joined = a.join(
+        b.map_batches(tag_b, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions or join_partitions(),
+        on=("image_id",),
+        right_on=("image_id_b",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        changed = ~(
+            (df["w"] == df["w_b"]) & (df["h"] == df["h_b"])
+            & (df["fmt"] == df["fmt_b"]) & (df["phash"] == df["phash_b"])
+            & (df["caption"] == df["caption_b"])
+        )
+        host = df["url"].map(host_of)
+        g = pd.DataFrame({"host": host, "changed": changed.astype("int64")})
+        return g.groupby("host", as_index=False).agg(
+            n_common=("changed", "size"), n_changed=("changed", "sum")
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("host", as_index=False)[["n_common", "n_changed"]]
+            .sum()
+            .sort_values("host", kind="stable")
+        )
+        nc = g["n_common"].to_numpy(np.int64)
+        ch = g["n_changed"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(g["host"], pa.string()),
+                "n_common": pa.array(nc),
+                "n_changed": pa.array(ch),
+                "change_rate": pa.array(
+                    round_half_away(ch.astype(np.float64) / nc, 6)
+                ),
+            }
+        )
+
+    return combine_small(joined.map_batches(partial, batch_format="pandas"),
+                         final)
+
+
+def recrawl_boost_plan(dir_a: str, dir_b: str) -> dict[str, int]:
+    """{host: boost} for the next crawl: +2 at/above the 75th change-rate
+    percentile, +1 above the median (0 omitted)."""
+    import numpy as np
+
+    t = host_change_rates(dir_a, dir_b).to_pandas()
+    if not len(t):
+        return {}
+    r = t["change_rate"].to_numpy(np.float64)
+    q50, q75 = np.quantile(r, 0.5), np.quantile(r, 0.75)
+    out: dict[str, int] = {}
+    for host, rate in zip(t["host"], r):
+        if rate >= q75 and rate > 0:
+            out[host] = 2
+        elif rate > q50:
+            out[host] = 1
+    return out
+
+
+_VOLATILE_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _volatile_recrawl_out_dir(sf_dir: str) -> str:
+    """Generation-1 crawl of the SAME universe as _crawl_out_dir but with
+    content_epoch=1: volatile pages' content differs, stable pages match."""
+    if sf_dir in _VOLATILE_CRAWL_CACHE:
+        return _VOLATILE_CRAWL_CACHE[sf_dir]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(4, n_docs // n_hosts),
+                    content_epoch=1)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_volatile/{tag}-{os.getpid()}"
+    cfg = CrawlConfig(
+        web=web, out_dir=out, num_shards=4, max_epochs=60,
+        epoch_seconds=8.0, burst=16.0,
+    )
+    run_crawl(cfg, seed_urls(web))
+    _VOLATILE_CRAWL_CACHE[sf_dir] = out
+    return out
+
+
+@register("crawl_change_rate_by_host", sql=None)
+def crawl_change_rate_by_host(sf_dir: str):
+    """Per-host content-churn between generation 0 (the shared cached
+    crawl) and generation 1 (content_epoch=1 over the same universe).
+    Rows-only; oracle = page_is_volatile ground truth in
+    tests/test_recrawl.py."""
+    return host_change_rates(_crawl_out_dir(sf_dir),
+                             _volatile_recrawl_out_dir(sf_dir))
