@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="aggregate lineage metrics only (the at-scale default)")
     c.add_argument("--trap-links", action="store_true",
                    help="synthetic web emits calendar-loop trap links")
+    c.add_argument("--etag-manifest", default=None,
+                   help="out_dir of a previous crawl generation: refetched "
+                   "pages whose content is unchanged are marked "
+                   "not_modified (no payload row, no expansion)")
     c.add_argument("--content-epoch", type=int, default=0,
                    help="crawl generation: volatile pages' content is "
                    "re-derived per generation (0 = static web); feed two "
@@ -261,6 +265,7 @@ def main(argv: list[str] | None = None) -> int:
         epoch_pop_budget=args.pop_budget,
         max_pages_per_host=args.max_pages_per_host,
         max_depth=args.max_depth,
+        etag_manifest_dir=args.etag_manifest,
         error_backoff=args.error_backoff,
         focus_keywords=(tuple(k for k in args.focus_keywords.split(",") if k)
                         if args.focus_keywords else None),

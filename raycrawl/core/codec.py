@@ -175,3 +175,15 @@ def hamming64_vec(arr: np.ndarray, v: int) -> np.ndarray:
     x = (arr.astype(np.uint64) ^ np.uint64(v & 0xFFFFFFFFFFFFFFFF))
     x = x.view(np.uint8).reshape(-1, 8)
     return np.unpackbits(x, axis=1).sum(axis=1)
+
+
+def content_etag(w: int, h: int, fmt: str, phash: int, caption: str) -> bytes:
+    """Conditional-fetch validator (HTTP ETag analog): 20-byte sha1 of the
+    decoded-content tuple. Both the engine and the sequential oracle derive
+    it from the FETCHED page, so a recrawl against a previous generation's
+    manifest marks a URL not_modified iff its content tuple is identical."""
+    import hashlib
+
+    return hashlib.sha1(
+        f"{w}:{h}:{fmt}:{phash}:{caption}".encode("utf-8", "surrogatepass")
+    ).digest()

@@ -142,6 +142,14 @@ class CrawlConfig:
     # denied at offer time (depth_denied). Deny-and-seen, matching the
     # robots/trap precedent. None = unbounded.
     max_depth: int | None = None
+    # conditional fetch (HTTP 304 analog): out_dir of a PREVIOUS crawl
+    # generation whose payload supplies the (url_hash -> content etag)
+    # manifest. A refetched page whose content tuple is identical is
+    # not_modified: token spent, no payload row, no phash entry, no
+    # expansion; its pop lands in the not_modified sidecar tree. Manifest
+    # rows are routed to each digest's OWNING shard at startup (host
+    # partitioning), so no shard holds another's hosts.
+    etag_manifest_dir: str | None = None
     # adaptive politeness: halve a flaky host's effective token rate per
     # consecutive fetch error (cap /64), full rate restored on the next
     # success. Off by default (byte-identical schedules when unset).
@@ -288,7 +296,8 @@ def run_crawl(
                 for d in os.listdir(payload_dir):
                     if d.startswith("epoch=") and int(d.split("=")[1]) >= start_epoch:
                         shutil.rmtree(os.path.join(payload_dir, d))
-            for side in ("suppressed", "errors"):
+            for side in ("suppressed", "errors", "redirects",
+                         "not_modified"):
                 sd = os.path.join(cfg.out_dir, side)
                 if os.path.isdir(sd):
                     for f in os.listdir(sd):
@@ -300,6 +309,9 @@ def run_crawl(
         os.makedirs(payload_dir, exist_ok=True)
 
     actors = make_shard_actors(cfg, restore_epoch=(start_epoch - 1) if resume else None)
+    etag_enabled = cfg.etag_manifest_dir is not None
+    if etag_enabled:
+        _load_etag_manifest(cfg.etag_manifest_dir, actors, cfg.num_shards)
     dedup_actors = None
     if cfg.global_phash_dedup:
         DedupActor = ray.remote(num_cpus=cfg.shard_num_cpus)(PhashDedupShard)
@@ -338,6 +350,8 @@ def run_crawl(
     os.makedirs(errors_dir, exist_ok=True)  # dead-letter sidecars
     redirects_dir = os.path.join(cfg.out_dir, "redirects")
     os.makedirs(redirects_dir, exist_ok=True)  # 301-pop sidecars
+    not_modified_dir = os.path.join(cfg.out_dir, "not_modified")
+    os.makedirs(not_modified_dir, exist_ok=True)  # 304-pop sidecars
     import time as _time
 
     phases = stats.phase_seconds
@@ -415,6 +429,7 @@ def run_crawl(
                     os.path.join(payload_dir, f"epoch={epoch}"), *refs,
                     host_boost=cfg.host_priority_boost,
                     focus_keywords=cfg.focus_keywords,
+                    etag_enabled=etag_enabled,
                 )
             )
             t = _mark("pipeline", t)
@@ -437,6 +452,7 @@ def run_crawl(
                     ref, part_base=j * 100_000,
                     host_boost=cfg.host_priority_boost,
                     focus_keywords=cfg.focus_keywords,
+                    etag_enabled=etag_enabled,
                 )
                 for j, ref in enumerate(refs)
             ])
@@ -455,7 +471,7 @@ def run_crawl(
             ).map_batches(
                 _make_decode_submit(actors, epoch, keep_bytes,
                                     cfg.host_priority_boost,
-                                    cfg.focus_keywords),
+                                    cfg.focus_keywords, etag_enabled),
                 batch_format="pyarrow",
                 batch_size=bsz,
             )
@@ -521,7 +537,7 @@ def run_crawl(
         # (~50 ms/epoch of fixed driver-loop cost; results unchanged —
         # ordering is a data property of the frontier, not of this join)
         offer_refs = []
-        for src, (_, _, _, _, offers) in enumerate(finals):
+        for src, (_, _, _, _, _, offers) in enumerate(finals):
             for dst, packed_ref in offers.items():
                 offer_refs.append(
                     actors[dst].offer_packed.remote((epoch, src), packed_ref,
@@ -531,7 +547,7 @@ def run_crawl(
         # checkpoint MERGE rebuild exact per-host quota spend (every pop
         # lands in exactly one of payload/suppressed/errors, so the three
         # trees deduped by digest ARE the popped set — merge.py)
-        suppressed = [dh for _, sup, _, _, _ in finals for dh in sup]
+        suppressed = [dh for _, sup, _, _, _, _ in finals for dh in sup]
         pq.write_table(
             pa.table({
                 "url_hash": pa.array([d for d, _ in suppressed], pa.binary()),
@@ -539,7 +555,7 @@ def run_crawl(
             }),
             os.path.join(suppressed_dir, f"epoch={epoch}.parquet"),
         )
-        errors = [dh for _, _, errs, _, _ in finals for dh in errs]
+        errors = [dh for _, _, errs, _, _, _ in finals for dh in errs]
         pq.write_table(
             pa.table({
                 "url_hash": pa.array([d for d, _ in errors], pa.binary()),
@@ -550,13 +566,21 @@ def run_crawl(
         # 301 pops land in neither payload nor suppressed/errors — their
         # own sidecar keeps the merge-tool invariant that the digest-union
         # of the sidecar trees IS the popped set (exact quota rebuild)
-        redirs = [dh for _, _, _, rds, _ in finals for dh in rds]
+        redirs = [dh for _, _, _, rds, _, _ in finals for dh in rds]
         pq.write_table(
             pa.table({
                 "url_hash": pa.array([d for d, _ in redirs], pa.binary()),
                 "host": pa.array([h for _, h in redirs], pa.string()),
             }),
             os.path.join(redirects_dir, f"epoch={epoch}.parquet"),
+        )
+        notmods = [dh for _, _, _, _, nms, _ in finals for dh in nms]
+        pq.write_table(
+            pa.table({
+                "url_hash": pa.array([d for d, _ in notmods], pa.binary()),
+                "host": pa.array([h for _, h in notmods], pa.string()),
+            }),
+            os.path.join(not_modified_dir, f"epoch={epoch}.parquet"),
         )
         if offer_refs:
             ray.get(offer_refs)
@@ -609,7 +633,8 @@ PAYLOAD_SCHEMA = pa.schema(
 
 def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
                         host_boost: dict | None = None,
-                        focus_keywords: tuple[str, ...] | None = None):
+                        focus_keywords: tuple[str, ...] | None = None,
+                        etag_enabled: bool = False):
     """Decode + phash each fetched row, canonicalize its outlinks, stream
     the (digest, phash, meta, links) tuples to the owning shard actor
     (gate_submit — idempotent by digest), and emit the payload row. The
@@ -619,6 +644,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
 
     focus = (tuple(k.lower() for k in focus_keywords)
              if focus_keywords else None)
+    from .core.codec import content_etag
 
     def decode_submit(tbl: pa.Table) -> pa.Table:
         empty = PAYLOAD_SCHEMA.empty_table()
@@ -629,7 +655,8 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
         tbl = decode_batch(tbl)
 
         per_shard: dict[int, tuple[list, list, list, list]] = {}
-        for url, digest, host, shard, pri, depth, disc, ph, links, ok, cap, rd_url in zip(
+        for (url, digest, host, shard, pri, depth, disc, ph, links, ok, cap,
+             rd_url, w_, h_, fmt_) in zip(
             tbl["url"].to_pylist(),
             tbl["url_hash"].to_pylist(),
             tbl["host"].to_pylist(),
@@ -642,6 +669,9 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
             tbl["fetch_ok"].to_pylist(),
             tbl["caption"].to_pylist(),
             tbl["redirect_to"].to_pylist(),
+            tbl["w"].to_pylist(),
+            tbl["h"].to_pylist(),
+            tbl["fmt"].to_pylist(),
         ):
             canon: dict[str, tuple] = {}
             # focused crawl: an off-topic page contributes no expansion
@@ -669,10 +699,13 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
                 rh = host_of(rcu)
                 rdg = url_sha1(rcu)
                 rd = (rcu, rdg, rh, _prio(rdg, rh, host_boost))
+            etag = None
+            if etag_enabled and ok and rd is None:
+                etag = content_etag(w_, h_, fmt_, ph, cap)
             b = per_shard.setdefault(shard, ([], [], [], []))
             b[0].append(digest)
             b[1].append(ph if ok else None)
-            b[2].append((url, host, pri, depth, disc, rd))
+            b[2].append((url, host, pri, depth, disc, rd, etag))
             b[3].append(list(canon.values()))
         ray.get(
             [
@@ -712,7 +745,8 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
 def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
                       out_uri, *tables, part_base: int = 0,
                       host_boost: dict | None = None,
-                      focus_keywords: tuple[str, ...] | None = None):
+                      focus_keywords: tuple[str, ...] | None = None,
+                      etag_enabled: bool = False):
     """Tail-epoch fast path: a popped set that fits ONE block runs fetch →
     decode/gate-submit → payload write inside a single Ray task, skipping
     the per-epoch Ray Data pipeline launch (~0.15-0.4 s) that dominates
@@ -726,7 +760,7 @@ def _small_epoch_task(web_cfg, actors, epoch, keep_bytes, batch_size,
     heap."""
     tbl = pa.concat_tables([t for t in tables if t.num_rows])
     decode = _make_decode_submit(actors, epoch, keep_bytes, host_boost,
-                                 focus_keywords)
+                                 focus_keywords, etag_enabled)
     written = 0
     for part, off in enumerate(range(0, tbl.num_rows, batch_size)):
         out = decode(fetch_batch(tbl.slice(off, batch_size), web_cfg=web_cfg))
@@ -801,15 +835,20 @@ def read_payload(out_dir: str, columns: list[str] | None = None):
     if columns is not None and "url_hash" not in columns:
         columns = list(columns) + ["url_hash"]
     payload_dir = os.path.join(out_dir, "payload")
-    sup_dir = os.path.join(out_dir, "suppressed")
+    # both non-payload verdict trees filter at read: near-dup-suppressed
+    # rows AND 304-not-modified rows (the previous generation's row is the
+    # authoritative one for an unmodified page)
     per_epoch: dict[int, list[bytes]] = {}
-    if os.path.isdir(sup_dir):
-        for f in sorted(os.listdir(sup_dir)):
+    for side in ("suppressed", "not_modified"):
+        side_dir = os.path.join(out_dir, side)
+        if not os.path.isdir(side_dir):
+            continue
+        for f in sorted(os.listdir(side_dir)):
             if f.endswith(".parquet"):
                 ep = int(f.split("=")[1].split(".")[0])
-                col = _pq.read_table(os.path.join(sup_dir, f))["url_hash"]
+                col = _pq.read_table(os.path.join(side_dir, f))["url_hash"]
                 if len(col):
-                    per_epoch[ep] = col.to_pylist()
+                    per_epoch.setdefault(ep, []).extend(col.to_pylist())
     total = sum(len(v) for v in per_epoch.values())
     drop_hash = want is not None and "url_hash" not in want
     if total == 0:
@@ -917,7 +956,8 @@ def inspect_run(out_dir: str) -> dict:
             payload_by_epoch.get(ep, 0) + pq.read_metadata(f).num_rows
         )
     sidecars = {}
-    for side in ("suppressed", "errors", "redirects"):
+    for side in ("suppressed", "errors", "redirects",
+                 "not_modified"):
         n = 0
         for f in _glob.glob(os.path.join(out_dir, side, "epoch=*.parquet")):
             n += pq.read_metadata(f).num_rows
@@ -940,11 +980,13 @@ def inspect_run(out_dir: str) -> dict:
         "seen_count": int(seen_count),
         "frontier_backlog": int(frontier_rows),
         "pending_offers": int(pending_rows),
-        # raw footer rows include near-dup-suppressed rows (filtered at
-        # read time by read_payload's sidecar anti-filter) — report both
+        # raw footer rows include near-dup-suppressed AND 304-not-modified
+        # rows (both filtered at read time by read_payload's sidecar
+        # anti-filters) — report both raw and net
         "payload_rows_raw": int(sum(payload_by_epoch.values())),
         "payload_rows_net": int(
             sum(payload_by_epoch.values()) - sidecars["suppressed"]
+            - sidecars["not_modified"]
         ),
         "payload_epochs": len(payload_by_epoch),
         "sidecar_rows": sidecars,
@@ -952,3 +994,41 @@ def inspect_run(out_dir: str) -> dict:
         "max_host_spend": max(host_popped.values()) if host_popped else 0,
         "lineage": lineage,
     }
+
+
+def _load_etag_manifest(prev_dir: str, actors, num_shards: int) -> None:
+    """Route a previous generation's (url_hash → content etag) rows to
+    each digest's OWNING shard actor (host partitioning — shard counts may
+    differ between generations, so ownership is recomputed from the URL).
+    Streams as a Ray Data pass over the previous payload: each batch
+    computes its etags and ray.puts them straight to the actors; only
+    (20 B digest + 20 B etag) per URL ever moves."""
+    from .core.codec import content_etag
+
+    ds = read_payload(
+        prev_dir,
+        columns=["url", "url_hash", "w", "h", "fmt", "phash", "caption"],
+    )
+
+    def route(tbl: pa.Table) -> pa.Table:
+        per: dict[int, tuple[list, list]] = {}
+        for url, dg, w, h, fmt, ph, cap in zip(
+            tbl["url"].to_pylist(),
+            tbl["url_hash"].to_pylist(),
+            tbl["w"].to_pylist(),
+            tbl["h"].to_pylist(),
+            tbl["fmt"].to_pylist(),
+            tbl["phash"].to_pylist(),
+            tbl["caption"].to_pylist(),
+        ):
+            sid = shard_of_host(host_of(url), num_shards)
+            b = per.setdefault(sid, ([], []))
+            b[0].append(dg)
+            b[1].append(content_etag(w, h, fmt, ph, cap))
+        ray.get(
+            [actors[sid].load_etags.remote(d, e)
+             for sid, (d, e) in per.items()]
+        )
+        return pa.table({"n": pa.array([tbl.num_rows], pa.int64())})
+
+    ds.map_batches(route, batch_format="pyarrow").materialize()

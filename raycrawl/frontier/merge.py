@@ -168,7 +168,8 @@ def _popped_digest_hosts(root_dir: str, epoch: int) -> dict[bytes, str] | None:
             for dg, u in zip(t["url_hash"].to_pylist(),
                              t["url"].to_pylist()):
                 popped[dg] = host_of(u)
-        for side in ("suppressed", "errors", "redirects"):
+        for side in ("suppressed", "errors", "redirects",
+                     "not_modified"):
             for f in _glob.glob(os.path.join(d, side, "epoch=*.parquet")):
                 ep = int(os.path.basename(f).split("=")[1].split(".")[0])
                 if ep > ep_cap:
@@ -210,6 +211,7 @@ _COUNTERS = (
     "quota_dropped",
     "redirects_followed",
     "depth_denied",
+    "not_modified",
 )
 
 

@@ -200,9 +200,12 @@ class FrontierShard:
             offered=0, accepted=0, fetched=0, robots_denied=0,
             phash_suppressed=0, fetch_errors=0, trap_denied=0,
             quota_denied=0, quota_dropped=0, redirects_followed=0,
-            depth_denied=0,
+            depth_denied=0, not_modified=0,
         )
         self.log: list[dict] = []
+        # conditional-fetch manifest: digest → previous-generation etag
+        # (loaded via load_etags; empty = feature off)
+        self.etags: dict[bytes, bytes] = {}
         # url → (digest, host, priority, min_depth, discovered_at)
         self.pending: dict[str, tuple] = {}
         self._spill_overflow: dict[str, list[tuple]] = {}
@@ -220,6 +223,16 @@ class FrontierShard:
         if self.error_backoff:
             rate /= 1 << min(self.host_consec_errors.get(host, 0), 6)
         return rate
+
+    def load_etags(self, digests: list[bytes], etags: list[bytes]) -> int:
+        """Conditional-fetch manifest for THIS shard's hosts (the driver
+        routes a previous generation's (url_hash → content etag) rows by
+        owning shard, so no shard ever holds another's hosts — the same
+        host-partitioning contract as every other piece of shard state).
+        A gated row whose current etag equals the manifest's is
+        not_modified: token spent, no payload row, no expansion."""
+        self.etags.update(zip(digests, etags))
+        return len(self.etags)
 
     # ------------------------------------------------------------- enqueue
     def offer(
@@ -530,11 +543,13 @@ class FrontierShard:
         suppressed: list[tuple[bytes, str]] = []
         errors: list[tuple[bytes, str]] = []
         redirs: list[tuple[bytes, str]] = []
+        notmods: list[tuple[bytes, str]] = []
         best: dict[str, tuple] = {}  # canonical url → (digest,host,pri,min depth)
         kept = 0
         for digest, (ph, m, ls) in order:
             url, host, pri, depth, disc, *rest = m
             rd = rest[0] if rest else None  # 5-tuple metas: no redirect
+            etag = rest[1] if len(rest) > 1 else None
             if rd is not None:  # 301 alias: follow target at SAME depth
                 self.host_consec_errors.pop(host, None)  # HTTP succeeded
                 self.metrics["redirects_followed"] += 1
@@ -556,6 +571,25 @@ class FrontierShard:
                 errors.append((digest, host))
                 continue
             self.host_consec_errors.pop(host, None)
+            if (etag is not None
+                    and self.etags.get(digest) == etag):
+                # 304 analog: content identical to the previous generation
+                # — token spent, NO payload row (the old generation's row
+                # is authoritative), no phash-index entry — but the link
+                # graph still advances: an incremental crawl re-walks the
+                # web through its unmodified pages (in production the
+                # outlinks come from the stored previous-generation link
+                # log; the synthetic fetch has the body anyway)
+                self.metrics["not_modified"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "not_modified")
+                notmods.append((digest, host))
+                for lu, ld, lh, lp in ls:
+                    nd = depth + 1
+                    cur = best.get(lu)
+                    if cur is None or nd < cur[3]:
+                        best[lu] = (ld, lh, lp, nd)
+                continue
             if self.phash.query(ph) is not None:
                 self.metrics["phash_suppressed"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
@@ -588,7 +622,7 @@ class FrontierShard:
             # the data moves store-to-store when the target actor receives
             # it as a (top-level, auto-dereferenced) task argument
             offers[dst] = _put_offer(payload)
-        result = (kept, suppressed, errors, redirs, offers)
+        result = (kept, suppressed, errors, redirs, notmods, offers)
         self._gate_memo[epoch] = result
         return result
 
@@ -627,11 +661,13 @@ class FrontierShard:
         suppressed: list[tuple[bytes, str]] = []
         errors: list[tuple[bytes, str]] = []
         redirs: list[tuple[bytes, str]] = []
+        notmods: list[tuple[bytes, str]] = []
         best: dict[str, tuple] = {}
         kept = 0
         for digest, (ph, m, ls) in order:
             url, host, pri, depth, disc, *rest = m
             rd = rest[0] if rest else None  # 5-tuple metas: no redirect
+            etag = rest[1] if len(rest) > 1 else None
             if rd is not None:  # 301 alias: follow target at SAME depth
                 self.host_consec_errors.pop(host, None)
                 self.metrics["redirects_followed"] += 1
@@ -653,6 +689,18 @@ class FrontierShard:
                 errors.append((digest, host))
                 continue
             self.host_consec_errors.pop(host, None)
+            if (etag is not None
+                    and self.etags.get(digest) == etag):
+                self.metrics["not_modified"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "not_modified")
+                notmods.append((digest, host))
+                for lu, ld, lh, lp in ls:
+                    nd = depth + 1
+                    cur = best.get(lu)
+                    if cur is None or nd < cur[3]:
+                        best[lu] = (ld, lh, lp, nd)
+                continue
             if digest in sup:
                 self.metrics["phash_suppressed"] += 1
                 self._log_append(epoch, url, digest, host, pri, depth, disc,
@@ -681,7 +729,7 @@ class FrontierShard:
                 [best[u][3] for u in urls],
             )
             offers[dst] = _put_offer(payload)
-        result = (kept, suppressed, errors, redirs, offers)
+        result = (kept, suppressed, errors, redirs, notmods, offers)
         self._gate_memo[epoch] = result
         return result
 
@@ -873,7 +921,7 @@ class FrontierShard:
             for k in ("offered", "accepted", "fetched", "robots_denied",
                       "phash_suppressed", "fetch_errors", "trap_denied",
                       "quota_denied", "quota_dropped", "redirects_followed",
-                      "depth_denied")
+                      "depth_denied", "not_modified")
         }
         self.host_quota = manifest.get("host_quota")
         self.host_popped = dict(manifest.get("host_popped", {}))

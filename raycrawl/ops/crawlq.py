@@ -210,7 +210,7 @@ def frontier_metrics_frame(out_dir: str):
                    ("offered", "accepted", "fetched", "robots_denied",
                     "phash_suppressed", "fetch_errors", "trap_denied",
                     "quota_denied", "quota_dropped", "redirects_followed",
-                    "depth_denied",
+                    "depth_denied", "not_modified",
                     "seen_count", "bloom_cuckoo_false_positives",
                     "robots_fetches")},
             )

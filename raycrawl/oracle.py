@@ -46,7 +46,8 @@ from dataclasses import dataclass, field
 from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host, trap_reason
 from .core.politeness import host_rate, RobotsCache
 from .core.webgraph import WebConfig, page_for, priority_of, fetch_fails
-from .core.codec import hamming64, phash64, decode_image
+from .core.codec import (hamming64, phash64, decode_image,
+                         content_etag)
 
 BURST = 8.0
 
@@ -81,6 +82,7 @@ def oracle_crawl(
     error_backoff: bool = False,
     focus_keywords: tuple | None = None,
     max_depth: int | None = None,
+    etag_manifest: dict[bytes, bytes] | None = None,
 ) -> OracleResult:
     res = OracleResult()
 
@@ -101,7 +103,7 @@ def oracle_crawl(
         s: dict(offered=0, accepted=0, fetched=0, robots_denied=0,
                 phash_suppressed=0, fetch_errors=0, trap_denied=0,
                 quota_denied=0, quota_dropped=0, redirects_followed=0,
-                depth_denied=0)
+                depth_denied=0, not_modified=0)
         for s in range(num_shards)
     }
     host_popped: dict[str, int] = {}
@@ -282,6 +284,28 @@ def oracle_crawl(
             # gating phash comes from the DECODED payload (consumer view)
             pixels, _ = decode_image(page.data)
             ph = phash64(pixels)
+            if etag_manifest is not None:
+                et = content_etag(page.w, page.h, page.fmt, ph, page.caption)
+                if etag_manifest.get(item["digest"]) == et:
+                    # 304 analog: token spent, no payload, no phash-index
+                    # entry — but the link graph STILL advances (focus
+                    # gate applies, as for fetched pages). Same order as
+                    # the engine gate (redirect -> error -> not_modified
+                    # -> near-dup).
+                    metrics[shard]["not_modified"] += 1
+                    res.fetch_log.append(
+                        {**_log(item, epoch), "status": "not_modified"}
+                    )
+                    if focus_keywords is not None:
+                        lc = page.caption.lower()
+                        if not any(k.lower() in lc for k in focus_keywords):
+                            continue
+                    for raw in page.outlinks:
+                        new_links.append(
+                            (canonicalize_url(raw, base=item["url"]),
+                             item["depth"] + 1)
+                        )
+                    continue
             if global_phash_dedup:
                 dup = item["digest"] in globally_suppressed
             else:

@@ -85,7 +85,8 @@ def test_gate_submit_finalize():
     s.gate_submit(0, digests[1:], phashes[1:], meta[1:], links[1:])
     s.gate_submit(0, digests[:1], phashes[:1], meta[:1], links[:1])
     s.gate_submit(0, digests[1:2], phashes[1:2], meta[1:2], links[1:2])
-    kept, suppressed, errors, redirs, offers = s.gate_finalize(0, num_shards=4)
+    kept, suppressed, errors, redirs, notmods, offers = s.gate_finalize(
+        0, num_shards=4)
     assert kept == 2
     # ordered gate: digest 0 wins, 1 near-dup; host rides along for sidecars
     assert suppressed == [(digests[1], "h1.web.test")]
@@ -106,7 +107,7 @@ def test_gate_submit_finalize():
     assert urls == ["http://h2.web.test/p/9"] and depths == [1]
     # replay-safe: second finalize returns the memoized result
     assert s.gate_finalize(0, num_shards=4) == (kept, suppressed, errors,
-                                                  redirs, offers)
+                                                  redirs, notmods, offers)
 
 
 def test_checkpoint_restore_roundtrip(tmp_path):

@@ -101,7 +101,7 @@ def test_redirect_target_same_depth_gate_unit(ray_session):
             [[], [link]],
         )
     )
-    kept, sup, errs, redirs, offers = ray.get(
+    kept, sup, errs, redirs, _nm, offers = ray.get(
         actor.gate_finalize.remote(0, 2)
     )
     assert len(redirs) == 1 and kept == 1 and not sup and not errs
