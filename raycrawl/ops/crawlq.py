@@ -2186,3 +2186,95 @@ def crawl_change_rate_by_host(sf_dir: str):
     tests/test_recrawl.py."""
     return host_change_rates(_crawl_out_dir(sf_dir),
                              _volatile_recrawl_out_dir(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Incremental-recrawl audit: generation 1 (content_epoch=1) crawled with
+# generation 0's etag manifest. Reconciles the conditional-fetch contract
+# from the artifacts alone: not_modified metric == 304-sidecar rows; no
+# stored page is stored twice (gen-0 ∩ gen-1 payload image_ids = ∅); the
+# digest-union partition invariant holds with the fourth sidecar tree.
+# Rows-only; the per-row oracle is tests/test_conditional_fetch.py's
+# engine-vs-sequential-oracle parity.
+_INCR_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _incremental_recrawl_out_dir(sf_dir: str) -> str:
+    if sf_dir in _INCR_CRAWL_CACHE:
+        return _INCR_CRAWL_CACHE[sf_dir]
+    from ..crawler import CrawlConfig, run_crawl
+
+    base = _crawl_out_dir(sf_dir)  # generation 0 (shared cache)
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(4, n_docs // n_hosts),
+                    content_epoch=1)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_incr/{tag}-{os.getpid()}"
+    cfg = CrawlConfig(
+        web=web, out_dir=out, num_shards=4, max_epochs=60,
+        epoch_seconds=8.0, burst=16.0, etag_manifest_dir=base,
+    )
+    run_crawl(cfg, seed_urls(web))
+    _INCR_CRAWL_CACHE[sf_dir] = out
+    return out
+
+
+@register("crawl_incremental_audit", sql=None)
+def crawl_incremental_audit(sf_dir: str):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ..crawler import latest_checkpoint_epoch, read_payload
+
+    base = _crawl_out_dir(sf_dir)
+    out = _incremental_recrawl_out_dir(sf_dir)
+    epoch = latest_checkpoint_epoch(out)
+    not_modified = 0
+    ckpt = os.path.join(out, "checkpoints", f"epoch={epoch}")
+    for sd in sorted(os.listdir(ckpt)):
+        if not sd.startswith("shard="):
+            continue
+        with open(os.path.join(ckpt, sd, "manifest.json")) as f:
+            not_modified += json.load(f)["metrics"].get("not_modified", 0)
+    import glob as _glob
+
+    sidecar_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in _glob.glob(os.path.join(out, "not_modified",
+                                         "epoch=*.parquet"))
+    )
+    from ..core.codec import content_etag
+
+    cols = ["image_id", "w", "h", "fmt", "phash", "caption"]
+
+    def etags_of(d):
+        df = read_payload(d, columns=cols).to_pandas()
+        return dict(
+            zip(df["image_id"],
+                (content_etag(w, h, f, p, c) for w, h, f, p, c in
+                 zip(df["w"], df["h"], df["fmt"], df["phash"],
+                     df["caption"])))
+        )
+
+    e0 = etags_of(base)
+    e1 = etags_of(out)
+    common = set(e0) & set(e1)
+    # a common image_id is legitimate ONLY when its content changed
+    # (volatile page); re-storing an UNCHANGED page means the 304 gate
+    # leaked — must be zero
+    restored_unchanged = sum(1 for i in common if e0[i] == e1[i])
+    return pa.table(
+        {
+            "not_modified": pa.array([not_modified], pa.int64()),
+            "nm_sidecar_rows": pa.array([sidecar_rows], pa.int64()),
+            "gen0_stored": pa.array([len(e0)], pa.int64()),
+            "gen1_stored": pa.array([len(e1)], pa.int64()),
+            "restored_changed": pa.array(
+                [len(common) - restored_unchanged], pa.int64()
+            ),
+            "restored_unchanged": pa.array([restored_unchanged], pa.int64()),
+        }
+    )

@@ -137,3 +137,18 @@ def test_self_recrawl_stores_nothing_twice(ray_session, tmp_path):
     assert nm == len(p0)  # every gen-0 payload page 304s
     # no re-store: the generations' stored sets are disjoint
     assert not (set(p1["image_id"]) & set(p0["image_id"]))
+
+
+def test_crawl_incremental_audit_registry(ray_session):
+    """Registry audit reconciles the conditional-fetch contract from the
+    artifacts alone: metric == sidecar rows, and NO unchanged page is
+    ever stored twice (a nonzero restored_unchanged means the 304 gate
+    leaked)."""
+    from raycrawl.ops import REGISTRY
+
+    t = REGISTRY["crawl_incremental_audit"]["fn"](
+        "/root/testdata/sf0.001"
+    ).to_pandas().iloc[0]
+    assert t["not_modified"] == t["nm_sidecar_rows"] > 0
+    assert t["restored_unchanged"] == 0
+    assert t["restored_changed"] > 0  # the volatile third was refetched
