@@ -2074,9 +2074,12 @@ def crawl_depth_histogram(sf_dir: str):
 # --host-boosts` already consumes (tier-feedback precedent).
 def host_change_rates(dir_a: str, dir_b: str,
                       num_partitions: int | None = None):
+    import glob as _glob
+
     import numpy as np
     import pandas as pd
     import pyarrow as pa
+    import ray
 
     from ..core.urltools import host_of
     from ..crawler import read_payload
@@ -2085,6 +2088,17 @@ def host_change_rates(dir_a: str, dir_b: str,
     cols = ["image_id", "url", "w", "h", "fmt", "phash", "caption"]
     a = read_payload(dir_a, columns=cols)
     b = read_payload(dir_b, columns=cols)
+
+    # conditional-fetched generation B: its UNCHANGED common pages carry
+    # no payload row — they live in B's not_modified sidecar. Count them
+    # as unchanged-common via a broadcast digest set probed against A's
+    # payload (bounded by A's stored corpus; at 10^10 route per epoch dir
+    # like read_payload's at-scale path). Without this, a 304-enabled
+    # recrawl makes every common page look "changed".
+    nm_digests: set[bytes] = set()
+    for f in _glob.glob(os.path.join(dir_b, "not_modified",
+                                     "epoch=*.parquet")):
+        nm_digests.update(pq.read_table(f)["url_hash"].to_pylist())
 
     def tag_b(t):
         t = t.drop_columns(["url"])  # host comes from side A's url
@@ -2110,28 +2124,61 @@ def host_change_rates(dir_a: str, dir_b: str,
             n_common=("changed", "size"), n_changed=("changed", "sum")
         )
 
-    def final(t: pa.Table) -> pa.Table:
-        g = (
+    changed_tbl = combine_small(
+        joined.map_batches(partial, batch_format="pandas"),
+        lambda t: pa.Table.from_pandas(
             t.to_pandas()
             .groupby("host", as_index=False)[["n_common", "n_changed"]]
-            .sum()
-            .sort_values("host", kind="stable")
-        )
-        nc = g["n_common"].to_numpy(np.int64)
-        ch = g["n_changed"].to_numpy(np.int64)
-        return pa.table(
-            {
-                "host": pa.array(g["host"], pa.string()),
-                "n_common": pa.array(nc),
-                "n_changed": pa.array(ch),
-                "change_rate": pa.array(
-                    round_half_away(ch.astype(np.float64) / nc, 6)
-                ),
-            }
-        )
+            .sum(),
+            preserve_index=False,
+        ),
+    ).to_pandas()
 
-    return combine_small(joined.map_batches(partial, batch_format="pandas"),
-                         final)
+    if nm_digests:
+        nm_ref = ray.put(nm_digests)
+
+        a2 = read_payload(dir_a, columns=["url", "url_hash"])
+
+        def nm_partial2(t: pa.Table) -> pa.Table:
+            nd = ray.get(nm_ref)
+            keep = [d in nd for d in t["url_hash"].to_pylist()]
+            hosts = [host_of(u) for u, k in zip(t["url"].to_pylist(), keep)
+                     if k]
+            g = pd.DataFrame({"host": hosts})
+            out = (
+                g.groupby("host", as_index=False).size()
+                .rename(columns={"size": "n_unchanged"})
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        nm_tbl = combine_small(
+            a2.map_batches(nm_partial2, batch_format="pyarrow"),
+            lambda t: pa.Table.from_pandas(
+                t.to_pandas()
+                .groupby("host", as_index=False)["n_unchanged"].sum(),
+                preserve_index=False,
+            ),
+        ).to_pandas()
+        g = changed_tbl.merge(nm_tbl, on="host", how="outer").fillna(0)
+        g["n_common"] = (
+            g["n_common"].astype("int64") + g["n_unchanged"].astype("int64")
+        )
+        g = g.drop(columns=["n_unchanged"])
+    else:
+        g = changed_tbl
+    g = g.sort_values("host", kind="stable")
+    nc = g["n_common"].to_numpy(np.int64)
+    ch = g["n_changed"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "host": pa.array(g["host"], pa.string()),
+            "n_common": pa.array(nc),
+            "n_changed": pa.array(ch),
+            "change_rate": pa.array(
+                round_half_away(ch.astype(np.float64) / nc, 6)
+            ),
+        }
+    )
 
 
 def recrawl_boost_plan(dir_a: str, dir_b: str) -> dict[str, int]:

@@ -152,3 +152,22 @@ def test_crawl_incremental_audit_registry(ray_session):
     assert t["not_modified"] == t["nm_sidecar_rows"] > 0
     assert t["restored_unchanged"] == 0
     assert t["restored_changed"] > 0  # the volatile third was refetched
+
+
+def test_change_rates_count_304_pages_as_unchanged_common(ray_session,
+                                                          gen0, gen1):
+    """host_change_rates over a CONDITIONAL generation: 304'd pages count
+    as unchanged-common (via B's not_modified sidecar), so the rate
+    reflects real churn (~1/3 volatility), not the trivial 1.0 a
+    payload-only join would produce."""
+    import numpy as np
+
+    from raycrawl.ops.crawlq import host_change_rates
+
+    out0, _ = gen0
+    out1, stats, _, _ = gen1
+    t = host_change_rates(out0, out1).to_pandas()
+    nm = sum(m["not_modified"] for m in stats.metrics)
+    assert int(t["n_common"].sum()) >= nm  # every 304 is common
+    assert float(t["change_rate"].mean()) < 0.9  # not the trivial 1.0
+    assert (t["n_changed"] <= t["n_common"]).all()
