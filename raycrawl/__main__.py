@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-host in-memory frontier cap; rest spills to parquet")
     c.add_argument("--blocks-per-cpu", type=int, default=1,
                    help="Ray Data blocks per CPU slot per epoch")
+    c.add_argument("--link-log", action="store_true",
+                   help="persist the crawled web's edge log to "
+                   "links/epoch=N.parquet (inlink analytics, host "
+                   "PageRank)")
     c.add_argument("--no-fetch-log", action="store_true",
                    help="aggregate lineage metrics only (the at-scale default)")
     c.add_argument("--trap-links", action="store_true",
@@ -266,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
         max_pages_per_host=args.max_pages_per_host,
         max_depth=args.max_depth,
         etag_manifest_dir=args.etag_manifest,
+        link_log=args.link_log,
         error_backoff=args.error_backoff,
         focus_keywords=(tuple(k for k in args.focus_keywords.split(",") if k)
                         if args.focus_keywords else None),

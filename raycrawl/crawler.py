@@ -150,6 +150,12 @@ class CrawlConfig:
     # rows are routed to each digest's OWNING shard at startup (host
     # partitioning), so no shard holds another's hosts.
     etag_manifest_dir: str | None = None
+    # link-graph sink: persist every non-error pop's outgoing edges to
+    # links/epoch=N.parquet (src/dst canonical url + sha1; redirects emit
+    # the alias->target edge) — the crawled web's edge log, input to
+    # inlink analytics and host-graph PageRank. Off by default (edge
+    # volume = pops x outdegree).
+    link_log: bool = False
     # adaptive politeness: halve a flaky host's effective token rate per
     # consecutive fetch error (cap /64), full rate restored on the next
     # success. Off by default (byte-identical schedules when unset).
@@ -214,7 +220,7 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
                          cfg.frontier_spill_threshold, spill_dir(s),
                          cfg.trap_filter, cfg.epoch_pop_budget,
                          cfg.max_pages_per_host, cfg.error_backoff,
-                         cfg.max_depth)
+                         cfg.max_depth, cfg.link_log)
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place
@@ -224,7 +230,7 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
                          cfg.phash_radius, cfg.frontier_spill_threshold,
                          spill_dir(s), cfg.epoch_pop_budget,
                          cfg.max_pages_per_host, cfg.error_backoff,
-                         cfg.max_depth)
+                         cfg.max_depth, cfg.link_log)
         for s in range(cfg.num_shards)
     ]
 
@@ -238,7 +244,8 @@ class _RestoredPhashShard(PhashDedupShard):
 class _RestoredShard(FrontierShard):
     def __init__(self, ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
                  spill_threshold=None, spill_dir=None, pop_budget=None,
-                 host_quota=None, error_backoff=False, max_depth=None):
+                 host_quota=None, error_backoff=False, max_depth=None,
+                 link_log=False):
         restored = FrontierShard.restore(
             ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
             spill_threshold, spill_dir,
@@ -250,6 +257,8 @@ class _RestoredShard(FrontierShard):
         # backoff flag follows the run; the error streaks persist
         self.error_backoff = error_backoff
         self.max_depth = max_depth  # config, not state — follows the run
+        self.link_log = link_log
+        self._link_rows = {}
 
 
 def latest_checkpoint_epoch(out_dir: str) -> int | None:
@@ -297,7 +306,7 @@ def run_crawl(
                     if d.startswith("epoch=") and int(d.split("=")[1]) >= start_epoch:
                         shutil.rmtree(os.path.join(payload_dir, d))
             for side in ("suppressed", "errors", "redirects",
-                         "not_modified"):
+                         "not_modified", "links"):
                 sd = os.path.join(cfg.out_dir, side)
                 if os.path.isdir(sd):
                     for f in os.listdir(sd):
@@ -352,6 +361,9 @@ def run_crawl(
     os.makedirs(redirects_dir, exist_ok=True)  # 301-pop sidecars
     not_modified_dir = os.path.join(cfg.out_dir, "not_modified")
     os.makedirs(not_modified_dir, exist_ok=True)  # 304-pop sidecars
+    links_dir = os.path.join(cfg.out_dir, "links")
+    if cfg.link_log:
+        os.makedirs(links_dir, exist_ok=True)  # crawled-web edge log
     import time as _time
 
     phases = stats.phase_seconds
@@ -582,6 +594,13 @@ def run_crawl(
             }),
             os.path.join(not_modified_dir, f"epoch={epoch}.parquet"),
         )
+        if cfg.link_log:
+            edges = pa.concat_tables(
+                ray.get([a.drain_link_log.remote(epoch) for a in actors])
+            )
+            pq.write_table(
+                edges, os.path.join(links_dir, f"epoch={epoch}.parquet")
+            )
         if offer_refs:
             ray.get(offer_refs)
         stats.fetched += sum(counts)

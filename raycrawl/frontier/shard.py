@@ -117,7 +117,17 @@ class FrontierShard:
         host_quota: int | None = None,
         error_backoff: bool = False,
         max_depth: int | None = None,
+        link_log: bool = False,
     ):
+        # link-graph sink: when on, every non-error pop's outgoing edges
+        # (src digest/url -> dst canonical url/digest; redirects emit the
+        # alias->target edge) are buffered at gate time and drained by the
+        # driver into links/epoch=N.parquet — the crawled web's edge log,
+        # the input to inlink analytics and host-graph PageRank. Edge
+        # volume is pops x avg outdegree (metadata-sized; payload bytes
+        # never ride along).
+        self.link_log = link_log
+        self._link_rows: dict[int, list[tuple]] = {}
         # crawl-depth cap: offers deeper than max_depth hops from a seed
         # are denied at offer-merge time (depth_denied). Deny-and-seen,
         # matching the robots/trap precedent: the URL stays in the seen
@@ -550,6 +560,12 @@ class FrontierShard:
             url, host, pri, depth, disc, *rest = m
             rd = rest[0] if rest else None  # 5-tuple metas: no redirect
             etag = rest[1] if len(rest) > 1 else None
+            if self.link_log and (ph is not None or rd is not None):
+                buf_rows = self._link_rows.setdefault(epoch, [])
+                for lu, ld, _lh, _lp in ls:
+                    buf_rows.append((digest, url, lu, ld))
+                if rd is not None:  # 301 edge: alias -> target
+                    buf_rows.append((digest, url, rd[0], rd[1]))
             if rd is not None:  # 301 alias: follow target at SAME depth
                 self.host_consec_errors.pop(host, None)  # HTTP succeeded
                 self.metrics["redirects_followed"] += 1
@@ -668,6 +684,12 @@ class FrontierShard:
             url, host, pri, depth, disc, *rest = m
             rd = rest[0] if rest else None  # 5-tuple metas: no redirect
             etag = rest[1] if len(rest) > 1 else None
+            if self.link_log and (ph is not None or rd is not None):
+                buf_rows = self._link_rows.setdefault(epoch, [])
+                for lu, ld, _lh, _lp in ls:
+                    buf_rows.append((digest, url, lu, ld))
+                if rd is not None:  # 301 edge: alias -> target
+                    buf_rows.append((digest, url, rd[0], rd[1]))
             if rd is not None:  # 301 alias: follow target at SAME depth
                 self.host_consec_errors.pop(host, None)
                 self.metrics["redirects_followed"] += 1
@@ -752,6 +774,20 @@ class FrontierShard:
     def get_seen(self) -> list[bytes]:
         assert self.seen.exact is not None
         return sorted(self.seen.exact)
+
+    def drain_link_log(self, epoch: int) -> pa.Table:
+        """This epoch's outgoing edges (built during gate_finalize; the
+        finalize memo guarantees exactly-once collection under task
+        replay). Returns an Arrow table and frees the buffer."""
+        rows = self._link_rows.pop(epoch, [])
+        return pa.table(
+            {
+                "src_hash": pa.array([r[0] for r in rows], pa.binary()),
+                "src_url": pa.array([r[1] for r in rows], pa.string()),
+                "dst_url": pa.array([r[2] for r in rows], pa.string()),
+                "dst_hash": pa.array([r[3] for r in rows], pa.binary()),
+            }
+        )
 
     def get_metrics(self) -> dict:
         m = dict(self.metrics)

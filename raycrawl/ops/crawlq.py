@@ -2325,3 +2325,154 @@ def crawl_incremental_audit(sf_dir: str):
             "restored_unchanged": pa.array([restored_unchanged], pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Link-graph analytics over the crawled web's edge log (CrawlConfig
+# link_log=True persists links/epoch=N.parquet). Inlink counting is a
+# bucketed exchange keyed on the destination digest (distinct source per
+# destination — a page linked 5x from one page counts once, the standard
+# inlink definition); host-graph PageRank contracts the edge log to the
+# host level first (bounded node set: the host universe), so the
+# iteration state is tiny regardless of corpus size. Rows-only; oracles
+# are python recomputes in tests/test_linklog.py.
+_LINKLOG_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _linklog_crawl_out_dir(sf_dir: str) -> str:
+    if sf_dir in _LINKLOG_CRAWL_CACHE:
+        return _LINKLOG_CRAWL_CACHE[sf_dir]
+    from ..crawler import CrawlConfig, run_crawl
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = 16
+    web = WebConfig(n_hosts=n_hosts, pages_per_host=max(4, n_docs // n_hosts))
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/raycrawl_links/{tag}-{os.getpid()}"
+    cfg = CrawlConfig(
+        web=web, out_dir=out, num_shards=4, max_epochs=60,
+        epoch_seconds=8.0, burst=16.0, link_log=True,
+    )
+    run_crawl(cfg, seed_urls(web))
+    _LINKLOG_CRAWL_CACHE[sf_dir] = out
+    return out
+
+
+def read_link_log(out_dir: str, columns: list[str] | None = None):
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "links",
+                                           "epoch=*.parquet")))
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def inlink_top_pages(out_dir: str, k: int = 20):
+    """Top-k pages by DISTINCT-source inlink count from the edge log."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .common import bucketed_group_agg, combine_small
+
+    ds = read_link_log(out_dir, columns=["src_hash", "dst_url"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def per_dst(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # exact: all rows of a dst in this bucket
+        return (
+            g.groupby("dst_url", as_index=False)
+            .agg(inlinks=("src_hash", "size"))
+        )
+
+    counts = bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["dst_url"], per_dst,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("dst_url", as_index=False)["inlinks"].sum()
+            .sort_values(["inlinks", "dst_url"],
+                         ascending=[False, True], kind="stable")
+            .head(k)
+        )
+        return pa.table(
+            {
+                "dst_url": pa.array(g["dst_url"], pa.string()),
+                "inlinks": pa.array(g["inlinks"].to_numpy(np.int64)),
+            }
+        )
+
+    return combine_small(counts, final)
+
+
+@register("crawl_inlink_top_pages", sql=None)
+def crawl_inlink_top_pages(sf_dir: str):
+    return inlink_top_pages(_linklog_crawl_out_dir(sf_dir))
+
+
+def host_pagerank(out_dir: str, damping: float = 0.85, iters: int = 20):
+    """PageRank over the HOST graph: the edge log contracts to distinct
+    (src_host, dst_host) pairs with edge weights = distinct page-level
+    edges; the power iteration runs on the bounded host-level matrix
+    (nodes = hosts, not pages). Dangling mass redistributes uniformly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..core.urltools import host_of
+    from .common import combine_small
+
+    ds = read_link_log(out_dir, columns=["src_url", "dst_url"])
+
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "src_host": df["src_url"].map(host_of),
+                "dst_host": df["dst_url"].map(host_of),
+            }
+        )
+        return (
+            g.groupby(["src_host", "dst_host"], as_index=False).size()
+            .rename(columns={"size": "w"})
+        )
+
+    # host x host cardinality is bounded by the host universe squared —
+    # one local combine regardless of corpus size
+    edges = combine_small(
+        ds.map_batches(contract, batch_format="pandas"),
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas()
+            .groupby(["src_host", "dst_host"], as_index=False)["w"].sum(),
+            preserve_index=False,
+        ),
+    ).to_pandas()
+    hosts = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    si = edges["src_host"].map(idx).to_numpy(np.int64)
+    di = edges["dst_host"].map(idx).to_numpy(np.int64)
+    w = edges["w"].to_numpy(np.float64)
+    out_w = np.zeros(n)
+    np.add.at(out_w, si, w)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] * w / out_w[si])
+        dangling = r[out_w == 0].sum() / n
+        r = (1 - damping) / n + damping * (contrib + dangling)
+    order = np.lexsort((hosts, -r))
+    return pa.table(
+        {
+            "host": pa.array([hosts[i] for i in order], pa.string()),
+            "pagerank": pa.array(np.round(r[order], 8)),
+        }
+    )
+
+
+@register("crawl_host_pagerank", sql=None)
+def crawl_host_pagerank(sf_dir: str):
+    return host_pagerank(_linklog_crawl_out_dir(sf_dir))
