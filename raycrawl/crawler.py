@@ -976,7 +976,7 @@ def inspect_run(out_dir: str) -> dict:
         )
     sidecars = {}
     for side in ("suppressed", "errors", "redirects",
-                 "not_modified"):
+                 "not_modified", "links"):
         n = 0
         for f in _glob.glob(os.path.join(out_dir, side, "epoch=*.parquet")):
             n += pq.read_metadata(f).num_rows

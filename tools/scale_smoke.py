@@ -497,6 +497,34 @@ def main() -> None:
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
 
+    # session-10 composition check: a medium crawl with EVERY feature on
+    # (traps+filter, redirects, depth cap, quota, backoff, pop budget,
+    # link log) must complete and its gates must all fire
+    web_all = WebConfig(n_hosts=48, pages_per_host=48, trap_links=True,
+                        redirect_every=3)
+    all_dir = os.path.join(args.dir, "_crawl_allfeatures")
+    t0 = time.perf_counter()
+    cfg_all = CrawlConfig(web=web_all, out_dir=all_dir, num_shards=8,
+                          max_epochs=120, epoch_seconds=8.0, burst=16.0,
+                          keep_fetch_log=False, trap_filter=True,
+                          max_depth=6, max_pages_per_host=40,
+                          error_backoff=True, link_log=True)
+    s_all = run_crawl(cfg_all, seed_urls(web_all))
+    results["crawl_allfeatures"] = round(time.perf_counter() - t0, 3)
+    tot = {k: sum(m[k] for m in s_all.metrics) for k in s_all.metrics[0]}
+    checks["allfeatures_gates_fired"] = bool(
+        tot["trap_denied"] > 0 and tot["redirects_followed"] > 0
+        and tot["depth_denied"] > 0
+        and tot["quota_denied"] + tot["quota_dropped"] > 0
+    )
+    import glob as _glob
+
+    checks["allfeatures_link_log_written"] = (
+        sum(pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(all_dir, "links",
+                                             "epoch=*.parquet"))) > 0
+    )
+
     web = WebConfig(n_hosts=96, pages_per_host=64)
     out_dir = os.path.join(args.dir, "_crawl_out")
     t0 = time.perf_counter()
