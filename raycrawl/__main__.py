@@ -272,8 +272,11 @@ def main(argv: list[str] | None = None) -> int:
         etag_manifest_dir=args.etag_manifest,
         link_log=args.link_log,
         error_backoff=args.error_backoff,
-        focus_keywords=(tuple(k for k in args.focus_keywords.split(",") if k)
-                        if args.focus_keywords else None),
+        focus_keywords=(
+            tuple(k.strip() for k in args.focus_keywords.split(",")
+                  if k.strip())
+            if args.focus_keywords else None
+        ),
     )
     import signal
 

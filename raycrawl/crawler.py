@@ -621,7 +621,11 @@ def run_crawl(
     stats.metrics = ray.get([a.get_metrics.remote() for a in actors])
     stats.payload_rows = sum(m["fetched"] for m in stats.metrics)
     if cfg.collect_parity_outputs:
-        stats.fetch_log = collect_fetch_log(actors)
+        # in-memory logs are truncated at every checkpoint (bounded actor
+        # state); the final _checkpoint_all above flushed the tail, so the
+        # checkpoint tree holds the COMPLETE log — page it from disk
+        # instead of the actors
+        stats.fetch_log = collect_fetch_log(out_dir=cfg.out_dir)
         stats.seen = {
             s: set(ray.get(a.get_seen.remote())) for s, a in enumerate(actors)
         }

@@ -640,6 +640,7 @@ class FrontierShard:
             offers[dst] = _put_offer(payload)
         result = (kept, suppressed, errors, redirs, notmods, offers)
         self._gate_memo[epoch] = result
+        self._evict_stale(epoch)
         return result
 
     def _log_append(self, epoch, url, digest, host, pri, depth, disc, status):
@@ -647,6 +648,40 @@ class FrontierShard:
             self.log.append(
                 self._logrow(epoch, url, digest, host, pri, depth, disc, status)
             )
+
+    # Replay horizon for the idempotency memos: a Ray task/driver retry can
+    # only re-touch the epoch in flight (gate_finalize(E)) and the offer
+    # dispatch it feeds (offer_key (E, src) consumed by pop(E+1)). Entries
+    # older than that are dead weight — without eviction the memos grow
+    # O(epochs) and the gate memo additionally pins every past epoch's
+    # offer payloads in the object store.
+    REPLAY_HORIZON = 2
+
+    def _evict_stale(self, epoch: int) -> None:
+        floor = epoch - self.REPLAY_HORIZON
+        for e in [e for e in self._gate_memo if e < floor]:
+            del self._gate_memo[e]
+        for k in [k for k in self._offer_memo
+                  if (k[0] if isinstance(k, tuple) else k) < floor]:
+            del self._offer_memo[k]
+        for e in [e for e in self._gate_buf if e < floor]:
+            del self._gate_buf[e]
+        for e in [e for e in self._link_rows if e < floor]:
+            del self._link_rows[e]
+
+    def resident_state_sizes(self) -> dict:
+        """Entry counts of every unbounded-looking in-memory structure —
+        the boundedness contract's observability surface (each must stay
+        O(saving_period · epoch work), never O(crawl size))."""
+        return dict(
+            log=len(self.log),
+            log_flushed_total=self._log_flushed,
+            gate_memo=len(self._gate_memo),
+            offer_memo=len(self._offer_memo),
+            gate_buf=len(self._gate_buf),
+            link_rows=len(self._link_rows),
+            pending=len(self.pending),
+        )
 
     # ----------------------------------------- global-dedup-mode variants
     def collect_candidates(self, epoch: int):
@@ -753,6 +788,7 @@ class FrontierShard:
             offers[dst] = _put_offer(payload)
         result = (kept, suppressed, errors, redirs, notmods, offers)
         self._gate_memo[epoch] = result
+        self._evict_stale(epoch)
         return result
 
     def _logrow(self, epoch, url, digest, host, pri, depth, disc, status) -> dict:
@@ -769,6 +805,9 @@ class FrontierShard:
         )
 
     def get_log(self) -> list[dict]:
+        """The UNFLUSHED in-memory tail of the fetch log (rows since the
+        last checkpoint — everything older lives in the checkpoint tree's
+        fetch_log_increment sidecars; merge with collect_fetch_log)."""
         return self.log
 
     def get_seen(self) -> list[bytes]:
@@ -854,15 +893,25 @@ class FrontierShard:
         np.savez_compressed(os.path.join(d, "sketches.npz"), **sk)
         with open(os.path.join(d, "exact_seen.bin"), "wb") as f:
             f.write(st["exact"])
-        # incremental lineage log: persist only rows since the last
-        # checkpoint — a shard never rewrites its full history
-        new_rows = self.log[self._log_flushed :]
+        # incremental lineage log: persist the unflushed rows, then FORGET
+        # them — the sidecar tree is the log of record and the actor heap
+        # stays bounded by one saving_period of rows regardless of crawl
+        # length (a 10^10-URL crawl must not hold its history in actor
+        # memory; parity readers page from the checkpoint tree via
+        # collect_fetch_log). The rare second checkpoint labeling the SAME
+        # epoch (final checkpoint right after a periodic one) merges into
+        # the existing increment instead of overwriting it.
+        new_rows = self.log
         if new_rows:
-            pq.write_table(
-                pa.Table.from_pylist(new_rows),
-                os.path.join(d, "fetch_log_increment.parquet"),
-            )
-        self._log_flushed = len(self.log)
+            inc = os.path.join(d, "fetch_log_increment.parquet")
+            t = pa.Table.from_pylist(new_rows)
+            if os.path.exists(inc):
+                t = pa.concat_tables(
+                    [pq.read_table(inc), t], promote_options="default"
+                )
+            pq.write_table(t, inc)
+        self._log_flushed += len(new_rows)
+        self.log = []
         manifest = dict(
             shard=self.shard_id,
             epoch=epoch,
@@ -965,18 +1014,9 @@ class FrontierShard:
         self.host_consec_errors = dict(
             manifest.get("host_consec_errors", {})
         )
-        base = os.path.dirname(os.path.dirname(d))  # ckpt_dir
-        rows: list[dict] = []
-        for ed in sorted(
-            (x for x in os.listdir(base) if x.startswith("epoch=")),
-            key=lambda x: int(x.split("=")[1]),
-        ):
-            if int(ed.split("=")[1]) > epoch:
-                continue
-            lp = os.path.join(base, ed, f"shard={shard_id}",
-                              "fetch_log_increment.parquet")
-            if os.path.exists(lp):
-                rows.extend(pq.read_table(lp).to_pylist())
-        self.log = rows
-        self._log_flushed = len(rows)
+        # flushed log rows stay on disk (bounded actor state): a restored
+        # shard starts with an empty in-memory tail; full-history readers
+        # merge the checkpoint tree's increments (collect_fetch_log).
+        self.log = []
+        self._log_flushed = 0
         return self

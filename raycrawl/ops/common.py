@@ -60,11 +60,18 @@ def combine_small(partials: ray.data.Dataset, combine_fn) -> pa.Table:
     # the whole un-materialized lineage — shuffles included — a second
     # time; measured as a full duplicate pipeline run with
     # `LimitOperator[limit=1]` on every combine_small-terminated op.)
-    refs = [
-        br
-        for bundle in partials.iter_internal_ref_bundles()
-        for br in bundle.block_refs
-    ]
+    # `iter_internal_ref_bundles` is a Ray developer API: guard it so a Ray
+    # upgrade that drops/renames it fails over to a safe path (materialize
+    # first, so to_arrow_refs' schema fetch cannot re-execute the lineage)
+    # instead of changing execution behavior silently.
+    if hasattr(partials, "iter_internal_ref_bundles"):
+        refs = [
+            br
+            for bundle in partials.iter_internal_ref_bundles()
+            for br in bundle.block_refs
+        ]
+    else:  # pragma: no cover - exercised only on a future Ray upgrade
+        refs = list(partials.materialize().to_arrow_refs())
     all_blocks = ray.get(refs)
     # Raw block refs: a pandas-block stage upstream (e.g.
     # bucketed_group_agg's map_groups) can leak EMPTY pandas blocks
