@@ -320,6 +320,17 @@ def run_crawl(
     actors = make_shard_actors(cfg, restore_epoch=(start_epoch - 1) if resume else None)
     etag_enabled = cfg.etag_manifest_dir is not None
     if etag_enabled:
+        # generation breadcrumb: a LATER generation crawling against THIS
+        # out_dir must union the whole manifest chain (a page 304'd here
+        # has no payload row here — its etag lives in the ancestor that
+        # stored it), so record which generation this run crawled against
+        gj = os.path.join(cfg.out_dir, "generation.json")
+        if not os.path.exists(gj):
+            with open(gj, "w") as f:
+                json.dump(
+                    {"etag_manifest_dir":
+                     os.path.abspath(cfg.etag_manifest_dir)}, f,
+                )
         _load_etag_manifest(cfg.etag_manifest_dir, actors, cfg.num_shards)
     dedup_actors = None
     if cfg.global_phash_dedup:
@@ -1019,13 +1030,42 @@ def inspect_run(out_dir: str) -> dict:
     }
 
 
+def _etag_chain(prev_dir: str) -> list[str]:
+    """The manifest generation chain, NEWEST first: ``prev_dir``, then the
+    generation IT crawled against (the ``generation.json`` breadcrumb
+    ``run_crawl`` writes for conditional runs), and so on back to the root
+    full generation. A page 304'd by every generation since its last store
+    has a payload row — and therefore an etag — only in the ancestor that
+    stored it, so the manifest must union the whole chain; a digest stored
+    by several generations takes the NEWEST etag (shard-side
+    first-write-wins under this ordering)."""
+    chain: list[str] = []
+    seen: set[str] = set()
+    d = prev_dir
+    while d and os.path.isdir(d) and os.path.abspath(d) not in seen:
+        seen.add(os.path.abspath(d))
+        chain.append(d)
+        gj = os.path.join(d, "generation.json")
+        if not os.path.exists(gj):
+            break
+        with open(gj) as f:
+            d = json.load(f).get("etag_manifest_dir")
+    return chain
+
+
 def _load_etag_manifest(prev_dir: str, actors, num_shards: int) -> None:
-    """Route a previous generation's (url_hash → content etag) rows to
-    each digest's OWNING shard actor (host partitioning — shard counts may
-    differ between generations, so ownership is recomputed from the URL).
-    Streams as a Ray Data pass over the previous payload: each batch
-    computes its etags and ray.puts them straight to the actors; only
-    (20 B digest + 20 B etag) per URL ever moves."""
+    """Route the previous generation CHAIN's (url_hash → content etag) rows
+    to each digest's OWNING shard actor (host partitioning — shard counts
+    may differ between generations, so ownership is recomputed from the
+    URL). Generations stream newest-first, one Ray Data pass each: every
+    batch computes its etags and ray.puts them straight to the actors; only
+    (20 B digest + 20 B etag) per URL ever moves, and the shard keeps the
+    first (= newest-generation) etag per digest."""
+    for gen_dir in _etag_chain(prev_dir):
+        _route_etags(gen_dir, actors, num_shards)
+
+
+def _route_etags(prev_dir: str, actors, num_shards: int) -> None:
     from .core.codec import content_etag
 
     ds = read_payload(

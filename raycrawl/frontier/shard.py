@@ -240,8 +240,14 @@ class FrontierShard:
         owning shard, so no shard ever holds another's hosts — the same
         host-partitioning contract as every other piece of shard state).
         A gated row whose current etag equals the manifest's is
-        not_modified: token spent, no payload row, no expansion."""
-        self.etags.update(zip(digests, etags))
+        not_modified: token spent, no payload row, no expansion.
+
+        First-write-wins per digest: the driver routes the manifest CHAIN
+        newest generation first, so a digest stored by several generations
+        keeps the newest etag while older generations only fill gaps (pages
+        304'd ever since their last store)."""
+        for d, e in zip(digests, etags):
+            self.etags.setdefault(d, e)
         return len(self.etags)
 
     # ------------------------------------------------------------- enqueue

@@ -2272,7 +2272,7 @@ def crawl_incremental_audit(sf_dir: str):
     import json
 
     import pyarrow as pa
-    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
 
     from ..crawler import latest_checkpoint_epoch, read_payload
 
@@ -2293,36 +2293,82 @@ def crawl_incremental_audit(sf_dir: str):
         for f in _glob.glob(os.path.join(out, "not_modified",
                                          "epoch=*.parquet"))
     )
+    # DISTRIBUTED etag reconciliation (round-4; previously a driver-side
+    # dict of every stored image_id→etag for BOTH generations — O(corpus)
+    # driver memory on a 100× recrawl output): the etag is computed in
+    # map_batches over each generation's payload stream, then ONE bucketed
+    # exchange on image_id counts per-bucket (gen0, gen1, common,
+    # unchanged) partials — a 1-row-per-bucket stream combine_small sums.
+    import pandas as pd
+
     from ..core.codec import content_etag
+    from .common import bucketed_group_agg, combine_small
 
     cols = ["image_id", "w", "h", "fmt", "phash", "caption"]
 
-    def etags_of(d):
-        df = read_payload(d, columns=cols).to_pandas()
-        return dict(
-            zip(df["image_id"],
-                (content_etag(w, h, f, p, c) for w, h, f, p, c in
-                 zip(df["w"], df["h"], df["fmt"], df["phash"],
-                     df["caption"])))
+    def _with_etag(gen: int):
+        def fn(t: pa.Table) -> pa.Table:
+            et = [
+                content_etag(w, h, f, p, c)
+                for w, h, f, p, c in zip(
+                    t["w"].to_pylist(), t["h"].to_pylist(),
+                    t["fmt"].to_pylist(), t["phash"].to_pylist(),
+                    t["caption"].to_pylist(),
+                )
+            ]
+            return pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "etag": pa.array(et, pa.binary()),
+                    "gen": pa.array([gen] * t.num_rows, pa.int8()),
+                }
+            )
+
+        return fn
+
+    both = (
+        read_payload(base, columns=cols)
+        .map_batches(_with_etag(0), batch_format="pyarrow")
+        .union(
+            read_payload(out, columns=cols)
+            .map_batches(_with_etag(1), batch_format="pyarrow")
+        )
+    )
+
+    def audit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g0 = g[g["gen"] == 0].set_index("image_id")["etag"]
+        g1 = g[g["gen"] == 1].set_index("image_id")["etag"]
+        common = g0.index.intersection(g1.index)
+        # a common image_id is legitimate ONLY when its content changed
+        # (volatile page); re-storing an UNCHANGED page means the 304 gate
+        # leaked — must be zero
+        unchanged = int((g0.loc[common] == g1.loc[common]).sum())
+        return pd.DataFrame(
+            {"g0": [len(g0)], "g1": [len(g1)],
+             "common": [len(common)], "unchanged": [unchanged]}
         )
 
-    e0 = etags_of(base)
-    e1 = etags_of(out)
-    common = set(e0) & set(e1)
-    # a common image_id is legitimate ONLY when its content changed
-    # (volatile page); re-storing an UNCHANGED page means the 304 gate
-    # leaked — must be zero
-    restored_unchanged = sum(1 for i in common if e0[i] == e1[i])
+    partials = bucketed_group_agg(both, ["image_id"], audit_bucket)
+    agg = combine_small(
+        partials,
+        lambda t: pa.table(
+            {c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+             for c in ("g0", "g1", "common", "unchanged")}
+        ),
+    )
+    g0n, g1n = agg["g0"][0].as_py(), agg["g1"][0].as_py()
+    common_n = agg["common"][0].as_py()
+    unchanged_n = agg["unchanged"][0].as_py()
     return pa.table(
         {
             "not_modified": pa.array([not_modified], pa.int64()),
             "nm_sidecar_rows": pa.array([sidecar_rows], pa.int64()),
-            "gen0_stored": pa.array([len(e0)], pa.int64()),
-            "gen1_stored": pa.array([len(e1)], pa.int64()),
+            "gen0_stored": pa.array([g0n], pa.int64()),
+            "gen1_stored": pa.array([g1n], pa.int64()),
             "restored_changed": pa.array(
-                [len(common) - restored_unchanged], pa.int64()
+                [common_n - unchanged_n], pa.int64()
             ),
-            "restored_unchanged": pa.array([restored_unchanged], pa.int64()),
+            "restored_unchanged": pa.array([unchanged_n], pa.int64()),
         }
     )
 

@@ -207,6 +207,14 @@ def _band_hash_i64(sigs: np.ndarray) -> np.ndarray:
 # and large deployments can tune it.
 LSH_DRIVER_PATH_MAX_BAND_ROWS = 1_000_000
 
+# Candidate-pair count above which the distributed path stops funneling the
+# pair list through the driver (cross-band dedup + doc-text broadcast) and
+# switches to a bucketed pair-key exchange + Dataset.join text fetch — on a
+# mirror-heavy web corpus the pair count approaches corpus size, so the
+# funnel is O(corpus) driver memory without this tail. Mirrors
+# CLUSTER_DRIVER_PATH_MAX_PAIRS below.
+LSH_PAIR_FUNNEL_MAX_PAIRS = 5_000_000
+
 
 def _fetch_docs_by_id(sf_dir: str, cand_ids) -> pd.DataFrame:
     """Candidate-doc re-fetch as a broadcast ``pc.is_in`` semi-filter:
@@ -242,12 +250,12 @@ def minhash_bands(df: pd.DataFrame) -> pd.DataFrame:
     return _MINHASHER(df)
 
 
-def _verify_pairs(cand: pd.DataFrame, docs: dict) -> pd.DataFrame:
+def _verify_pair_rows(a_ids, b_ids, a_texts, b_texts) -> pd.DataFrame:
     import math
 
     keep_a, keep_b, jac = [], [], []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = _shingles(docs[a]), _shingles(docs[b])
+    for a, b, ta, tb in zip(a_ids, b_ids, a_texts, b_texts):
+        sa, sb = _shingles(ta), _shingles(tb)
         j = len(sa & sb) / max(1, len(sa | sb))
         if j >= 0.5:  # threshold on the RAW value (the SQL oracle matches)
             keep_a.append(a)
@@ -259,6 +267,13 @@ def _verify_pairs(cand: pd.DataFrame, docs: dict) -> pd.DataFrame:
         {"a": pd.Series(keep_a, dtype="int64"),
          "b": pd.Series(keep_b, dtype="int64"),
          "jaccard": pd.Series(jac, dtype="float64")}
+    )
+
+
+def _verify_pairs(cand: pd.DataFrame, docs: dict) -> pd.DataFrame:
+    return _verify_pair_rows(
+        cand["a"], cand["b"],
+        (docs[a] for a in cand["a"]), (docs[b] for b in cand["b"]),
     )
 
 
@@ -384,26 +399,58 @@ def minhash_lsh_candidates(sf_dir: str):
 
     pairs = bucketed_group_agg(
         bands, ["band_hash"], bucket_pairs_vec, approx_rows=n_band_rows
-    )
-    # candidate pairs are near-dups only (tiny vs the corpus); cross-band
-    # repeats of the same (a, b) — ≤ N_BANDS copies — dedup driver-side
-    cand = (
-        pairs.to_pandas()
-        .drop_duplicates()
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
-    cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
-    if not cand_ids:
-        return _verify_pairs(cand, {})
-    docs_df = _fetch_docs_by_id(sf_dir, cand_ids)
-    docs = dict(zip(docs_df["doc_id"], docs_df["text"]))
-    ref = ray.put(docs)
+    ).materialize()  # pair rows stay distributed in the object store
+    n_pairs = pairs.count()  # free on a materialized dataset
+    if n_pairs <= LSH_PAIR_FUNNEL_MAX_PAIRS:
+        # candidate pairs are near-dups only (tiny vs the corpus);
+        # cross-band repeats of the same (a, b) — ≤ N_BANDS copies — and the
+        # doc-text broadcast both fit the driver comfortably at this count
+        cand = (
+            pairs.to_pandas()
+            .drop_duplicates()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
+        if not cand_ids:
+            return _verify_pairs(cand, {})
+        docs_df = _fetch_docs_by_id(sf_dir, cand_ids)
+        docs = dict(zip(docs_df["doc_id"], docs_df["text"]))
+        ref = ray.put(docs)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        return _verify_pairs(df, ray.get(ref))
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            return _verify_pairs(df, ray.get(ref))
 
-    return ray.data.from_pandas(cand).map_batches(verify, batch_format="pandas")
+        return ray.data.from_pandas(cand).map_batches(
+            verify, batch_format="pandas"
+        )
+
+    # mirror-heavy tail (pair count approaches corpus size, e.g. a web
+    # corpus full of replicas): the pairs NEVER funnel through the driver.
+    # Cross-band dedup is a second bucketed exchange on the pair key, and
+    # the verification texts arrive by Dataset.join on doc_id per side —
+    # the same gate pattern as minhash_dedup_clusters' 5M-pair branch.
+    note_path("minhash_lsh_candidates", "distributed+join")
+    uniq = bucketed_group_agg(
+        pairs, ["a", "b"], lambda g: g.drop_duplicates(),
+        approx_rows=n_pairs,
+    )
+    docs = table(sf_dir, "documents", ["doc_id", "text"])
+    with_a = uniq.join(
+        docs, join_type="inner", num_partitions=join_partitions(),
+        on=("a",), right_on=("doc_id",),
+    ).select_columns(["a", "b", "text"]).rename_columns({"text": "text_a"})
+    with_ab = with_a.join(
+        docs, join_type="inner", num_partitions=join_partitions(),
+        on=("b",), right_on=("doc_id",),
+    ).select_columns(["a", "b", "text_a", "text"]).rename_columns(
+        {"text": "text_b"}
+    )
+
+    def verify_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return _verify_pair_rows(df["a"], df["b"], df["text_a"], df["text_b"])
+
+    return with_ab.map_batches(verify_cols, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

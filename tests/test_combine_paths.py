@@ -98,3 +98,21 @@ def test_minhash_cluster_distributed_components_equivalent(
     assert (keepers["doc_id"] == keepers["cluster_id"]).all()
     assert keepers["cluster_id"].is_unique
     assert set(fast["cluster_id"]) == set(keepers["doc_id"])
+
+
+def test_minhash_candidates_join_tail_equivalent(ray_session, monkeypatch):
+    """Above the pair-funnel gate the candidates op must produce the same
+    verified pairs via bucketed pair-dedup + Dataset.join text fetch (no
+    driver funnel) as the broadcast path does below it."""
+    from raycrawl.ops import dedup as D
+    from raycrawl.ops.common import PATH_LOG
+    from raycrawl.ops.queries import REGISTRY
+
+    monkeypatch.setattr(D, "LSH_DRIVER_PATH_MAX_BAND_ROWS", -1)
+    fast = _norm(_df(REGISTRY["minhash_lsh_candidates"]["fn"](SF)))
+    assert PATH_LOG["minhash_lsh_candidates"] == "distributed"
+    monkeypatch.setattr(D, "LSH_PAIR_FUNNEL_MAX_PAIRS", -1)
+    slow = _norm(_df(REGISTRY["minhash_lsh_candidates"]["fn"](SF)))
+    assert PATH_LOG["minhash_lsh_candidates"] == "distributed+join"
+    assert len(fast) > 0  # the fixture corpus has seeded near-dups
+    pd.testing.assert_frame_equal(fast, slow)

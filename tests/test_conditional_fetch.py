@@ -171,3 +171,54 @@ def test_change_rates_count_304_pages_as_unchanged_common(ray_session,
     assert int(t["n_common"].sum()) >= nm  # every 304 is common
     assert float(t["change_rate"].mean()) < 0.9  # not the trivial 1.0
     assert (t["n_changed"] <= t["n_common"]).all()
+
+
+def test_chained_generations_carry_etags_forward(ray_session, tmp_path):
+    """gen0 → gen1 (manifest gen0) → gen2 (manifest gen1): pages unchanged
+    since gen0 have no payload row in gen1, so gen2's manifest must union
+    the CHAIN (generation.json breadcrumbs) or it silently re-stores them.
+    Pins exact oracle parity under the union manifest and the
+    'never re-store unchanged' invariant across all three generations."""
+    from raycrawl.crawler import CrawlConfig, read_payload, run_crawl
+
+    WEB2 = WebConfig(n_hosts=6, pages_per_host=16, content_epoch=2)
+    out = {g: str(tmp_path / f"g{g}") for g in range(3)}
+    run_crawl(CrawlConfig(web=WEB0, out_dir=out[0], num_shards=SHARDS,
+                          max_epochs=EPOCHS), seed_urls(WEB0))
+    run_crawl(CrawlConfig(web=WEB1, out_dir=out[1], num_shards=SHARDS,
+                          max_epochs=EPOCHS, etag_manifest_dir=out[0]),
+              seed_urls(WEB1))
+    stats2 = run_crawl(
+        CrawlConfig(web=WEB2, out_dir=out[2], num_shards=SHARDS,
+                    max_epochs=EPOCHS, etag_manifest_dir=out[1],
+                    collect_parity_outputs=True),
+        seed_urls(WEB2),
+    )
+
+    o0 = oracle_crawl(WEB0, seed_urls(WEB0), max_epochs=EPOCHS,
+                      num_shards=SHARDS)
+    o1 = oracle_crawl(WEB1, seed_urls(WEB1), max_epochs=EPOCHS,
+                      num_shards=SHARDS, etag_manifest=_oracle_manifest(o0))
+    # the union manifest, newest generation winning shared digests
+    man2 = {**_oracle_manifest(o0), **_oracle_manifest(o1)}
+    o2 = oracle_crawl(WEB2, seed_urls(WEB2), max_epochs=EPOCHS,
+                      num_shards=SHARDS, etag_manifest=man2)
+    assert sorted(stats2.fetch_log, key=_key) == sorted(o2.fetch_log,
+                                                        key=_key)
+    nm2 = sum(m["not_modified"] for m in stats2.metrics)
+    assert nm2 > 0  # stable pages 304 again in gen2
+
+    def _etags(df):
+        return {
+            i: content_etag(w, h, f, p, c)
+            for i, w, h, f, p, c in zip(df["image_id"], df["w"], df["h"],
+                                        df["fmt"], df["phash"],
+                                        df["caption"])
+        }
+
+    e0 = _etags(read_payload(out[0]).to_pandas())
+    e1 = _etags(read_payload(out[1]).to_pandas())
+    e2 = _etags(read_payload(out[2]).to_pandas())
+    # never re-store unchanged — across EVERY generation pair in the chain
+    for ea, eb in ((e0, e1), (e1, e2), (e0, e2)):
+        assert sum(1 for i in set(ea) & set(eb) if ea[i] == eb[i]) == 0

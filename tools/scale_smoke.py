@@ -221,6 +221,51 @@ def main() -> None:
         len(mh) > 0 and float(mh["jaccard"].max()) >= 0.999
     )
 
+    # round-4: the pair-funnel tail on a MIRROR-HEAVY corpus. 7,200
+    # clusters × 10 identical docs → 72k docs × 16 bands = 1.15M band rows
+    # (> the 1M band gate → distributed path) and 45 pairs × 16 bands ×
+    # 7,200 = ~5.18M raw pair rows (> LSH_PAIR_FUNNEL_MAX_PAIRS) → the
+    # bucketed-pair-dedup + Dataset.join verification branch must fire on
+    # real over-gate data and find exactly 45 pairs per cluster, all at
+    # Jaccard 1.0 — no driver funnel.
+    import pandas as _pd
+
+    mh_dir = os.path.join(args.dir, "_mhjoin")
+    dloc = os.path.join(mh_dir, "documents.parquet")
+    n_clusters, copies = 7200, 10
+    if not os.path.isdir(dloc):
+        os.makedirs(dloc, exist_ok=True)
+        ids, texts = [], []
+        for c in range(n_clusters):
+            # every token carries the cluster id: members share ALL
+            # shingles (Jaccard 1.0), distinct clusters share NONE (no
+            # accidental cross-cluster candidates)
+            txt = " ".join(f"w{c}x{j}" for j in range(12))
+            ids.extend(range(c * copies, (c + 1) * copies))
+            texts.extend([txt] * copies)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts)}),
+            os.path.join(dloc, "part-0000.parquet"),
+        )
+    t0 = time.perf_counter()
+    mj = REGISTRY["minhash_lsh_candidates"]["fn"](mh_dir)
+    if not isinstance(mj, _pd.DataFrame):
+        mj = mj.to_pandas()
+    results["minhash_lsh_candidates_join_tail"] = round(
+        time.perf_counter() - t0, 3
+    )
+    print(f"# minhash join tail: {results['minhash_lsh_candidates_join_tail']}s,"
+          f" {len(mj)} pairs", file=sys.stderr)
+    checks["minhash_join_branch"] = (
+        PATH_LOG.get("minhash_lsh_candidates") == "distributed+join"
+    )
+    checks["minhash_join_pair_count"] = (
+        len(mj) == n_clusters * copies * (copies - 1) // 2
+        and not mj.duplicated(["a", "b"]).any()
+    )
+    checks["minhash_join_all_exact"] = float(mj["jaccard"].min()) >= 0.999
+
     for name in ("pricing_summary", "top_revenue_orders", "regional_revenue",
                  "rollup_revenue", "events_per_minute", "hourly_user_windows",
                  "doc_quality_scores", "simhash_dedup_groups"):
