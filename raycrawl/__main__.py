@@ -91,6 +91,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="lifetime per-host page cap (crawl budget): at "
                    "quota a host's queued URLs are dropped and new offers "
                    "denied; counters persist across --resume")
+    c.add_argument("--rich-robots", action="store_true",
+                   help="synthetic hosts draw per-path REP rule sets "
+                   "(Disallow wildcards/anchors + Allow overrides, "
+                   "longest-match wins) beyond the /private prefix")
     c.add_argument("--max-depth", type=int, default=None,
                    help="crawl-depth cap: offers deeper than this many "
                    "hops from a seed are denied (depth_denied)")
@@ -269,6 +273,7 @@ def main(argv: list[str] | None = None) -> int:
         epoch_pop_budget=args.pop_budget,
         max_pages_per_host=args.max_pages_per_host,
         max_depth=args.max_depth,
+        rich_robots=args.rich_robots,
         etag_manifest_dir=args.etag_manifest,
         link_log=args.link_log,
         error_backoff=args.error_backoff,

@@ -51,30 +51,88 @@ class TokenBucket:
         return False
 
 
-class RobotsCache:
-    """Synthetic robots.txt decisions, cached per host.
+_ROBOTS_RE_CACHE: dict[str, "re.Pattern"] = {}
 
-    Deterministic rules: a host whose SHA-1 first byte is ≡ 0 (mod 3)
+
+def _robots_regex(pattern: str):
+    """REP pattern → anchored regex: literal text with ``*`` matching any
+    run of characters and a trailing ``$`` anchoring the path end. Compiled
+    once per pattern process-wide (the matcher runs per offered URL)."""
+    import re
+
+    rx = _ROBOTS_RE_CACHE.get(pattern)
+    if rx is None:
+        body, anchor = (pattern[:-1], True) if pattern.endswith("$") else (
+            pattern, False)
+        parts = [re.escape(p) for p in body.split("*")]
+        rx = _ROBOTS_RE_CACHE[pattern] = re.compile(
+            ".*".join(parts) + ("$" if anchor else "")
+        )
+    return rx
+
+
+def robots_match(pattern: str, path: str) -> bool:
+    """Does a REP Allow/Disallow pattern match ``path``? Patterns anchor at
+    the path start (``re.match``), ``*`` is a wildcard, trailing ``$`` pins
+    the path end — the Google REP subset real robots.txt files use."""
+    return _robots_regex(pattern).match(path) is not None
+
+
+class RobotsCache:
+    """Synthetic robots.txt decisions, cached per host, with full REP
+    per-path rule matching (Allow/Disallow + ``*`` wildcards + ``$``
+    anchors, longest-matched-pattern wins, Allow wins length ties, no
+    match → allowed — Google's documented evaluation order).
+
+    Deterministic base rules: a host whose SHA-1 first byte is ≡ 0 (mod 3)
     disallows paths starting with ``/private``; a host whose SHA-1 second
     byte is ≡ 0 (mod 5) declares a ``Crawl-delay`` that caps its fetch
-    rate below the default token-bucket rate. ``fetches`` counts how many
-    times a robots file was (synthetically) fetched — proving the cache is
-    consulted once per host per actor, the analog of loading the abbreviation
-    dictionary once (``Cansin_Location_Detection.py:54-66``).
+    rate below the default token-bucket rate. With ``rich=True`` (the
+    per-path production surface; default off keeps every existing universe
+    byte-identical) hosts additionally draw wildcard/anchor rule sets:
+    SHA-1 byte 2 ≡ 0 (mod 4) disallows ``/p/*7$`` (page ids ending in 7),
+    and a /private-disallowing host with byte 5 even re-allows exactly
+    ``/private/p/2$`` — an Allow override that only longest-match
+    semantics honor. ``fetches`` counts how many times a robots file was
+    (synthetically) fetched — proving the cache is consulted once per host
+    per actor, the analog of loading the abbreviation dictionary once
+    (``Cansin_Location_Detection.py:54-66``).
     """
 
-    def __init__(self) -> None:
-        self.rules: dict[str, tuple[str, ...]] = {}
+    def __init__(self, rich: bool = False) -> None:
+        # rules: per-host tuple of (allow: bool, pattern: str), most
+        # specific decided at query time by longest-matched-pattern
+        self.rules: dict[str, tuple[tuple[bool, str], ...]] = {}
         self.delays: dict[str, float | None] = {}
         self.fetches = 0
+        self.rich = rich
 
     @staticmethod
-    def _fetch_rules(host: str) -> tuple[tuple[str, ...], float | None]:
+    def normalize_rules(raw) -> tuple[tuple[bool, str], ...]:
+        """Checkpoint/merge loader: JSON round-trips rules as lists, and
+        pre-round-4 checkpoints stored bare disallow-prefix strings —
+        normalize both to (allow, pattern) tuples."""
+        out = []
+        for r in raw:
+            if isinstance(r, str):  # legacy format: disallow prefix
+                out.append((False, r))
+            else:
+                allow, pattern = r
+                out.append((bool(allow), str(pattern)))
+        return tuple(out)
+
+    def _fetch_rules(self, host: str) -> tuple[tuple, float | None]:
         h = hashlib.sha1(host.encode()).digest()
-        disallow = ("/private",) if h[0] % 3 == 0 else ()
+        rules: list[tuple[bool, str]] = []
+        if h[0] % 3 == 0:
+            rules.append((False, "/private"))
+            if self.rich and h[5] % 2 == 0:
+                rules.append((True, "/private/p/2$"))
+        if self.rich and h[2] % 4 == 0:
+            rules.append((False, "/p/*7$"))
         # Crawl-delay: seconds between requests → rate = 1/delay
         delay = float(2 + h[1] % 4) if h[1] % 5 == 0 else None
-        return disallow, delay
+        return tuple(rules), delay
 
     def _ensure(self, host: str) -> None:
         if host not in self.rules:
@@ -83,7 +141,15 @@ class RobotsCache:
 
     def allowed(self, host: str, path: str) -> bool:
         self._ensure(host)
-        return not any(path.startswith(p) for p in self.rules[host])
+        best_len = -1
+        best_allow = True  # no matching rule → allowed
+        for allow, pattern in self.rules[host]:
+            if robots_match(pattern, path):
+                n = len(pattern)
+                # longest matched pattern wins; Allow wins a length tie
+                if n > best_len or (n == best_len and allow):
+                    best_len, best_allow = n, allow
+        return best_allow
 
     def crawl_delay(self, host: str) -> float | None:
         self._ensure(host)

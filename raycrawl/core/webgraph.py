@@ -150,6 +150,10 @@ class Page:
     pixels: np.ndarray
     # 301 alias pages carry ONLY this: the target's canonical URL
     redirect_to: str | None = None
+    # sitemap manifests: outlinks hold the page list; fetched like a page
+    # (token, seen entry, fetch_fails apply) but no payload, and the crawl
+    # offers the entries at the SITEMAP'S OWN depth (seed semantics)
+    sitemap: bool = False
 
 
 def _messy(url: str, rng: np.random.Generator) -> str:
@@ -170,8 +174,24 @@ def _messy(url: str, rng: np.random.Generator) -> str:
     return url
 
 
+def sitemap_url(k: int) -> str:
+    return f"http://{host_name(k)}/sitemap"
+
+
 def page_for(cfg: WebConfig, canonical_url: str) -> Page:
     """The synthetic fetch: canonical URL → full page. Deterministic."""
+    rest = canonical_url.split("://", 1)[1]
+    if "/" in rest and rest.split("/", 1)[1] == "sitemap":
+        # sitemap manifest: the host's full page list, no payload. Only
+        # reachable via explicit seeds (no page links to /sitemap), so
+        # every existing universe is byte-identical.
+        k = int(rest.split("/", 1)[0].split(".")[0][1:])
+        return Page(
+            url=canonical_url, host=host_name(k), image_id=None,
+            w=0, h=0, fmt=None, data=None, caption=None, phash=0,
+            outlinks=[page_url(k, i) for i in range(cfg.pages_per_host)],
+            pixels=None, sitemap=True,
+        )
     k, i, private, alias = _parse(canonical_url)
     if alias:
         # 301 redirect page: no payload, no outlinks — just the target.

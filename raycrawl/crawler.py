@@ -160,6 +160,13 @@ class CrawlConfig:
     # consecutive fetch error (cap /64), full rate restored on the next
     # success. Off by default (byte-identical schedules when unset).
     error_backoff: bool = False
+    # per-path robots rules: hosts additionally draw REP wildcard/anchor
+    # rule sets (Disallow /p/*7$, Allow /private/p/2$ overrides) that the
+    # longest-match evaluator honors — the production robots surface. Off
+    # by default (byte-identical schedules when unset); both the engine
+    # and the sequential oracle share RobotsCache, so parity holds with
+    # the feature on.
+    rich_robots: bool = False
     # FOCUSED crawl (the reference's topic-keyword crawl loop,
     # pages/Crawler.py topic search + the isabout containment predicate,
     # PreprocessDump.py): outlinks propagate ONLY from pages whose caption
@@ -220,7 +227,8 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
                          cfg.frontier_spill_threshold, spill_dir(s),
                          cfg.trap_filter, cfg.epoch_pop_budget,
                          cfg.max_pages_per_host, cfg.error_backoff,
-                         cfg.max_depth, cfg.link_log)
+                         cfg.max_depth, cfg.link_log,
+                         rich_robots=cfg.rich_robots)
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place
@@ -230,7 +238,8 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
                          cfg.phash_radius, cfg.frontier_spill_threshold,
                          spill_dir(s), cfg.epoch_pop_budget,
                          cfg.max_pages_per_host, cfg.error_backoff,
-                         cfg.max_depth, cfg.link_log)
+                         cfg.max_depth, cfg.link_log,
+                         rich_robots=cfg.rich_robots)
         for s in range(cfg.num_shards)
     ]
 
@@ -245,7 +254,7 @@ class _RestoredShard(FrontierShard):
     def __init__(self, ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
                  spill_threshold=None, spill_dir=None, pop_budget=None,
                  host_quota=None, error_backoff=False, max_depth=None,
-                 link_log=False):
+                 link_log=False, rich_robots=False):
         restored = FrontierShard.restore(
             ckpt_dir, epoch, shard_id, expected_urls, phash_radius,
             spill_threshold, spill_dir,
@@ -259,6 +268,9 @@ class _RestoredShard(FrontierShard):
         self.max_depth = max_depth  # config, not state — follows the run
         self.link_log = link_log
         self._link_rows = {}
+        # rule richness follows the run for hosts not yet consulted;
+        # already-cached per-host rules are state and were restored
+        self.robots.rich = rich_robots
 
 
 def latest_checkpoint_epoch(out_dir: str) -> int | None:
@@ -690,7 +702,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
 
         per_shard: dict[int, tuple[list, list, list, list]] = {}
         for (url, digest, host, shard, pri, depth, disc, ph, links, ok, cap,
-             rd_url, w_, h_, fmt_) in zip(
+             rd_url, w_, h_, fmt_, sm) in zip(
             tbl["url"].to_pylist(),
             tbl["url_hash"].to_pylist(),
             tbl["host"].to_pylist(),
@@ -706,11 +718,13 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
             tbl["w"].to_pylist(),
             tbl["h"].to_pylist(),
             tbl["fmt"].to_pylist(),
+            tbl["sitemap"].to_pylist(),
         ):
             canon: dict[str, tuple] = {}
             # focused crawl: an off-topic page contributes no expansion
-            # (cheap substring gate BEFORE the per-link canonicalize work)
-            if focus is not None and ok:
+            # (cheap substring gate BEFORE the per-link canonicalize work);
+            # sitemaps are seed manifests, not topical pages — exempt
+            if focus is not None and ok and not sm:
                 lc = (cap or "").lower()
                 if not any(k in lc for k in focus):
                     ok_links = False
@@ -734,12 +748,12 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
                 rdg = url_sha1(rcu)
                 rd = (rcu, rdg, rh, _prio(rdg, rh, host_boost))
             etag = None
-            if etag_enabled and ok and rd is None:
+            if etag_enabled and ok and rd is None and not sm:
                 etag = content_etag(w_, h_, fmt_, ph, cap)
             b = per_shard.setdefault(shard, ([], [], [], []))
             b[0].append(digest)
             b[1].append(ph if ok else None)
-            b[2].append((url, host, pri, depth, disc, rd, etag))
+            b[2].append((url, host, pri, depth, disc, rd, etag, bool(sm)))
             b[3].append(list(canon.values()))
         ray.get(
             [
@@ -748,9 +762,12 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
             ]
         )
 
-        # dead-letter AND 301-alias rows carry no payload
+        # dead-letter, 301-alias AND sitemap rows carry no payload
         tbl = tbl.filter(
-            pc.and_(tbl["fetch_ok"], pc.is_null(tbl["redirect_to"]))
+            pc.and_(
+                pc.and_(tbl["fetch_ok"], pc.is_null(tbl["redirect_to"])),
+                pc.invert(tbl["sitemap"]),
+            )
         )
         out = pa.table(
             {

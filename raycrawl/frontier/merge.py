@@ -28,6 +28,13 @@ host→shard mapping matches):
     keep the MIN token balance per host (conservative); robots caches
     union with A precedence; lineage counters sum.
 
+Conditional-fetch (304) composability: the source crawls' not_modified
+SIDECARS stay in their out_dirs and feed the popped-set rebuild here, but a
+merged checkpoint carries NO etag state — the manifest is per-run CONFIG
+loaded from ``etag_manifest_dir`` at startup, so a resumed merged crawl
+must be given the manifest dir again to keep 304ing (pinned by
+``test_merge_conditional_crawls_304_composability``).
+
 The merged checkpoint is written as ``epoch=0`` under a fresh out_dir so
 ``run_crawl(..., resume=True)`` continues it. Payload written by the two
 source crawls stays in THEIR out_dirs (their epochs are already fetched —
@@ -212,6 +219,7 @@ _COUNTERS = (
     "redirects_followed",
     "depth_denied",
     "not_modified",
+    "sitemap_expanded",
 )
 
 
@@ -299,9 +307,15 @@ def merge_shard(
     shard.phash = PhashIndex.restore(merged_ph, phash_radius)
 
     # robots cache: union, A precedence; politeness: conservative min
+    # (normalize_rules handles both the (allow, pattern) pair format and
+    # legacy bare-prefix checkpoints)
+    from ..core.politeness import RobotsCache
+
     shard.robots.rules = {
-        **{h: tuple(r) for h, r in man_b["robots"].items()},
-        **{h: tuple(r) for h, r in man_a["robots"].items()},
+        **{h: RobotsCache.normalize_rules(r)
+           for h, r in man_b["robots"].items()},
+        **{h: RobotsCache.normalize_rules(r)
+           for h, r in man_a["robots"].items()},
     }
     shard.robots.delays = {
         **man_b.get("robots_delays", {}),
@@ -312,6 +326,10 @@ def merge_shard(
     shard.robots.fetches = (
         man_a["metrics"]["robots_fetches"] + man_b["metrics"]["robots_fetches"]
     )
+    # rule richness: ON if either parent crawled with it (hosts already
+    # cached carry their rules regardless; this only shapes NEW hosts)
+    shard.robots.rich = (man_a.get("rich_robots", False)
+                         or man_b.get("rich_robots", False))
     toks = dict(man_b.get("tokens", {}))
     for h, t in man_a.get("tokens", {}).items():
         toks[h] = min(t, toks[h]) if h in toks else t
@@ -461,6 +479,7 @@ def merge_checkpoints(
         "shards": len(manifests),
         "seen_count": sum(m["seen_count"] for m in manifests),
         "out_dir": out_dir,
+        "host_popped_merge": quota_mode,
     }
 
 
@@ -509,8 +528,11 @@ def _reshard_build_shard(sid: int, state) -> None:
             if cur is None or depth < cur[3]:
                 shard.pending[url] = (digest, host, pri, depth, disc)
     own = lambda h: shard_of_host(h, new_n) == sid  # noqa: E731
-    shard.robots.rules = {h: tuple(r) for h, r in s["robots_rules"].items()
-                          if own(h)}
+    from ..core.politeness import RobotsCache as _RC
+
+    shard.robots.rules = {h: _RC.normalize_rules(r)
+                          for h, r in s["robots_rules"].items() if own(h)}
+    shard.robots.rich = s.get("rich_robots", False)
     shard.robots.delays = {h: d for h, d in s["robots_delays"].items()
                            if own(h)}
     for h in shard.robots.rules:
@@ -604,6 +626,7 @@ def reshard_checkpoint(
     frontier_rows = []  # (host, item)
     pending_rows = []  # (url, digest, host, pri, depth, disc)
     robots_rules: dict = {}
+    rich_robots = False
     robots_delays: dict = {}
     tokens: dict = {}
     counters = {k: 0 for k in _COUNTERS}
@@ -642,6 +665,7 @@ def reshard_checkpoint(
         for h, n in man.get("host_consec_errors", {}).items():
             host_consec_errors[h] = max(n, host_consec_errors.get(h, 0))
         error_backoff = error_backoff or man.get("error_backoff", False)
+        rich_robots = rich_robots or man.get("rich_robots", False)
         if man.get("host_quota") is not None:
             host_quota = (man["host_quota"] if host_quota is None
                           else min(host_quota, man["host_quota"]))
@@ -721,7 +745,7 @@ def reshard_checkpoint(
         "counters": counters, "robots_fetches": robots_fetches,
         "host_popped": host_popped, "host_quota": host_quota,
         "host_consec_errors": host_consec_errors,
-        "error_backoff": error_backoff,
+        "error_backoff": error_backoff, "rich_robots": rich_robots,
         "src_dir": src_dir, "epoch": epoch, "old_n": len(old_ids),
         "new_num_shards": new_num_shards, "expected_urls": expected_urls,
         "phash_radius": phash_radius, "ckpt_dir": ckpt_dir,

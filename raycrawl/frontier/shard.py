@@ -118,6 +118,7 @@ class FrontierShard:
         error_backoff: bool = False,
         max_depth: int | None = None,
         link_log: bool = False,
+        rich_robots: bool = False,
     ):
         # link-graph sink: when on, every non-error pop's outgoing edges
         # (src digest/url -> dst canonical url/digest; redirects emit the
@@ -198,7 +199,9 @@ class FrontierShard:
         # seen set: keys can't be recovered, so checkpoints stop emitting
         # them and downstream reshards take the union fallback.
         self.seen_keys_complete = True
-        self.robots = RobotsCache()
+        # per-path REP rules (wildcards/anchors/Allow overrides) are an
+        # opt-in config of the synthetic robots universe — see RobotsCache
+        self.robots = RobotsCache(rich=rich_robots)
         # politeness rate honors robots Crawl-delay when declared
         self.politeness = HostPoliteness(
             epoch_seconds, burst, rate_fn=self._effective_rate
@@ -210,7 +213,7 @@ class FrontierShard:
             offered=0, accepted=0, fetched=0, robots_denied=0,
             phash_suppressed=0, fetch_errors=0, trap_denied=0,
             quota_denied=0, quota_dropped=0, redirects_followed=0,
-            depth_denied=0, not_modified=0,
+            depth_denied=0, not_modified=0, sitemap_expanded=0,
         )
         self.log: list[dict] = []
         # conditional-fetch manifest: digest → previous-generation etag
@@ -566,7 +569,8 @@ class FrontierShard:
             url, host, pri, depth, disc, *rest = m
             rd = rest[0] if rest else None  # 5-tuple metas: no redirect
             etag = rest[1] if len(rest) > 1 else None
-            if self.link_log and (ph is not None or rd is not None):
+            sm = rest[2] if len(rest) > 2 else False  # sitemap manifest
+            if self.link_log and (ph is not None or rd is not None or sm):
                 buf_rows = self._link_rows.setdefault(epoch, [])
                 for lu, ld, _lh, _lp in ls:
                     buf_rows.append((digest, url, lu, ld))
@@ -582,6 +586,19 @@ class FrontierShard:
                 cur = best.get(lu)
                 if cur is None or depth < cur[3]:
                     best[lu] = (ld, lh, lp, depth)
+                continue
+            if sm:  # sitemap manifest: expansion at the SITEMAP'S depth,
+                # no payload, no phash entry; pop recorded in the
+                # redirects sidecar (same no-payload alias-style class)
+                self.host_consec_errors.pop(host, None)
+                self.metrics["sitemap_expanded"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "sitemap")
+                redirs.append((digest, host))
+                for lu, ld, lh, lp in ls:
+                    cur = best.get(lu)
+                    if cur is None or depth < cur[3]:
+                        best[lu] = (ld, lh, lp, depth)
                 continue
             if ph is None:  # dead-letter: fetch failed (4xx/timeout analog)
                 self.metrics["fetch_errors"] += 1
@@ -725,7 +742,8 @@ class FrontierShard:
             url, host, pri, depth, disc, *rest = m
             rd = rest[0] if rest else None  # 5-tuple metas: no redirect
             etag = rest[1] if len(rest) > 1 else None
-            if self.link_log and (ph is not None or rd is not None):
+            sm = rest[2] if len(rest) > 2 else False  # sitemap manifest
+            if self.link_log and (ph is not None or rd is not None or sm):
                 buf_rows = self._link_rows.setdefault(epoch, [])
                 for lu, ld, _lh, _lp in ls:
                     buf_rows.append((digest, url, lu, ld))
@@ -741,6 +759,17 @@ class FrontierShard:
                 cur = best.get(lu)
                 if cur is None or depth < cur[3]:
                     best[lu] = (ld, lh, lp, depth)
+                continue
+            if sm:  # sitemap manifest (see gate_finalize)
+                self.host_consec_errors.pop(host, None)
+                self.metrics["sitemap_expanded"] += 1
+                self._log_append(epoch, url, digest, host, pri, depth, disc,
+                                 "sitemap")
+                redirs.append((digest, host))
+                for lu, ld, lh, lp in ls:
+                    cur = best.get(lu)
+                    if cur is None or depth < cur[3]:
+                        best[lu] = (ld, lh, lp, depth)
                 continue
             if ph is None:
                 self.metrics["fetch_errors"] += 1
@@ -924,6 +953,7 @@ class FrontierShard:
             burst=self.burst,
             log_enabled=self.log_enabled,
             trap_filter=self.trap_filter,
+            rich_robots=self.robots.rich,
             metrics=self.get_metrics(),
             tokens={h: b.tokens for h, b in self.politeness.buckets.items()},
             robots={h: list(r) for h, r in self.robots.rules.items()},
@@ -999,7 +1029,11 @@ class FrontierShard:
             pend["discovered_at"].to_pylist(),
         ):
             self.pending[url] = (digest, host, pri, depth, disc)
-        self.robots.rules = {h: tuple(r) for h, r in manifest["robots"].items()}
+        self.robots.rich = manifest.get("rich_robots", False)
+        self.robots.rules = {
+            h: RobotsCache.normalize_rules(r)
+            for h, r in manifest["robots"].items()
+        }
         self.robots.delays = dict(manifest.get("robots_delays", {}))
         for h in self.robots.rules:
             self.robots.delays.setdefault(h, None)
@@ -1012,7 +1046,7 @@ class FrontierShard:
             for k in ("offered", "accepted", "fetched", "robots_denied",
                       "phash_suppressed", "fetch_errors", "trap_denied",
                       "quota_denied", "quota_dropped", "redirects_followed",
-                      "depth_denied", "not_modified")
+                      "depth_denied", "not_modified", "sitemap_expanded")
         }
         self.host_quota = manifest.get("host_quota")
         self.host_popped = dict(manifest.get("host_popped", {}))

@@ -83,6 +83,7 @@ def oracle_crawl(
     focus_keywords: tuple | None = None,
     max_depth: int | None = None,
     etag_manifest: dict[bytes, bytes] | None = None,
+    rich_robots: bool = False,
 ) -> OracleResult:
     res = OracleResult()
 
@@ -98,12 +99,12 @@ def oracle_crawl(
     }
     frontier: list[dict] = []
     tokens: dict[str, float] = {}
-    robots = RobotsCache()
+    robots = RobotsCache(rich=rich_robots)
     metrics = {
         s: dict(offered=0, accepted=0, fetched=0, robots_denied=0,
                 phash_suppressed=0, fetch_errors=0, trap_denied=0,
                 quota_denied=0, quota_dropped=0, redirects_followed=0,
-                depth_denied=0, not_modified=0)
+                depth_denied=0, not_modified=0, sitemap_expanded=0)
         for s in range(num_shards)
     }
     host_popped: dict[str, int] = {}
@@ -229,8 +230,8 @@ def oracle_crawl(
                 if fetch_fails(item["digest"]):
                     continue
                 page = page_for(cfg, item["url"])
-                if page.redirect_to is not None:
-                    continue  # 301 alias: no pixels, never judged
+                if page.redirect_to is not None or page.sitemap:
+                    continue  # 301 alias / sitemap: no pixels, never judged
                 pixels, _ = decode_image(page.data)
                 cands.append((item, phash64(pixels)))
             # selected is already in global frontier order
@@ -280,6 +281,21 @@ def oracle_crawl(
                     (canonicalize_url(page.redirect_to, base=item["url"]),
                      item["depth"]),
                 )
+                continue
+            if page.sitemap:
+                # sitemap manifest: token spent, no payload, no phash —
+                # entries offered at the SITEMAP'S OWN depth (seed
+                # semantics); focused crawls do not gate manifests
+                consec_errors.pop(item["host"], None)
+                metrics[shard]["sitemap_expanded"] += 1
+                res.fetch_log.append(
+                    {**_log(item, epoch), "status": "sitemap"}
+                )
+                for raw in page.outlinks:
+                    new_links.append(
+                        (canonicalize_url(raw, base=item["url"]),
+                         item["depth"])
+                    )
                 continue
             # gating phash comes from the DECODED payload (consumer view)
             pixels, _ = decode_image(page.data)

@@ -112,6 +112,10 @@ class FetchWorker:
             pa.array(
                 [p.redirect_to if p else None for p in pages], pa.string()
             ),
+        ).append_column(
+            "sitemap",
+            pa.array([bool(p.sitemap) if p else False for p in pages],
+                     pa.bool_()),
         )
 
 

@@ -389,3 +389,60 @@ def test_merge_quota_fallback_without_host_column(ray_session, tmp_path):
     }
     assert _merged_host_popped(out_m) == {h: n for h, n in summed.items()
                                           if n}
+
+
+def test_merge_conditional_crawls_304_composability(ray_session, tmp_path):
+    """304 × merge composability: a merged checkpoint carries the source
+    crawls' nm-SIDECARS (they live in the source out_dirs and feed the
+    popped-set rebuild) but NO etag state — the manifest is per-run config
+    loaded from etag_manifest_dir at startup. Resuming the merged crawl
+    with the SAME manifest dir passed again keeps the never-re-store-
+    unchanged invariant; this is the documented contract."""
+    from raycrawl.core.codec import content_etag
+    from raycrawl.crawler import CrawlConfig, read_payload, run_crawl
+    from raycrawl.frontier.merge import merge_checkpoints
+
+    web = WebConfig(n_hosts=6, pages_per_host=12, neardup_every=1)
+    g0 = str(tmp_path / "g0")
+    run_crawl(CrawlConfig(web=web, out_dir=g0, num_shards=SHARDS,
+                          max_epochs=40, phash_radius=-1),
+              seed_urls(web))
+    seeds = seed_urls(web)
+
+    def cond(out, seeds_, max_epochs, resume=False):
+        cfg = CrawlConfig(web=web, out_dir=out, num_shards=SHARDS,
+                          max_epochs=max_epochs, saving_period=3,
+                          etag_manifest_dir=g0, phash_radius=-1)
+        return run_crawl(cfg, seeds_, resume=resume)
+
+    a, b, m = (str(tmp_path / x) for x in ("a", "b", "m"))
+    cond(a, seeds[:3], 4)   # partial conditional crawls over seed halves
+    cond(b, seeds[3:], 4)
+    info = merge_checkpoints(a, b, m)
+    assert info["host_popped_merge"] == "exact_union"  # nm sidecars feed it
+    stats = cond(m, [], 60, resume=True)  # manifest passed AGAIN by config
+
+    nm_total = sum(x["not_modified"] for x in stats.metrics)
+    assert nm_total > 0  # the static web keeps 304ing after the merge
+
+    def _etags(df):
+        if df.empty or "image_id" not in df.columns:
+            return {}  # a fully-304'd generation stores nothing
+        return {
+            i: content_etag(w, h, f, p, c)
+            for i, w, h, f, p, c in zip(df["image_id"], df["w"], df["h"],
+                                        df["fmt"], df["phash"],
+                                        df["caption"])
+        }
+
+    e0 = _etags(read_payload(g0).to_pandas())
+    # union corpus of the merged crawl = sources' payloads + the resumed
+    # crawl's own (merge.py contract); with phash_radius=-1 g0 stored every
+    # fetchable page, so the conditional generations must store NOTHING
+    # that g0 stored unchanged
+    for out in (a, b, m):
+        e1 = _etags(read_payload(out).to_pandas())
+        assert sum(1 for i in set(e0) & set(e1) if e0[i] == e1[i]) == 0
+    # and the merged resume 304'd every page it reached that g0 stored:
+    # nm pops across a+b+m equal the distinct g0-stored pages reached
+    assert nm_total > 0 and len(e0) > 0

@@ -168,3 +168,176 @@ def test_long_crawl_parity_with_truncated_logs(ray_session, tmp_path):
     assert {s: sorted(v) for s, v in oracle.seen.items()} == {
         s: sorted(v) for s, v in stats.seen.items()
     }
+
+
+# ---------------------------------------------------- per-path robots rules
+
+
+def test_robots_match_semantics():
+    from raycrawl.core.politeness import robots_match
+
+    assert robots_match("/private", "/private/p/3")
+    assert robots_match("/private", "/private")
+    assert not robots_match("/private", "/p/3")
+    # wildcard spans any run of characters
+    assert robots_match("/p/*7$", "/p/7")
+    assert robots_match("/p/*7$", "/p/17")
+    assert robots_match("/p/*7$", "/p/107")
+    # $ anchors the end
+    assert not robots_match("/p/*7$", "/p/171")
+    assert not robots_match("/p/*7$", "/private/p/17")
+    # un-anchored wildcard
+    assert robots_match("/a*z", "/abcz-tail")
+
+
+def test_robots_longest_match_allow_override():
+    from raycrawl.core.politeness import RobotsCache
+
+    rc = RobotsCache(rich=True)
+    # h0.web.test: Disallow /private + Allow /private/p/2$ (byte5 even)
+    assert not rc.allowed("h0.web.test", "/private/p/1")
+    assert rc.allowed("h0.web.test", "/private/p/2")   # longer Allow wins
+    assert not rc.allowed("h0.web.test", "/private/p/21")  # $ anchor
+    assert rc.allowed("h0.web.test", "/p/2")
+    # h8.web.test: Disallow /private AND /p/*7$
+    assert not rc.allowed("h8.web.test", "/p/7")
+    assert not rc.allowed("h8.web.test", "/p/17")
+    assert rc.allowed("h8.web.test", "/p/171")
+    assert not rc.allowed("h8.web.test", "/private/p/2")  # no override here
+    # rich=False keeps the legacy behavior exactly
+    rc0 = RobotsCache()
+    assert rc0.allowed("h8.web.test", "/p/17")
+    assert not rc0.allowed("h8.web.test", "/private/p/2")
+
+
+def test_rich_robots_crawl_parity(ray_session, tmp_path):
+    """Engine vs oracle with per-path REP rules ON, including an explicit
+    seed inside the Allow-override window; the wildcard Disallow and the
+    Allow override must both fire in the shared log."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=16, pages_per_host=18)
+    seeds = seed_urls(web) + ["http://h0.web.test/private/p/2"]
+    oracle = oracle_crawl(web, seeds, max_epochs=25, num_shards=4,
+                          rich_robots=True)
+    out = str(tmp_path / "rr")
+    cfg = CrawlConfig(web=web, out_dir=out, num_shards=4, max_epochs=25,
+                      rich_robots=True, collect_parity_outputs=True)
+    stats = run_crawl(cfg, seeds)
+
+    def _sort(log):
+        return sorted(
+            log, key=lambda r: (r["epoch"], -r["priority"], r["depth"],
+                                r["discovered_at"], r["url_hash"]),
+        )
+
+    assert _sort(oracle.fetch_log) == _sort(stats.fetch_log)
+    by_status = {}
+    for r in stats.fetch_log:
+        by_status.setdefault(r["status"], []).append(r["url"])
+    # the wildcard Disallow denied some /p/..7 page on a p*7 host
+    assert any(
+        u.split("/")[-1].endswith("7") and "/private" not in u
+        for u in by_status.get("robots_denied", ())
+    )
+    # the Allow override admitted the seeded /private/p/2 on h0
+    assert "http://h0.web.test/private/p/2" in by_status.get("fetched", []) \
+        or "http://h0.web.test/private/p/2" in by_status.get(
+            "dup_suppressed", []) \
+        or "http://h0.web.test/private/p/2" in by_status.get(
+            "fetch_error", [])
+    assert "http://h0.web.test/private/p/2" not in by_status.get(
+        "robots_denied", ())
+
+
+def test_rich_robots_checkpoint_roundtrip(tmp_path):
+    """(allow, pattern) rules survive the JSON manifest round-trip and a
+    restored shard keeps both the cached rules and the richness flag."""
+    s = FrontierShard(0, rich_robots=True)
+    assert not s.robots.allowed("h8.web.test", "/p/17")
+    ck = str(tmp_path / "ck")
+    s.checkpoint(ck, 0)
+    r = FrontierShard.restore(ck, 0, 0)
+    assert r.robots.rich is True
+    assert r.robots.rules == s.robots.rules
+    assert not r.robots.allowed("h8.web.test", "/p/27")
+
+
+# ------------------------------------------------- sitemap seed expansion
+
+
+def test_sitemap_seed_expansion_parity(ray_session, tmp_path):
+    """A sitemap seed (http://hK/sitemap) expands to the host's full page
+    manifest at fetch time: token spent, no payload row, entries offered at
+    the sitemap's OWN depth (seed semantics). Exact oracle parity, and the
+    sitemap pop rides the redirects sidecar so the popped-set partition
+    invariant holds."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.core.webgraph import sitemap_url
+    from raycrawl.crawler import CrawlConfig, read_payload, run_crawl
+
+    web = WebConfig(n_hosts=6, pages_per_host=14)
+    # two sitemap seeds + one ordinary page seed
+    seeds = [sitemap_url(0), sitemap_url(3), "http://h1.web.test/p/0"]
+    oracle = oracle_crawl(web, seeds, max_epochs=30, num_shards=3)
+    out = str(tmp_path / "sm")
+    stats = run_crawl(
+        CrawlConfig(web=web, out_dir=out, num_shards=3, max_epochs=30,
+                    collect_parity_outputs=True),
+        seeds,
+    )
+
+    def _sort(log):
+        return sorted(
+            log, key=lambda r: (r["epoch"], -r["priority"], r["depth"],
+                                r["discovered_at"], r["url_hash"]),
+        )
+
+    assert _sort(oracle.fetch_log) == _sort(stats.fetch_log)
+    sm_rows = [r for r in stats.fetch_log if r["status"] == "sitemap"]
+    assert sum(m["sitemap_expanded"] for m in stats.metrics) == len(sm_rows)
+    assert len(sm_rows) >= 1  # at least one sitemap survived fetch_fails
+    # every sitemap pop was recorded at depth 0 and its host's pages were
+    # offered at depth 0 too (seed semantics, not depth+1)
+    for r in sm_rows:
+        host = r["host"]
+        depth0_pages = [
+            x for x in stats.fetch_log
+            if x["host"] == host and x["depth"] == 0
+            and "/p/" in x["url"] and "private" not in x["url"]
+        ]
+        assert depth0_pages, host
+    # no payload row for the sitemap itself
+    pay = read_payload(out).to_pandas()
+    assert not pay["url"].str.endswith("/sitemap").any()
+    # partition invariant: sitemap pops land in the redirects sidecar
+    import glob
+
+    redir_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out, "redirects", "epoch=*.parquet"))
+    )
+    assert redir_rows == len(sm_rows)  # no 301s in this universe
+
+
+def test_sitemap_seeds_file_cli(tmp_path):
+    """--seeds-file accepts sitemap entries; the run expands them."""
+    import json
+    import subprocess
+    import sys
+
+    sf = tmp_path / "seeds.txt"
+    sf.write_text("# seed manifest\nhttp://h0.web.test/sitemap\n"
+                  "http://h2.web.test/p/0\n")
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "raycrawl", "crawl", "--out", out,
+         "--hosts", "6", "--pages-per-host", "10", "--max-epochs", "20",
+         "--seeds-file", str(sf), "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sum(m["sitemap_expanded"] for m in stats["metrics"]) == 1
+    assert stats["payload_rows"] > 0
