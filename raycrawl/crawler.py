@@ -57,7 +57,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from .core.urltools import canonicalize_url, url_sha1, host_of, shard_of_host
+from .core.urltools import (canonicalize_url, canonical_and_host, url_sha1,
+                            host_of, is_base_independent, shard_of_host)
 from .core.webgraph import WebConfig, priority_of
 from .frontier.shard import FrontierShard
 from .frontier.phash_shard import PhashDedupShard, owner_shards
@@ -701,6 +702,7 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
         tbl = decode_batch(tbl)
 
         per_shard: dict[int, tuple[list, list, list, list]] = {}
+        memo: dict[str, tuple] = {}  # raw absolute link → canon tuple
         for (url, digest, host, shard, pri, depth, disc, ph, links, ok, cap,
              rd_url, w_, h_, fmt_, sm) in zip(
             tbl["url"].to_pylist(),
@@ -734,17 +736,23 @@ def _make_decode_submit(actors, epoch: int, keep_bytes: bool,
                 ok_links = ok
             if ok_links:
                 for raw in links or ():
-                    cu = canonicalize_url(raw, base=url)
-                    if cu not in canon:
+                    # batch-level memo: absolute links are base-independent
+                    # and popular targets repeat across a batch's pages —
+                    # one canonicalize+sha1 per distinct raw link per batch
+                    hit = memo.get(raw)
+                    if hit is None:
+                        cu, h2 = canonical_and_host(raw, base=url)
                         d = url_sha1(cu)
-                        h2 = host_of(cu)
-                        canon[cu] = (cu, d, h2, _prio(d, h2, host_boost))
+                        hit = (cu, d, h2, _prio(d, h2, host_boost))
+                        if is_base_independent(raw):
+                            memo[raw] = hit
+                    if hit[0] not in canon:
+                        canon[hit[0]] = hit
             # 301 alias: canonicalize the target once here; the gate offers
             # it at the SAME depth (redirects do not deepen the crawl)
             rd = None
             if ok and rd_url is not None:
-                rcu = canonicalize_url(rd_url, base=url)
-                rh = host_of(rcu)
+                rcu, rh = canonical_and_host(rd_url, base=url)
                 rdg = url_sha1(rcu)
                 rd = (rcu, rdg, rh, _prio(rdg, rh, host_boost))
             etag = None
