@@ -118,3 +118,80 @@ def user_stats_table(sf_dir: str):
     return table(
         sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
     ).map_batches(build_stats, fn_kwargs={"ref": ref}, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Geo map-center analog (pages/User Based Dashboard.py:356-375): the
+# reference averages the lat/lon of every detected-location entry to pick
+# the map's initial view center. The testdata has no geo columns, so the
+# "detected location" of a customer is a deterministic coordinate derived
+# from their nation key (the same dictionary-lookup shape as the location
+# normalizer, Cansin_Location_Detection.py:122-193) — exact quarters, so
+# float sums are order-independent and the oracle hash is stable.
+@register(
+    "region_map_centers",
+    sql="""
+    WITH pts AS (
+      SELECT r_name,
+             ((n_nationkey * 7) % 120) - 60 + 0.5  AS lat,
+             ((n_nationkey * 13) % 360) - 180 + 0.25 AS lon
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey)
+    SELECT r_name,
+           ROUND(AVG(lat), 6) AS mean_lat,
+           ROUND(AVG(lon), 6) AS mean_lon,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pts
+    GROUP BY r_name
+    """,
+)
+def region_map_centers(sf_dir: str):
+    """Per-region map center: mean lat/lon over every customer's detected
+    location. Fixed key cardinality (5 regions) → per-batch combiner inside
+    map_batches + one local final combine; the fact table never shuffles."""
+    import numpy as np
+    import ray
+
+    from ..ops.common import combine_small, round_half_away
+
+    nation = table(sf_dir, "nation").to_pandas()
+    region = table(sf_dir, "region").to_pandas()
+    rname = dict(zip(region["r_regionkey"], region["r_name"]))
+    # nationkey → (region name, lat, lon): tiny, broadcast once
+    nk_info = {
+        int(nk): (rname[int(rk)],
+                  float((nk * 7) % 120 - 60 + 0.5),
+                  float((nk * 13) % 360 - 180 + 0.25))
+        for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    ref = ray.put(nk_info)
+
+    def partial(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        info = ray.get(ref)
+        nk = df["c_nationkey"].to_numpy()
+        pts = pd.DataFrame(
+            {
+                "r_name": [info[int(k)][0] for k in nk],
+                "lat_sum": (nk * 7) % 120 - 60 + 0.5,
+                "lon_sum": (nk * 13) % 360 - 180 + 0.25,
+                "n": np.ones(len(nk), dtype=np.int64),
+            }
+        )
+        return pts.groupby("r_name", as_index=False).sum()
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("r_name", as_index=False).sum()
+        return pa.table(
+            {
+                "r_name": df["r_name"],
+                "mean_lat": round_half_away(df["lat_sum"] / df["n"], 6),
+                "mean_lon": round_half_away(df["lon_sum"] / df["n"], 6),
+                "n": df["n"].astype("int64"),
+            }
+        )
+
+    partials = table(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        partial, fn_kwargs={"ref": ref}, batch_format="pandas"
+    )
+    return final(combine_small(partials, lambda t: t))

@@ -269,3 +269,20 @@ def test_sha1_key_stability_through_fast_path():
             except ValueError:
                 continue
             assert url_sha1(cu_fast) == url_sha1(cu_slow)
+
+
+def test_region_map_centers_oracle(ray_session):
+    """Geo map-center analog (pages/User Based Dashboard.py:356-375): the
+    per-region mean of the nation-derived detected-location coordinates
+    must equal the SQL replay exactly — coordinates are exact binary
+    quarters, so the float means are order-independent."""
+    import pandas as pd
+
+    from tests.oracle_utils import norm, oracle, run_query
+
+    got = norm(run_query("region_map_centers", "/root/testdata/sf0.001"))
+    want = norm(oracle("region_map_centers", "/root/testdata/sf0.001"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got.columns) == {"r_name", "mean_lat", "mean_lon", "n"}
+    assert (got["mean_lat"].abs() <= 60).all()
+    assert (got["mean_lon"].abs() <= 180).all()
