@@ -21,7 +21,7 @@ so the phash gate fires on real data.
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -145,7 +145,6 @@ class Page:
     fmt: str
     data: bytes
     caption: str
-    phash: int
     outlinks: list[str]
     pixels: np.ndarray
     # 301 alias pages carry ONLY this: the target's canonical URL
@@ -154,6 +153,21 @@ class Page:
     # (token, seen entry, fetch_fails apply) but no payload, and the crawl
     # offers the entries at the SITEMAP'S OWN depth (seed semantics)
     sitemap: bool = False
+    _phash: int | None = field(default=None, repr=False)
+
+    @property
+    def phash(self) -> int:
+        """64-bit perceptual hash of the decoded pixels, computed lazily.
+
+        The fetch stage never reads this — the crawl's near-dup gate hashes
+        what ``DecodePhash`` decodes from the stored bytes, matching a real
+        crawler where the wire payload, not the origin's pixels, is ground
+        truth. Computing it eagerly in ``page_for`` charged every synthetic
+        fetch a DCT it threw away (~28% of fetch-stage time); only tests
+        and oracles read it, so it is computed on first access."""
+        if self._phash is None:
+            self._phash = 0 if self.pixels is None else phash64(self.pixels)
+        return self._phash
 
 
 def _messy(url: str, rng: np.random.Generator) -> str:
@@ -188,7 +202,7 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
         k = int(rest.split("/", 1)[0].split(".")[0][1:])
         return Page(
             url=canonical_url, host=host_name(k), image_id=None,
-            w=0, h=0, fmt=None, data=None, caption=None, phash=0,
+            w=0, h=0, fmt=None, data=None, caption=None,
             outlinks=[page_url(k, i) for i in range(cfg.pages_per_host)],
             pixels=None, sitemap=True,
         )
@@ -199,7 +213,7 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
         # rules apply upstream); only the response differs.
         return Page(
             url=canonical_url, host=host_name(k), image_id=None,
-            w=0, h=0, fmt=None, data=None, caption=None, phash=0,
+            w=0, h=0, fmt=None, data=None, caption=None,
             outlinks=[], pixels=None, redirect_to=page_url(k, i),
         )
     digest = url_sha1(canonical_url)
@@ -237,7 +251,6 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
         pixels = synth_pixels(ps, w, h)
 
     data = encode_image(pixels, fmt)
-    ph = phash64(pixels)
     image_id = f"img-{digest.hex()[:12]}"
     words = " ".join(_WORDS[j] for j in rng.integers(0, len(_WORDS), 6))
     caption = f"caption {image_id} {words}"
@@ -274,7 +287,6 @@ def page_for(cfg: WebConfig, canonical_url: str) -> Page:
         fmt=fmt,
         data=data,
         caption=caption,
-        phash=ph,
         outlinks=outlinks,
         pixels=pixels,
     )
