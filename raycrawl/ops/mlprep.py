@@ -1114,8 +1114,11 @@ PQ_SUBDIM = 16    # dims per subspace (PQ_M * PQ_SUBDIM == _EMB_DIM)
 PQ_K = 8          # codewords per subspace
 
 
-def _pq_sql() -> str:
-    parts = []
+def _pq_ctes() -> list[str]:
+    """The shared PQ training/encode CTE chain (init -> one Lloyd's update
+    -> trained codebook c1_{m} -> encode assignments a2_{m}), reused verbatim
+    by pq_codebook_stats' and pq_adc_topk's oracles — one definition, two
+    oracles, zero drift risk (same pattern as the semdedup/kmeans CTEs)."""
     ctes = [f"dims AS (SELECT unnest(range(1, {PQ_SUBDIM + 1})) AS i)"]
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
@@ -1145,19 +1148,30 @@ def _pq_sql() -> str:
                  PARTITION BY e.vec_id
                  ORDER BY ROUND(list_distance({sl}, c.cv), 6), c.cl) AS r
         FROM embeddings e CROSS JOIN c1_{m} c) WHERE r = 1)""")
+    return ctes
+
+
+def _pq_sql() -> str:
+    parts = []
+    for m in range(PQ_M):
         parts.append(f"""
   SELECT {m} AS subspace, CAST(cl AS BIGINT) AS code,
          CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(CAST(SUM(CAST(ROUND(dist * 1000000) AS BIGINT)) AS DOUBLE)
                / 1000000 / COUNT(*), 6) AS avg_dist
   FROM a2_{m} GROUP BY cl""")
-    return ("WITH " + ",\n    ".join(ctes) + "\n"
+    return ("WITH " + ",\n    ".join(_pq_ctes()) + "\n"
             + "\nUNION ALL".join(parts)
             + "\nORDER BY subspace, code")
 
 
-@register("pq_codebook_stats", sql=_pq_sql())
-def pq_codebook_stats(sf_dir: str):
+def _pq_train(sf_dir: str):
+    """One deterministic Lloyd's update per subspace (init = first PQ_K
+    vectors' subvectors): the PQ codebook fit shared by pq_codebook_stats
+    and pq_adc_topk. One streaming assignment pass over the corpus; only
+    K×dim partial sums reach the driver. Returns (ds, bounds, cent1, ids1)
+    where cent1[m] rows are ordered by ascending code id (ids1[m]) so a
+    first-minimum argmin reproduces the SQL 'ORDER BY dist, cl' tie rule."""
     import os
 
     import pyarrow.dataset as pads
@@ -1208,6 +1222,12 @@ def pq_codebook_stats(sf_dir: str):
             new_cv.append(round_half_away(s / g["n"].sum(), 6))
         cent1[m] = np.stack(new_cv)
         ids1[m] = np.asarray(new_ids, dtype=np.int64)
+    return ds, bounds, cent1, ids1
+
+
+@register("pq_codebook_stats", sql=_pq_sql())
+def pq_codebook_stats(sf_dir: str):
+    ds, bounds, cent1, ids1 = _pq_train(sf_dir)
 
     # pass 2: encode against the trained codebooks; integer micro-unit
     # distortion partials per (subspace, code)
@@ -1255,5 +1275,137 @@ def pq_codebook_stats(sf_dir: str):
                     / out["n"].to_numpy(np.float64), 6
                 )
             ),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ-ADC top-k search: the SEARCH half of the PQ index whose training half
+# is pq_codebook_stats. Each corpus vector is reduced to PQ_M codebook
+# assignments; the asymmetric distance from a query to a vector is the sum
+# of PQ_M precomputed (query × code) table entries, so scoring a batch is
+# one argmin-encode plus table lookups — no full-dimension math against the
+# corpus. Distances are integer micro-units end-to-end (exact, order-free);
+# top-k survives per block (≤ K × blocks candidate rows reach the driver,
+# same no-shuffle LIMIT-K shape as ann_bruteforce_topk).
+PQ_QUERY_IDS = (0, 1, 2)  # same deterministic queries as ann_*_topk
+PQ_ADC_K = 5
+
+
+def _pq_adc_sql() -> str:
+    ctes = _pq_ctes()
+    ctes.append(
+        f"""q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN {PQ_QUERY_IDS})"""
+    )
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        ctes.append(f"""adc_{m} AS (
+      SELECT q.qid, a.vec_id,
+             CAST(ROUND(list_distance(q.qe[{lo}:{hi}], c.cv) * 1000000)
+                  AS BIGINT) AS dmic
+      FROM q, a2_{m} a JOIN c1_{m} c USING (cl))""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM adc_{m}" for m in range(PQ_M)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""WITH {joined},
+    tot AS (SELECT qid, vec_id, SUM(dmic) AS dmic
+            FROM ({union}) GROUP BY qid, vec_id),
+    ranked AS (
+      SELECT qid, vec_id, dmic,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dmic, vec_id) AS rank
+      FROM tot WHERE vec_id != qid)
+    SELECT qid, vec_id,
+           ROUND(CAST(dmic AS DOUBLE) / 1000000, 6) AS adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {PQ_ADC_K}"""
+
+
+@register("pq_adc_topk", sql=_pq_adc_sql())
+def pq_adc_topk(sf_dir: str):
+    """Approximate top-k per query via PQ asymmetric distance computation
+    (ADC). Train the PQ codebooks (one streaming Lloyd's pass, shared with
+    pq_codebook_stats), precompute per-query (subspace × code) distance
+    tables on the driver (PQ_M × PQ_K floats per query — tiny), broadcast
+    once, then one streaming encode+lookup pass over the corpus with
+    per-block top-k. This is the at-scale ANN query path the reference's
+    dashboard-side batch scorer (pages/User Based Dashboard.py:258,
+    100-row micro-batches against a small trained model) approximates:
+    small trained state broadcast, corpus streamed."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    ds, bounds, cent1, ids1 = _pq_train(sf_dir)
+    t0 = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(list(PQ_QUERY_IDS)),
+    )
+    dfq = t0.to_pandas().sort_values("vec_id")
+    qids = dfq["vec_id"].to_numpy().astype(np.int64)
+    qfull = np.stack(dfq["embedding"].to_numpy()).astype(np.float64)
+    # (query × code) micro-unit distance table per subspace; non-negative,
+    # so half-away rounding = floor(x·1e6 + 0.5), matching the oracle's
+    # CAST(ROUND(list_distance · 1e6) AS BIGINT)
+    dts = []
+    for m, (lo, hi) in enumerate(bounds):
+        d = np.sqrt(
+            ((qfull[:, None, lo:hi] - cent1[m][None, :, :]) ** 2).sum(axis=2)
+        )
+        dts.append(np.floor(d * 1e6 + 0.5).astype(np.int64))
+
+    ref = ray.put((cent1, dts, qids))
+
+    def score(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "dmic": pd.Series([], dtype="int64"),
+                }
+            )
+        cents, dts_, qids_ = ray.get(ref)
+        full = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        tot = np.zeros((len(qids_), len(ids)), dtype=np.int64)
+        for m, (lo, hi) in enumerate(bounds):
+            # encode: rounded-distance argmin over id-ordered codewords
+            # reproduces the oracle's ORDER BY dist, cl tie rule
+            j = np.argmin(_kmeans_dists(full[:, lo:hi], cents[m]), axis=1)
+            tot += dts_[m][:, j]
+        out = []
+        for qi, qid in enumerate(qids_):
+            keep = ids != qid
+            d, v = tot[qi][keep], ids[keep]
+            order = np.lexsort((v, d))[:PQ_ADC_K]
+            out.append(
+                pd.DataFrame({"qid": qid, "vec_id": v[order], "dmic": d[order]})
+            )
+        return pd.concat(out, ignore_index=True)
+
+    pdf = ds.map_batches(
+        score, fn_kwargs={"ref": ref}, batch_format="pandas"
+    ).to_pandas()
+    rows = []
+    for qid, g in pdf.groupby("qid"):
+        g = (
+            g.sort_values(["dmic", "vec_id"])
+            .head(PQ_ADC_K)
+            .reset_index(drop=True)
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        rows.append(g)
+    out = pd.concat(rows, ignore_index=True)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"].to_numpy(np.int64)),
+            "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+            "adc_dist": pa.array(
+                round_half_away(out["dmic"].to_numpy(np.float64) / 1e6, 6)
+            ),
+            "rank": pa.array(out["rank"].to_numpy(np.int64)),
         }
     )
