@@ -149,6 +149,11 @@ BENCH_QUERIES = [
     "cumulative_unique_users_daily",
     "pq_codebook_stats",
     "score_calibration_bins",
+    # round-4 additions (blocked edit-distance ER, market-basket rules,
+    # binned two-sample KS drift)
+    "caption_edit_distance_neardups",
+    "brand_association_rules",
+    "event_value_ks_drift",
 ]
 
 

@@ -22,6 +22,7 @@ from . import graphops  # noqa: F401
 from . import relops  # noqa: F401
 from . import relops2  # noqa: F401
 from . import relops3  # noqa: F401
+from . import relops4  # noqa: F401
 from . import textstats  # noqa: F401
 from ..pipelines import reference_analogs  # noqa: F401
 from ..pipelines import dashboards  # noqa: F401

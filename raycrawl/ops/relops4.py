@@ -1,0 +1,481 @@
+"""Round-4 operator batch: three pipeline shapes the corpus-curation and
+monitoring surfaces still lacked —
+
+* ``caption_edit_distance_neardups`` — blocked entity-resolution near-dup
+  detection: Levenshtein distance over normalized caption prefixes inside
+  (lang, prefix, length-band) blocks.  The reference dedups captions by
+  exact string match only (`pages/Crawler.py:118-125` drops repeat texts
+  via a seen-set); blocking + edit-distance verify is the standard ER
+  upgrade of that same gate.  Blocking IS the operator contract (pairs in
+  different blocks are by definition not candidates), so the DuckDB oracle
+  replays the identical blocks with its native ``levenshtein``.
+* ``brand_association_rules`` — market-basket support/confidence/lift over
+  brands co-ordered in the same order, the classic co-occurrence shape of
+  the reference's topic co-mention counting
+  (`pages/Postprocess_scripts/Stance_Detection.py:63-114` correlates
+  entity pairs through a shared key before aggregating).
+* ``event_value_ks_drift`` — two-sample Kolmogorov–Smirnov drift between
+  the early and late half of the event stream, per event type, on a
+  fixed 256-bin grid.  The reference's dashboards eyeball
+  distribution change across crawl epochs (`pages/User Based
+  Dashboard.py` histograms per period); this is the scalable statistic
+  for the same question.
+
+Scale notes (the part the oracle can't check): edit-distance pairs ride
+ONE ``bucketed_group_agg`` exchange keyed on the block id — candidate
+verification is block-local and dedups identical prefixes first, so
+exact-dup-heavy blocks cost O(distinct-prefixes²) not O(rows²).
+Association rules pre-dedup (order, brand) per block, exchange keyed on
+orderkey (pairs are generated bucket-locally; brand cardinality bounds
+per-order fan-out at ~300 pairs), and the brand dimension broadcasts
+under the same adaptive ``PART_BROADCAST_MAX`` gate / ``Dataset.join``
+fallback as every other part-dim op.  The KS drift never shuffles at
+all: both passes are fixed-cardinality map-side partials (type × 256
+bins × 2 halves) folded in one local combine — the shape that still
+works when events is 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .common import (
+    bucketed_group_agg,
+    combine_small,
+    join_partitions,
+    note_path,
+    round_half_away,
+    table,
+    table_num_rows,
+)
+from .queries import register
+from .relops2 import PART_BROADCAST_MAX
+
+# --------------------------------------------------------------------------
+# caption_edit_distance_neardups
+
+_ED_PFX = 48  # chars of normalized text the distance is computed over
+_ED_BLK = 12  # chars of shared prefix that define a block
+_ED_LENBAND = 16  # n_chars // band is part of the block key
+_ED_MAXDIST = 5
+
+
+def _levenshtein(a: np.ndarray, b: np.ndarray) -> int:
+    """Edit distance between two codepoint arrays.  Two-row DP with the
+    inner loop vectorized; the sequential insert dependency is resolved
+    with the running-min identity  cur[j] = j + min_{i<=j}(cur[i] - i)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(la):
+        cur[0] = i + 1
+        np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i]), out=cur[1:])
+        np.minimum.accumulate(cur - idx, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+@register(
+    "caption_edit_distance_neardups",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             substr(lower(text), 1, {_ED_PFX}) AS pfx,
+             n_chars // {_ED_LENBAND} AS lb
+      FROM documents),
+    b AS (SELECT *, substr(pfx, 1, {_ED_BLK}) AS blk FROM d)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.blk = c.blk AND a.lb = c.lb
+         AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.pfx, c.pfx) <= {_ED_MAXDIST}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def caption_edit_distance_neardups(sf_dir: str):
+    n_rows = table_num_rows(sf_dir, "documents")
+    ds = table(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
+
+    def block_key(t: pa.Table) -> pa.Table:
+        pfx = pc.utf8_slice_codeunits(pc.utf8_lower(t["text"]), 0, _ED_PFX)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "pfx": pfx,
+                "blk": pc.utf8_slice_codeunits(pfx, 0, _ED_BLK),
+                "lb": pc.divide(t["n_chars"], pa.scalar(_ED_LENBAND)),
+            }
+        )
+
+    def per_block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        # singleton blocks (the vast majority) can't form pairs — drop them
+        # before the per-group loop so it only visits multi-row blocks
+        g = g[g.duplicated(["lang", "blk", "lb"], keep=False)]
+        for _, grp in g.groupby(["lang", "blk", "lb"], sort=False):
+            # verify distinct prefixes once; same-prefix pairs are dist 0
+            codes, first = pd.factorize(grp["pfx"].to_numpy())
+            cps = [_codepoints(s) for s in first]
+            u = len(first)
+            dist = np.zeros((u, u), dtype=np.int64)
+            for i in range(u):
+                for j in range(i + 1, u):
+                    dist[i, j] = dist[j, i] = _levenshtein(cps[i], cps[j])
+            ids = grp["doc_id"].to_numpy(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids, codes = ids[order], codes[order]
+            n = len(ids)
+            ii, jj = np.triu_indices(n, k=1)
+            dd = dist[codes[ii], codes[jj]]
+            keep = dd <= _ED_MAXDIST
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_d.append(dd[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "edit_dist": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "edit_dist": np.concatenate(out_d),
+            }
+        )
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(block_key, batch_format="pyarrow"),
+        ["lang", "blk", "lb"],
+        per_block_pairs,
+        approx_rows=n_rows,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+    return combine_small(pairs, final)
+
+
+# --------------------------------------------------------------------------
+# brand_association_rules
+
+_AR_MINSUP = 5
+
+
+@register(
+    "brand_association_rules",
+    sql=f"""
+    WITH op AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+    m AS (SELECT brand, count(*) AS cnt FROM op GROUP BY brand),
+    pr AS (
+      SELECT a.brand AS brand_a, c.brand AS brand_b,
+             count(*) AS support_cnt
+      FROM op a JOIN op c ON a.ok = c.ok AND a.brand < c.brand
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, CAST(support_cnt AS BIGINT) AS support_cnt,
+           ROUND(support_cnt / ma.cnt, 6) AS confidence,
+           ROUND((support_cnt * n.n_orders) / (ma.cnt * mb.cnt), 6) AS lift
+    FROM pr
+      JOIN m ma ON ma.brand = pr.brand_a
+      JOIN m mb ON mb.brand = pr.brand_b
+      CROSS JOIN n
+    WHERE support_cnt >= {_AR_MINSUP}
+    ORDER BY brand_a, brand_b
+    """,
+)
+def brand_association_rules(
+    sf_dir: str, part_broadcast_max: int = PART_BROADCAST_MAX
+):
+    n_li = table_num_rows(sf_dir, "lineitem")
+    li = table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    if table_num_rows(sf_dir, "part") <= part_broadcast_max:
+        note_path("brand_association_rules", "broadcast")
+        import pyarrow.dataset as pads
+
+        pt = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+            columns=["p_partkey", "p_brand"]
+        )
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        codes, brands = pd.factorize(
+            pt["p_brand"].to_numpy(zero_copy_only=False), sort=True
+        )
+        part_ref = ray.put((pk[order], codes[order].astype(np.int64)))
+        brand_names = list(brands)
+
+        def to_ob(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(part_ref)
+            probe = t["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.searchsorted(keys, probe)
+            m = pa.table(
+                {"ok": t["l_orderkey"], "brand_code": pa.array(vals[pos])}
+            )
+            return m.group_by(["ok", "brand_code"]).aggregate([])
+
+        ob = li.map_batches(to_ob, batch_format="pyarrow")
+    else:
+        note_path("brand_association_rules", "join")
+        part_ds = table(sf_dir, "part", ["p_partkey", "p_brand"])
+        brand_names = sorted(
+            part_ds.select_columns(["p_brand"]).unique("p_brand")
+        )
+        code_of = {b: i for i, b in enumerate(brand_names)}
+
+        def post(t: pa.Table) -> pa.Table:
+            codes_arr = pa.array(
+                [code_of[b] for b in t["p_brand"].to_pylist()],
+                pa.int64(),
+            )
+            m = pa.table({"ok": t["l_orderkey"], "brand_code": codes_arr})
+            return m.group_by(["ok", "brand_code"]).aggregate([])
+
+        ob = li.join(
+            part_ds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).map_batches(post, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["ok", "brand_code"]].drop_duplicates()
+        singles = g.groupby("brand_code", as_index=False).agg(
+            cnt=("ok", "size")
+        )
+        pairs = g.merge(g, on="ok")
+        pairs = pairs[pairs["brand_code_x"] < pairs["brand_code_y"]]
+        pairs = pairs.groupby(
+            ["brand_code_x", "brand_code_y"], as_index=False
+        ).agg(cnt=("ok", "size"))
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(
+                    [
+                        pairs["brand_code_x"].to_numpy(np.int64),
+                        singles["brand_code"].to_numpy(np.int64),
+                        np.array([-1], dtype=np.int64),
+                    ]
+                ),
+                "b": np.concatenate(
+                    [
+                        pairs["brand_code_y"].to_numpy(np.int64),
+                        np.full(len(singles), -1, dtype=np.int64),
+                        np.array([-1], dtype=np.int64),
+                    ]
+                ),
+                "cnt": np.concatenate(
+                    [
+                        pairs["cnt"].to_numpy(np.int64),
+                        singles["cnt"].to_numpy(np.int64),
+                        np.array([g["ok"].nunique()], dtype=np.int64),
+                    ]
+                ),
+            }
+        )
+
+    partials = bucketed_group_agg(ob, ["ok"], per_bucket, approx_rows=n_li)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["a", "b"], as_index=False)
+            .agg(cnt=("cnt", "sum"))
+        )
+        n_orders = int(df.loc[(df["a"] == -1) & (df["b"] == -1), "cnt"].sum())
+        marg = dict(
+            zip(
+                df.loc[(df["a"] >= 0) & (df["b"] == -1), "a"],
+                df.loc[(df["a"] >= 0) & (df["b"] == -1), "cnt"],
+            )
+        )
+        pr = df[(df["a"] >= 0) & (df["b"] >= 0)]
+        pr = pr[pr["cnt"] >= _AR_MINSUP].sort_values(["a", "b"])
+        sup = pr["cnt"].to_numpy(np.int64)
+        ca = np.array([marg[a] for a in pr["a"]], dtype=np.int64)
+        cb = np.array([marg[b] for b in pr["b"]], dtype=np.int64)
+        conf = sup / ca
+        lift = (sup * n_orders) / (ca * cb)
+        return pa.table(
+            {
+                "brand_a": pa.array([brand_names[a] for a in pr["a"]]),
+                "brand_b": pa.array([brand_names[b] for b in pr["b"]]),
+                "support_cnt": pa.array(sup),
+                "confidence": pa.array(round_half_away(conf, 6)),
+                "lift": pa.array(round_half_away(lift, 6)),
+            }
+        )
+
+    return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# event_value_ks_drift
+
+_KS_BINS = 256
+
+
+@register(
+    "event_value_ks_drift",
+    sql=f"""
+    WITH spanq AS (
+      SELECT min(epoch_us(ts))
+             + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS tmid
+      FROM events),
+    ext AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN x.vmax = x.vmin THEN 0
+                  ELSE LEAST(CAST(floor((e.value - x.vmin)
+                                        / (x.vmax - x.vmin)
+                                        * {_KS_BINS}.0) AS BIGINT),
+                             {_KS_BINS - 1})
+             END AS bin,
+             CASE WHEN epoch_us(e.ts) < s.tmid THEN 1 ELSE 0 END AS early
+      FROM events e JOIN ext x USING (event_type) CROSS JOIN spanq s),
+    cnt AS (
+      SELECT event_type, bin,
+             SUM(early) AS n_e, SUM(1 - early) AS n_l
+      FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type,
+             SUM(n_e) OVER w AS c_e, SUM(n_l) OVER w AS c_l,
+             SUM(n_e) OVER (PARTITION BY event_type) AS t_e,
+             SUM(n_l) OVER (PARTITION BY event_type) AS t_l
+      FROM cnt
+      WINDOW w AS (PARTITION BY event_type ORDER BY bin))
+    SELECT event_type,
+           ROUND(max(abs(CAST(c_e AS DOUBLE) / t_e
+                         - CAST(c_l AS DOUBLE) / t_l)), 6) AS ks_stat,
+           CAST(max(t_e) AS BIGINT) AS n_early,
+           CAST(max(t_l) AS BIGINT) AS n_late
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_value_ks_drift(sf_dir: str):
+    ds = table(sf_dir, "events", ["ts", "event_type", "value"])
+
+    # pass 1 (no exchange): per-type value extrema + the global time span.
+    # Fixed-cardinality partials (one row per type per block) fold locally.
+    def ext_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.TableGroupBy(t, ["event_type"])
+            .aggregate([("value", "min"), ("value", "max")])
+            .rename_columns(["event_type", "vmin", "vmax"])
+        )
+        ts = t["ts"].cast(pa.int64())
+        return g.append_column(
+            "tmin", pa.array([pc.min(ts).as_py()] * g.num_rows, pa.int64())
+        ).append_column(
+            "tmax", pa.array([pc.max(ts).as_py()] * g.num_rows, pa.int64())
+        )
+
+    ext = combine_small(
+        ds.map_batches(ext_partial, batch_format="pyarrow"),
+        lambda t: (
+            pa.TableGroupBy(t, ["event_type"])
+            .aggregate(
+                [("vmin", "min"), ("vmax", "max"),
+                 ("tmin", "min"), ("tmax", "max")]
+            )
+            .rename_columns(["event_type", "vmin", "vmax", "tmin", "tmax"])
+        ),
+    ).to_pandas()
+    tmin = int(ext["tmin"].min())
+    tmid = tmin + (int(ext["tmax"].max()) - tmin) // 2
+    vmin = dict(zip(ext["event_type"], ext["vmin"]))
+    vmax = dict(zip(ext["event_type"], ext["vmax"]))
+
+    # pass 2 (no exchange): per-(type, bin, half) counts — cardinality is
+    # types × 256 × 2 at ANY input size, so one local combine finishes it.
+    def bin_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "value": t["value"].to_numpy(zero_copy_only=False),
+                "early": (
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    < tmid
+                ).astype(np.int64),
+            }
+        )
+        lo = df["event_type"].map(vmin).to_numpy(np.float64)
+        hi = df["event_type"].map(vmax).to_numpy(np.float64)
+        v = df["value"].to_numpy(np.float64)
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((v - lo) / span * float(_KS_BINS))
+        df["bin"] = np.where(
+            span == 0.0,
+            0,
+            np.minimum(raw, _KS_BINS - 1).astype(np.int64, copy=False),
+        ).astype(np.int64)
+        g = df.groupby(["event_type", "bin"], as_index=False).agg(
+            n_e=("early", "sum"), n_l=("early", lambda s: len(s) - s.sum())
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["event_type", "bin"], as_index=False)
+            .agg(n_e=("n_e", "sum"), n_l=("n_l", "sum"))
+            .sort_values(["event_type", "bin"])
+        )
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            c_e = g["n_e"].cumsum().to_numpy(np.int64)
+            c_l = g["n_l"].cumsum().to_numpy(np.int64)
+            t_e, t_l = int(c_e[-1]), int(c_l[-1])
+            ks = float(
+                np.max(
+                    np.abs(
+                        c_e.astype(np.float64) / t_e
+                        - c_l.astype(np.float64) / t_l
+                    )
+                )
+            )
+            rows.append((et, ks, t_e, t_l))
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows]),
+                "ks_stat": pa.array(
+                    round_half_away(
+                        np.array([r[1] for r in rows], dtype=np.float64), 6
+                    )
+                ),
+                "n_early": pa.array([r[2] for r in rows], pa.int64()),
+                "n_late": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    return combine_small(
+        ds.map_batches(bin_partial, batch_format="pyarrow"), final
+    )
