@@ -538,6 +538,29 @@ def main() -> None:
         and int(cu["new_users"].sum()) == int(cu["cum_users"].iloc[-1])
     )
 
+    # round-4 additions at 2.05M docs / 2.5M events / 6M lineitem: blocked
+    # edit-distance pairs (every rep-0↔rep-1 exact duplicate shares a
+    # block and has distance 0), brand rules (full 300-pair lattice at
+    # this density, lift finite and positive), and the KS drift pass
+    # (replicated halves → small stat, masses reconcile to the corpus)
+    ed = run("caption_edit_distance_neardups")
+    checks["editdist_found_seeded_dups"] = bool(
+        len(ed) > 0 and int((ed["edit_dist"] == 0).sum()) > 0
+    )
+    checks["editdist_within_threshold"] = bool((ed["edit_dist"] <= 5).all())
+    ar = run("brand_association_rules")
+    checks["assoc_rules_lift_positive"] = bool(
+        len(ar) > 0 and (ar["lift"] > 0).all()
+        and (ar["confidence"] <= 1.0).all()
+    )
+    ks = run("event_value_ks_drift")
+    checks["ks_mass_reconciles"] = (
+        int((ks["n_early"] + ks["n_late"]).sum()) == len(ev_users)
+    )
+    checks["ks_stat_in_unit_interval"] = bool(
+        ((ks["ks_stat"] >= 0) & (ks["ks_stat"] <= 1)).all()
+    )
+
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
     from raycrawl.crawler import CrawlConfig, run_crawl
