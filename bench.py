@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "caption_edit_distance_neardups",
     "brand_association_rules",
     "event_value_ks_drift",
+    "rrf_fused_topk",
+    "kll_value_quantiles",
+    "props_value_by_event_type",
 ]
 
 

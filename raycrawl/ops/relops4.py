@@ -335,6 +335,154 @@ def brand_association_rules(
 
 
 # --------------------------------------------------------------------------
+# rrf_fused_topk — reciprocal-rank fusion of the lexical (BM25) and
+# semantic (cosine) retrievers the registry already runs: the standard
+# hybrid-retrieval ranker for a training-data search index.  Lexical list
+# = bm25_top_docs' top-50 (same terms, same ordering contract: unrounded
+# score desc, doc_id); semantic list = top-50 by cosine against query
+# vector vec_id=0 (ann_bruteforce_topk's rounding-then-rank convention,
+# self-match excluded).  rrf(d) = Σ_lists 1/(60 + rank_d); docs missing
+# from a list contribute 0 from it.  Fusion itself touches ≤100 rows —
+# driver-local by construction; both input rankings are the streamed
+# top-k-partial pipelines.
+
+_RRF_K = 60
+_RRF_TOPK = 20
+_RRF_QID = 0
+
+
+@register(
+    "rrf_fused_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS words
+      FROM documents),
+    dl AS (SELECT doc_id, len(words) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT t.doc_id, q.term,
+             len(list_filter(t.words, x -> x = q.term)) AS tf
+      FROM toks t
+      CROSS JOIN (SELECT unnest(['spark', 'window', 'hash']) AS term) q),
+    df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf
+           GROUP BY term),
+    scores AS (
+      SELECT tf.doc_id,
+             SUM( ln((((SELECT n_docs FROM stats) - df.df + 0.5)
+                      / (df.df + 0.5)) + 1)
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                    / (SELECT avgdl FROM stats)))
+             ) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM scores QUALIFY lex_rank <= 50),
+    q AS (SELECT embedding AS qe FROM embeddings
+          WHERE vec_id = {_RRF_QID}),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])),
+                   4) AS cosine
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id != {_RRF_QID}),
+    sem AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+      FROM sem_scored QUALIFY sem_rank <= 50),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             COALESCE(lex.lex_rank, 0) AS lex_rank,
+             COALESCE(sem.sem_rank, 0) AS sem_rank,
+             COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0)
+             + COALESCE(1.0 / ({_RRF_K} + sem.sem_rank), 0) AS rrf
+      FROM lex FULL OUTER JOIN sem USING (doc_id))
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           ROUND(rrf, 6) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+)
+def rrf_fused_topk(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from .queries import REGISTRY
+
+    # lexical list: the registry's own BM25 pipeline (top-50, ordered by
+    # unrounded score desc then doc_id — row position IS the rank)
+    lex = REGISTRY["bm25_top_docs"]["fn"](sf_dir).to_pandas()
+    lex_rank = {int(d): r + 1 for r, d in enumerate(lex["doc_id"])}
+
+    # semantic list: brute-force cosine of every vector against query
+    # vec_id=0, per-block top-50 partials on the ROUNDED score (the ann
+    # convention), one local merge
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") == _RRF_QID,
+    )
+    qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    q_ref = ray.put(qv)
+
+    def sem_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qv_ = ray.get(q_ref)
+        keep = df["vec_id"].to_numpy() != _RRF_QID
+        df = df[keep]
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["vec_id"].to_numpy(np.int64),
+                "cosine": round_half_away(m @ qv_, 4),
+            }
+        )
+        return out.sort_values(
+            ["cosine", "doc_id"], ascending=[False, True]
+        ).head(50)
+
+    sem = combine_small(
+        table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+            sem_partial, batch_format="pandas"
+        ),
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas()
+            .sort_values(["cosine", "doc_id"], ascending=[False, True])
+            .head(50),
+            preserve_index=False,
+        ),
+    ).to_pandas()
+    sem_rank = {int(d): r + 1 for r, d in enumerate(sem["doc_id"])}
+
+    ids = sorted(set(lex_rank) | set(sem_rank))
+    lr = np.array([lex_rank.get(d, 0) for d in ids], dtype=np.int64)
+    sr = np.array([sem_rank.get(d, 0) for d in ids], dtype=np.int64)
+    rrf = np.where(lr > 0, 1.0 / (_RRF_K + lr), 0.0) + np.where(
+        sr > 0, 1.0 / (_RRF_K + sr), 0.0
+    )
+    df = pd.DataFrame(
+        {"doc_id": ids, "lex_rank": lr, "sem_rank": sr, "rrf": rrf}
+    ).sort_values(["rrf", "doc_id"], ascending=[False, True]).head(_RRF_TOPK)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "lex_rank": pa.array(df["lex_rank"].to_numpy(np.int64)),
+            "sem_rank": pa.array(df["sem_rank"].to_numpy(np.int64)),
+            "rrf": pa.array(round_half_away(df["rrf"].to_numpy(), 6)),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
 # event_value_ks_drift
 
 _KS_BINS = 256
@@ -478,4 +626,68 @@ def event_value_ks_drift(sf_dir: str):
 
     return combine_small(
         ds.map_batches(bin_partial, batch_format="pyarrow"), final
+    )
+
+
+# --------------------------------------------------------------------------
+# props_value_by_event_type — the JSON side-channel extraction the
+# reference does per tweet payload (`PreprocessDump.py` pulls typed fields
+# out of raw status JSON with a try/except skip; SURVEY §2.2 M7): parse
+# the `props` JSON column, pull the integer `k`, and aggregate it per
+# event type with malformed rows counted instead of crashing the
+# pipeline.  Extraction is a vectorized Arrow regex kernel (no Python
+# JSON loop); fixed key cardinality → per-block combiner + one local
+# fold, no shuffle at any scale.
+@register(
+    "props_value_by_event_type",
+    sql="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_parsed,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def props_value_by_event_type(sf_dir: str):
+    ds = table(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # '"k"\s*:\s*(-?\d+)' mirrors json_extract('$.k') for flat
+        # integer objects; rows that don't match parse as NULL (the
+        # dead-letter convention — counted, never fatal)
+        m = pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "k": k})
+        return (
+            pa.TableGroupBy(g, ["event_type"])
+            .aggregate(
+                [([], "count_all"), ("k", "count"), ("k", "sum"),
+                 ("k", "min"), ("k", "max")]
+            )
+            .rename_columns(
+                ["event_type", "n", "n_parsed", "sum_k", "min_k", "max_k"]
+            )
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        out = (
+            pa.TableGroupBy(t, ["event_type"])
+            .aggregate(
+                [("n", "sum"), ("n_parsed", "sum"), ("sum_k", "sum"),
+                 ("min_k", "min"), ("max_k", "max")]
+            )
+            .rename_columns(
+                ["event_type", "n", "n_parsed", "sum_k", "min_k", "max_k"]
+            )
+        )
+        return out.sort_by([("event_type", "ascending")])
+
+    return combine_small(
+        ds.map_batches(partial, batch_format="pyarrow"), final
     )

@@ -346,3 +346,151 @@ def event_value_quantiles_by_type(sf_dir: str):
     from .common import combine_small
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"), finish)
+
+
+# --------------------------------------------------------------------------
+# KLL-style mergeable rank sketch over UNROUNDED doubles — the scale path
+# for quantiles when the value domain is too fine for the rounded
+# histogram above (arbitrary-precision floats, 100 TB of them). Fully
+# deterministic: each level compacts by keeping every other sorted
+# element, the kept offset alternating with that level's compaction
+# count, and only an even-sized prefix compacts (the odd leftover stays),
+# so TOTAL WEIGHT IS EXACTLY n — an invariant the tests assert. Rank
+# error is bounded by (sum of 2^l over compacted levels)·(compactions per
+# level), empirically ≤1% of n at k=256 (tests/test_round4c.py pins it
+# on uniform, sorted and heavy-skew inputs). Reference analog: the
+# reference bounds its per-run state with fixed-size caches
+# (`pages/Crawler.py:96-104` trims its seen list); a rank sketch is the
+# same bounded-state idea applied to order statistics.
+_KLL_K = 256
+_KLL_QS = (0.01, 0.25, 0.50, 0.75, 0.90, 0.99)
+
+
+class _KLL:
+    __slots__ = ("k", "levels", "compactions", "n")
+
+    def __init__(self, k: int = _KLL_K):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.compactions: list[int] = [0]
+        self.n = 0
+
+    def _cap(self, lvl: int) -> int:
+        # higher levels hold heavier items: geometric capacity decay like
+        # KLL, floored so every level keeps a useful buffer
+        top = len(self.levels) - 1
+        return max(16, int(self.k * (2.0 / 3.0) ** (top - lvl)))
+
+    def insert(self, values: np.ndarray) -> None:
+        if not len(values):
+            return
+        self.n += len(values)
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self._compress()
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            buf = self.levels[lvl]
+            if len(buf) <= self._cap(lvl):
+                lvl += 1
+                continue
+            buf = np.sort(buf, kind="stable")
+            even = len(buf) - (len(buf) % 2)
+            offset = self.compactions[lvl] % 2
+            keep = buf[offset:even:2]  # every other survivor, weight 2x
+            self.compactions[lvl] += 1
+            self.levels[lvl] = buf[even:]  # odd leftover keeps weight 1x
+            if lvl + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self.compactions.append(0)
+            self.levels[lvl + 1] = np.concatenate(
+                [self.levels[lvl + 1], keep]
+            )
+            lvl += 1
+
+    def rows(self) -> pa.Table:
+        lv = [
+            np.full(len(b), l, dtype=np.int64)
+            for l, b in enumerate(self.levels)
+        ]
+        return pa.table(
+            {
+                "level": pa.array(np.concatenate(lv) if lv else
+                                  np.empty(0, np.int64)),
+                "value": pa.array(
+                    np.concatenate(self.levels)
+                    if self.levels else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    @classmethod
+    def from_rows(cls, level: np.ndarray, value: np.ndarray,
+                  k: int = _KLL_K) -> "_KLL":
+        """Merge serialized sketches: re-insert each level's items at
+        their weight by seeding that level directly, then compress.
+        Sorting first makes the merge independent of block arrival
+        order — the determinism the oracle-less test still needs."""
+        sk = cls(k)
+        order = np.lexsort((value, level))
+        level, value = level[order], value[order]
+        top = int(level[-1]) if len(level) else 0
+        sk.levels = [
+            np.sort(value[level == l], kind="stable")
+            for l in range(top + 1)
+        ]
+        sk.compactions = [0] * (top + 1)
+        sk.n = int(sum(len(b) << l for l, b in enumerate(sk.levels)))
+        sk._compress()
+        return sk
+
+    def quantile(self, phi: float) -> float:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(b), 1 << l, dtype=np.int64)
+             for l, b in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        tgt = phi * cum[-1]
+        return float(vals[int(np.searchsorted(cum, tgt))])
+
+
+@register("kll_value_quantiles")  # rows-only: sketch state isn't SQL
+def kll_value_quantiles(sf_dir: str):
+    """Approximate event-value quantiles via per-block KLL partials and a
+    single local merge of serialized (level, value) rows — sketch size is
+    O(k·log(n/k)) per block and the merged state stays a few KB at ANY
+    input size. tests/test_round4c.py bounds the rank error vs the exact
+    answer and asserts the exact-mass invariant."""
+    ds = table(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = _KLL()
+        sk.insert(t["value"].to_numpy(zero_copy_only=False)
+                  .astype(np.float64))
+        return sk.rows()
+
+    def finish(t: pa.Table) -> pa.Table:
+        sk = _KLL.from_rows(
+            t["level"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+        return pa.table(
+            {
+                "quantile": pa.array(
+                    [f"p{q * 100:g}" for q in _KLL_QS]
+                ),
+                "value": pa.array(
+                    [sk.quantile(q) for q in _KLL_QS], pa.float64()
+                ),
+                "n": pa.array([sk.n] * len(_KLL_QS), pa.int64()),
+            }
+        )
+
+    from .common import combine_small
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         finish)
