@@ -83,6 +83,44 @@ def _levenshtein(a: np.ndarray, b: np.ndarray) -> int:
     return int(prev[-1])
 
 
+def _levenshtein_bounded(a: np.ndarray, b: np.ndarray, k: int) -> int:
+    """Edit distance if it is ≤ k, else any value > k (callers only keep
+    ≤-k pairs, so the exact magnitude past the threshold is irrelevant).
+    Two pruning layers make mostly-dissimilar blocks cheap: the shared
+    prefix/suffix is stripped first (block members share ≥ the 12-char
+    blocking prefix by construction, word-permuted texts usually much
+    more), then the DP early-abandons as soon as a full row exceeds k."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    m = min(la, lb)
+    neq = a[:m] != b[:m]
+    p = int(np.argmax(neq)) if neq.any() else m
+    a, b = a[p:], b[p:]
+    la, lb = len(a), len(b)
+    m = min(la, lb)
+    if m:
+        neq = a[::-1][:m] != b[::-1][:m]
+        s = int(np.argmax(neq)) if neq.any() else m
+        if s:
+            a, b = a[: la - s], b[: lb - s]
+            la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(la):
+        cur[0] = i + 1
+        np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i]), out=cur[1:])
+        np.minimum.accumulate(cur - idx, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+        if prev.min() > k:
+            return k + 1
+    return int(prev[-1])
+
+
 def _codepoints(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
@@ -121,40 +159,115 @@ def caption_edit_distance_neardups(sf_dir: str):
             }
         )
 
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "edit_dist": pd.Series([], dtype="int64"),
+            }
+        )
+
     def per_block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton blocks (the vast majority) can't form pairs — drop them
+        # before any per-block work
+        g = g[g.duplicated(["lang", "blk", "lb"], keep=False)]
+        if not len(g):
+            return _empty_pairs()
+        # one lexsort replaces a 3-string-column pandas groupby: blocks
+        # become contiguous runs, doc_id ascending inside each run
+        lang_c, _ = pd.factorize(g["lang"].to_numpy())
+        blk_c, _ = pd.factorize(g["blk"].to_numpy())
+        lb_v = g["lb"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, lb_v, blk_c, lang_c))
+        lang_c, blk_c, lb_v, ids = (
+            lang_c[order], blk_c[order], lb_v[order], ids[order]
+        )
+        pfx = g["pfx"].to_numpy()[order]
+        bnd = np.flatnonzero(
+            (np.diff(lang_c) != 0) | (np.diff(blk_c) != 0)
+            | (np.diff(lb_v) != 0)
+        ) + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [len(ids)]])
+
+        # candidate pairs, all blocks flattened (triu cache: block sizes
+        # repeat heavily, almost all are 2)
+        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        ii_parts, jj_parts = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n not in triu_cache:
+                triu_cache[n] = np.triu_indices(n, k=1)
+            ti, tj = triu_cache[n]
+            ii_parts.append(ti + s)
+            jj_parts.append(tj + s)
+        if not ii_parts:
+            return _empty_pairs()
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+
+        # batched DP over EVERY pair at once (one 48-step vectorized loop
+        # per bucket instead of one python DP per pair). Prefixes are a
+        # fixed 48 codepoints whenever n_chars ≥ 48 — the length-band
+        # block key guarantees it for all but degenerate short docs,
+        # which fall back to the scalar bounded DP.
+        lens = np.fromiter((len(s) for s in pfx), np.int64, len(pfx))
+        full = lens == _ED_PFX
+        batchable = full[ii] & full[jj]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        # singleton blocks (the vast majority) can't form pairs — drop them
-        # before the per-group loop so it only visits multi-row blocks
-        g = g[g.duplicated(["lang", "blk", "lb"], keep=False)]
-        for _, grp in g.groupby(["lang", "blk", "lb"], sort=False):
-            # verify distinct prefixes once; same-prefix pairs are dist 0
-            codes, first = pd.factorize(grp["pfx"].to_numpy())
-            cps = [_codepoints(s) for s in first]
-            u = len(first)
-            dist = np.zeros((u, u), dtype=np.int64)
-            for i in range(u):
-                for j in range(i + 1, u):
-                    dist[i, j] = dist[j, i] = _levenshtein(cps[i], cps[j])
-            ids = grp["doc_id"].to_numpy(np.int64)
-            order = np.argsort(ids, kind="stable")
-            ids, codes = ids[order], codes[order]
-            n = len(ids)
-            ii, jj = np.triu_indices(n, k=1)
-            dd = dist[codes[ii], codes[jj]]
+        if batchable.any():
+            bi, bj = ii[batchable], jj[batchable]
+            mat = np.frombuffer(
+                "".join(pfx[full]).encode("utf-32-le"), dtype=np.uint32
+            ).reshape(-1, _ED_PFX)
+            row_of = np.cumsum(full) - 1  # position in mat for full rows
+            A = mat[row_of[bi]]
+            B = mat[row_of[bj]]
+            P = len(bi)
+            idx = np.arange(_ED_PFX + 1, dtype=np.int32)
+            prev = np.broadcast_to(idx, (P, _ED_PFX + 1)).copy()
+            cur = np.empty_like(prev)
+            for t in range(_ED_PFX):
+                cur[:, 0] = t + 1
+                np.minimum(
+                    prev[:, 1:] + 1,
+                    prev[:, :-1] + (B != A[:, t : t + 1]),
+                    out=cur[:, 1:],
+                )
+                cur -= idx
+                np.minimum.accumulate(cur, axis=1, out=cur)
+                cur += idx
+                prev, cur = cur, prev
+            dd = prev[:, -1].astype(np.int64)
             keep = dd <= _ED_MAXDIST
-            out_a.append(ids[ii[keep]])
-            out_b.append(ids[jj[keep]])
+            out_a.append(ids[bi[keep]])
+            out_b.append(ids[bj[keep]])
             out_d.append(dd[keep])
-        if not out_a:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "edit_dist": pd.Series([], dtype="int64"),
-                }
-            )
+        rest = ~batchable
+        if rest.any():
+            cps_cache: dict[int, np.ndarray] = {}
+
+            def cp(r: int) -> np.ndarray:
+                if r not in cps_cache:
+                    cps_cache[r] = _codepoints(pfx[r])
+                return cps_cache[r]
+
+            ra, rb, rd = [], [], []
+            for i, j in zip(ii[rest], jj[rest]):
+                d = _levenshtein_bounded(cp(int(i)), cp(int(j)), _ED_MAXDIST)
+                if d <= _ED_MAXDIST:
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+                    rd.append(d)
+            out_a.append(np.array(ra, dtype=np.int64))
+            out_b.append(np.array(rb, dtype=np.int64))
+            out_d.append(np.array(rd, dtype=np.int64))
         return pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a),

@@ -228,3 +228,22 @@ def test_props_extraction_dead_letters(ray_session, tmp_path):
     assert (a["n"], a["n_parsed"], a["sum_k"]) == (3, 1, 3)
     b = out[out["event_type"] == "b"].iloc[0]
     assert (b["n_parsed"], b["min_k"]) == (1, -7)
+
+
+def test_levenshtein_bounded_agrees_below_threshold():
+    from raycrawl.ops.relops4 import (
+        _codepoints, _levenshtein, _levenshtein_bounded)
+
+    rng = np.random.default_rng(17)
+    alpha = "abcd"
+    for _ in range(300):
+        la, lb = rng.integers(0, 20, size=2)
+        a = "".join(rng.choice(list(alpha), size=la))
+        b = "".join(rng.choice(list(alpha), size=lb))
+        for k in (0, 1, 3, 5):
+            exact = _levenshtein(_codepoints(a), _codepoints(b))
+            bounded = _levenshtein_bounded(_codepoints(a), _codepoints(b), k)
+            if exact <= k:
+                assert bounded == exact, (a, b, k)
+            else:
+                assert bounded > k, (a, b, k)
