@@ -560,6 +560,25 @@ def main() -> None:
     checks["ks_stat_in_unit_interval"] = bool(
         ((ks["ks_stat"] >= 0) & (ks["ks_stat"] <= 1)).all()
     )
+    fl = run("funnel_time_to_convert")
+    checks["funnel_latency_positive"] = bool(
+        len(fl) == 2 and (fl["n_users"] > 0).all()
+        and (fl["mean_latency_s"] > 0).all()
+        and (fl["max_latency_s"] >= fl["mean_latency_s"]).all()
+    )
+    eh = run("equi_depth_value_histogram")
+    checks["equi_depth_mass"] = int(eh["n"].sum()) == len(ev_users)
+    checks["equi_depth_monotone_edges"] = bool(
+        eh["hi_edge"].is_monotonic_increasing
+    )
+    kq = run("kll_value_quantiles")
+    checks["kll_exact_mass"] = int(kq["n"].iloc[0]) == len(ev_users)
+    # the sketch's p50 must land inside the exact equi-depth p37.5-p62.5
+    # band — a 2.5M-row rank-error check without materializing a sort
+    p50 = float(kq.loc[kq["quantile"] == "p50", "value"].iloc[0])
+    checks["kll_p50_in_band"] = bool(
+        float(eh["hi_edge"].iloc[2]) <= p50 <= float(eh["hi_edge"].iloc[4])
+    )
 
     # crawl at a bigger web than the bench default — completion + rate
     from raycrawl.core.webgraph import WebConfig, seed_urls
