@@ -198,6 +198,35 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"[curate/pack] wrote {len(written)} masked, decontaminated, "
           f"packed rows to {out} (partitioned by chunk_block)")
 
+    # round-4 additions: the monitoring + retrieval layer over the
+    # curated corpus — blocked edit-distance ER pairs, hybrid RRF
+    # retrieval, the KLL rank sketch and the KS drift monitor
+    from raycrawl.ops.relops4 import (
+        caption_edit_distance_neardups,
+        event_value_ks_drift,
+        funnel_time_to_convert,
+        rrf_fused_topk,
+    )
+    from raycrawl.ops.sketches_ops import kll_value_quantiles
+
+    ed = as_df(caption_edit_distance_neardups(sf_dir))
+    print(f"[dedup/edit-distance] {len(ed)} blocked near-dup pairs "
+          f"(max dist {int(ed['edit_dist'].max()) if len(ed) else '-'})")
+    fused = as_df(rrf_fused_topk(sf_dir))
+    both = int(((fused['lex_rank'] > 0) & (fused['sem_rank'] > 0)).sum())
+    print(f"[retrieve/rrf] top-{len(fused)} hybrid docs, "
+          f"{both} ranked by both retrievers")
+    kq = as_df(kll_value_quantiles(sf_dir))
+    print(f"[monitor/kll] p50={float(kq.loc[kq['quantile']=='p50','value'].iloc[0]):.2f} "
+          f"over n={int(kq['n'].iloc[0])} (sketch, no sort)")
+    ks = as_df(event_value_ks_drift(sf_dir))
+    print(f"[monitor/ks-drift] max drift "
+          f"{float(ks['ks_stat'].max()):.4f} across {len(ks)} event types")
+    fl = as_df(funnel_time_to_convert(sf_dir))
+    for r in fl.itertuples():
+        print(f"[monitor/funnel] {r.transition}: {r.n_users} users, "
+              f"mean {r.mean_latency_s:.1f}s")
+
     ray.shutdown()
 
 
