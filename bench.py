@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "props_value_by_event_type",
     "funnel_time_to_convert",
     "equi_depth_value_histogram",
+    "pq_code_dedup_groups",
 ]
 
 

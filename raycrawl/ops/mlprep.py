@@ -1409,3 +1409,86 @@ def pq_adc_topk(sf_dir: str):
             "rank": pa.array(out["rank"].to_numpy(np.int64)),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# PQ-code coarse dedup: vectors that land in the SAME codeword in every
+# subspace are coarse near-duplicates — the SemDeDup idea executed through
+# the PQ index instead of full-dimension cosine, which is the shape that
+# survives 100 TB (each vector reduces to PQ_M small ints; grouping is a
+# fixed-cardinality ≤ K^M fold, no pairwise math, no shuffle of
+# embeddings). Keeper = min vec_id per group, the same deterministic
+# keep-first rule as exact_dedup_docs.
+def _pq_dedup_sql() -> str:
+    joins = " ".join(
+        f"JOIN a2_{m} a{m} USING (vec_id)" for m in range(1, PQ_M)
+    )
+    cols = ", ".join(
+        f"CAST(a{m}.cl AS BIGINT) AS code_{m}" for m in range(PQ_M)
+    )
+    keys = ", ".join(f"code_{m}" for m in range(PQ_M))
+    ctes = ",\n    ".join(_pq_ctes())
+    return f"""WITH {ctes},
+    codes AS (
+      SELECT a0.vec_id, {cols}
+      FROM a2_0 a0 {joins})
+    SELECT {keys}, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS keeper_vec_id
+    FROM codes GROUP BY {keys} HAVING count(*) >= 2
+    ORDER BY {keys}"""
+
+
+@register("pq_code_dedup_groups", sql=_pq_dedup_sql())
+def pq_code_dedup_groups(sf_dir: str):
+    ds, bounds, cent1, ids1 = _pq_train(sf_dir)
+    ref = ray.put((cent1, ids1))
+
+    def encode_groups(df: pd.DataFrame, *, ref) -> pd.DataFrame:
+        cols = [f"code_{m}" for m in range(PQ_M)]
+        if not len(df):
+            return pd.DataFrame(
+                {**{c: pd.Series([], dtype="int64") for c in cols},
+                 "n_vecs": pd.Series([], dtype="int64"),
+                 "keeper_vec_id": pd.Series([], dtype="int64")}
+            )
+        cents, idss = ray.get(ref)
+        full = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        out = {"vec_id": df["vec_id"].to_numpy(np.int64)}
+        for m, (lo, hi) in enumerate(bounds):
+            j = np.argmin(_kmeans_dists(full[:, lo:hi], cents[m]), axis=1)
+            out[f"code_{m}"] = idss[m][j]
+        # per-block partial: group cardinality is ≤ K^M at ANY input size
+        return (
+            pd.DataFrame(out)
+            .groupby(cols, as_index=False)
+            .agg(n_vecs=("vec_id", "size"), keeper_vec_id=("vec_id", "min"))
+        )
+
+    from .common import combine_small
+
+    cols = [f"code_{m}" for m in range(PQ_M)]
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(cols, as_index=False)
+            .agg(n_vecs=("n_vecs", "sum"),
+                 keeper_vec_id=("keeper_vec_id", "min"))
+        )
+        g = g[g["n_vecs"] >= 2].sort_values(cols)
+        return pa.table(
+            {
+                **{c: pa.array(g[c].to_numpy(np.int64)) for c in cols},
+                "n_vecs": pa.array(g["n_vecs"].to_numpy(np.int64)),
+                "keeper_vec_id": pa.array(
+                    g["keeper_vec_id"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return combine_small(
+        ds.map_batches(
+            encode_groups, fn_kwargs={"ref": ref}, batch_format="pandas"
+        ),
+        final,
+    )

@@ -268,3 +268,14 @@ def test_equi_depth_mass_and_monotone(ray_session):
     assert out["hi_edge"].is_monotonic_increasing
     # equal-depth: every bucket within ±1 rounded-value-run of n/8
     assert (out["n"] > 0).all()
+
+
+def test_pq_code_dedup_matches_oracle(ray_session):
+    got, want = (
+        norm(run_query("pq_code_dedup_groups", SF)),
+        norm(oracle("pq_code_dedup_groups", SF)),
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # keeper is always a member-minimum: group sizes >= 2, keeper unique
+    assert (got["n_vecs"] >= 2).all()
+    assert got["keeper_vec_id"].is_unique
