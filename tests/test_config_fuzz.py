@@ -41,9 +41,14 @@ def _sort_log(log):
     )
 
 
+import os
+
+_EXAMPLES = 60 if os.environ.get("RAYCRAWL_SLOW") else 12
+
+
 @given(_cfg_st)
 @settings(
-    max_examples=12,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
