@@ -635,6 +635,16 @@ def run_crawl(
             t = _mark("checkpoint", t)
         epoch += 1
 
+    # EVERY exit path (max_epochs cut, graceful stop, frontier-exhausted)
+    # flushes pending offers before the closing checkpoint: the oracle
+    # marks seen at enqueue time even for outlinks discovered in the final
+    # executed epoch, but the engine's offers are gated at the NEXT pop —
+    # and after a truncated crawl there is no next pop. The flush runs the
+    # same seen/robots/trap/quota gate as a pop-time merge, so the seen
+    # set, denial log entries and metrics match the oracle exactly.
+    # (Frontier-exhausted exits have an empty pending buffer — no-op.)
+    ray.get([a.flush_pending.remote() for a in actors])
+
     # final checkpoint labels the LAST EXECUTED epoch. If nothing ran this
     # session (stop fired immediately / frontier already empty), label
     # start_epoch - 1 so stop/resume cycles keep contiguous epoch numbering

@@ -291,6 +291,20 @@ class FrontierShard:
             offer_key, urls, digests, hosts, priorities, depths, discovered_at
         )
 
+    def flush_pending(self) -> int:
+        """Final-epoch offer flush, called by the driver on EVERY crawl-exit
+        path (max_epochs cut, graceful stop) before the closing checkpoint.
+        The oracle marks seen (and logs denials) at enqueue time — including
+        for outlinks discovered in the last executed epoch — while the
+        engine's offers normally wait in ``pending`` for the next ``pop``.
+        When the crawl is truncated there IS no next pop, so without this
+        flush the seen set misses every offer from the final epoch (the
+        round-4 fuzz falsifier: a trap outlink discovered at
+        ``max_epochs - 1``). Returns the number of offers flushed."""
+        n = len(self.pending)
+        self._merge_pending()
+        return n
+
     def _merge_pending(self) -> None:
         """Seen-check + robots-check + enqueue the pending buffer
         (sorted-URL order — matches the oracle's ``for url in sorted(best)``)."""

@@ -175,99 +175,137 @@ def caption_edit_distance_neardups(sf_dir: str):
         if not len(g):
             return _empty_pairs()
         # one lexsort replaces a 3-string-column pandas groupby: blocks
-        # become contiguous runs, doc_id ascending inside each run
+        # become contiguous runs, identical prefixes contiguous inside
+        # each run, doc_id ascending inside each prefix group
         lang_c, _ = pd.factorize(g["lang"].to_numpy())
         blk_c, _ = pd.factorize(g["blk"].to_numpy())
+        pfx_c, _ = pd.factorize(g["pfx"].to_numpy())
         lb_v = g["lb"].to_numpy(np.int64)
         ids = g["doc_id"].to_numpy(np.int64)
-        order = np.lexsort((ids, lb_v, blk_c, lang_c))
-        lang_c, blk_c, lb_v, ids = (
-            lang_c[order], blk_c[order], lb_v[order], ids[order]
+        order = np.lexsort((ids, pfx_c, lb_v, blk_c, lang_c))
+        lang_c, blk_c, lb_v, ids, pfx_c = (
+            lang_c[order], blk_c[order], lb_v[order], ids[order],
+            pfx_c[order],
         )
         pfx = g["pfx"].to_numpy()[order]
-        bnd = np.flatnonzero(
+        blk_change = (
             (np.diff(lang_c) != 0) | (np.diff(blk_c) != 0)
             | (np.diff(lb_v) != 0)
-        ) + 1
-        starts = np.concatenate([[0], bnd])
-        ends = np.concatenate([bnd, [len(ids)]])
+        )
+        grp_change = blk_change | (np.diff(pfx_c) != 0)
 
-        # candidate pairs, all blocks flattened (triu cache: block sizes
-        # repeat heavily, almost all are 2)
-        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        ii_parts, jj_parts = [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            if n not in triu_cache:
-                triu_cache[n] = np.triu_indices(n, k=1)
-            ti, tj = triu_cache[n]
-            ii_parts.append(ti + s)
-            jj_parts.append(tj + s)
-        if not ii_parts:
-            return _empty_pairs()
-        ii = np.concatenate(ii_parts)
-        jj = np.concatenate(jj_parts)
-
-        # batched DP over EVERY pair at once (one 48-step vectorized loop
-        # per bucket instead of one python DP per pair). Prefixes are a
-        # fixed 48 codepoints whenever n_chars ≥ 48 — the length-band
-        # block key guarantees it for all but degenerate short docs,
-        # which fall back to the scalar bounded DP.
-        lens = np.fromiter((len(s) for s in pfx), np.int64, len(pfx))
-        full = lens == _ED_PFX
-        batchable = full[ii] & full[jj]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        if batchable.any():
-            bi, bj = ii[batchable], jj[batchable]
-            mat = np.frombuffer(
-                "".join(pfx[full]).encode("utf-32-le"), dtype=np.uint32
-            ).reshape(-1, _ED_PFX)
-            row_of = np.cumsum(full) - 1  # position in mat for full rows
-            A = mat[row_of[bi]]
-            B = mat[row_of[bj]]
-            P = len(bi)
-            idx = np.arange(_ED_PFX + 1, dtype=np.int32)
-            prev = np.broadcast_to(idx, (P, _ED_PFX + 1)).copy()
-            cur = np.empty_like(prev)
-            for t in range(_ED_PFX):
-                cur[:, 0] = t + 1
-                np.minimum(
-                    prev[:, 1:] + 1,
-                    prev[:, :-1] + (B != A[:, t : t + 1]),
-                    out=cur[:, 1:],
-                )
-                cur -= idx
-                np.minimum.accumulate(cur, axis=1, out=cur)
-                cur += idx
-                prev, cur = cur, prev
-            dd = prev[:, -1].astype(np.int64)
-            keep = dd <= _ED_MAXDIST
-            out_a.append(ids[bi[keep]])
-            out_b.append(ids[bj[keep]])
-            out_d.append(dd[keep])
-        rest = ~batchable
-        if rest.any():
-            cps_cache: dict[int, np.ndarray] = {}
+        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-            def cp(r: int) -> np.ndarray:
-                if r not in cps_cache:
-                    cps_cache[r] = _codepoints(pfx[r])
-                return cps_cache[r]
+        def triu(n: int) -> tuple[np.ndarray, np.ndarray]:
+            if n not in triu_cache:
+                triu_cache[n] = np.triu_indices(n, k=1)
+            return triu_cache[n]
 
-            ra, rb, rd = [], [], []
-            for i, j in zip(ii[rest], jj[rest]):
-                d = _levenshtein_bounded(cp(int(i)), cp(int(j)), _ED_MAXDIST)
-                if d <= _ED_MAXDIST:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rd.append(d)
-            out_a.append(np.array(ra, dtype=np.int64))
-            out_b.append(np.array(rb, dtype=np.int64))
-            out_d.append(np.array(rd, dtype=np.int64))
+        # dedup-then-expand, part 1: docs sharing an identical prefix are
+        # distance 0 by definition — emit their pairs straight from the
+        # (block, prefix) group runs, no DP touched. This is what makes
+        # exact-dup-heavy blocks cheap: an N-dup group costs its output
+        # pairs and nothing else.
+        gb = np.flatnonzero(grp_change) + 1
+        gstarts = np.concatenate([[0], gb])
+        gends = np.concatenate([gb, [len(ids)]])
+        for s, e in zip(gstarts, gends):
+            n = e - s
+            if n < 2:
+                continue
+            ti, tj = triu(int(n))
+            out_a.append(ids[ti + s])
+            out_b.append(ids[tj + s])
+            out_d.append(np.zeros(len(ti), dtype=np.int64))
+
+        # part 2: the DP runs once per DISTINCT prefix pair within a
+        # block (group representatives), and each qualifying pair expands
+        # to its groups' doc-id cross product afterwards — dup-heavy
+        # blocks cost O(distinct-prefixes²) DP work and DP memory
+        # (pairs × 48 arrays), not O(rows²).
+        reps = gstarts
+        blk_id = np.concatenate([[0], np.cumsum(blk_change)])
+        rep_blk = blk_id[reps]
+        rpfx = pfx[reps]
+        rb = np.flatnonzero(np.diff(rep_blk) != 0) + 1
+        rstarts = np.concatenate([[0], rb])
+        rends = np.concatenate([rb, [len(reps)]])
+        ii_parts, jj_parts = [], []
+        for s, e in zip(rstarts, rends):
+            m = e - s
+            if m < 2:
+                continue
+            ti, tj = triu(int(m))
+            ii_parts.append(ti + s)
+            jj_parts.append(tj + s)
+
+        def expand(ga: int, gbi: int, d: int) -> None:
+            ma = ids[gstarts[ga]:gends[ga]]
+            mb = ids[gstarts[gbi]:gends[gbi]]
+            ra = np.repeat(ma, len(mb))
+            rbv = np.tile(mb, len(ma))
+            out_a.append(np.minimum(ra, rbv))
+            out_b.append(np.maximum(ra, rbv))
+            out_d.append(np.full(len(ra), d, dtype=np.int64))
+
+        if ii_parts:
+            ii = np.concatenate(ii_parts)  # indices into reps (groups)
+            jj = np.concatenate(jj_parts)
+            # batched DP over every distinct-prefix pair at once (one
+            # 48-step vectorized loop per bucket instead of one python DP
+            # per pair). Prefixes are a fixed 48 codepoints whenever
+            # n_chars ≥ 48 — the length-band block key guarantees it for
+            # all but degenerate short docs, which fall back to the
+            # scalar bounded DP.
+            lens = np.fromiter((len(s) for s in rpfx), np.int64, len(rpfx))
+            full = lens == _ED_PFX
+            batchable = full[ii] & full[jj]
+            if batchable.any():
+                bi, bj = ii[batchable], jj[batchable]
+                mat = np.frombuffer(
+                    "".join(rpfx[full]).encode("utf-32-le"), dtype=np.uint32
+                ).reshape(-1, _ED_PFX)
+                row_of = np.cumsum(full) - 1  # position in mat, full rows
+                A = mat[row_of[bi]]
+                B = mat[row_of[bj]]
+                P = len(bi)
+                idx = np.arange(_ED_PFX + 1, dtype=np.int32)
+                prev = np.broadcast_to(idx, (P, _ED_PFX + 1)).copy()
+                cur = np.empty_like(prev)
+                for t in range(_ED_PFX):
+                    cur[:, 0] = t + 1
+                    np.minimum(
+                        prev[:, 1:] + 1,
+                        prev[:, :-1] + (B != A[:, t : t + 1]),
+                        out=cur[:, 1:],
+                    )
+                    cur -= idx
+                    np.minimum.accumulate(cur, axis=1, out=cur)
+                    cur += idx
+                    prev, cur = cur, prev
+                dd = prev[:, -1].astype(np.int64)
+                for k in np.flatnonzero(dd <= _ED_MAXDIST):
+                    expand(int(bi[k]), int(bj[k]), int(dd[k]))
+            rest = ~batchable
+            if rest.any():
+                cps_cache: dict[int, np.ndarray] = {}
+
+                def cp(r: int) -> np.ndarray:
+                    if r not in cps_cache:
+                        cps_cache[r] = _codepoints(rpfx[r])
+                    return cps_cache[r]
+
+                for i, j in zip(ii[rest], jj[rest]):
+                    d = _levenshtein_bounded(
+                        cp(int(i)), cp(int(j)), _ED_MAXDIST
+                    )
+                    if d <= _ED_MAXDIST:
+                        expand(int(i), int(j), int(d))
+        if not out_a:
+            return _empty_pairs()
         return pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a),
@@ -518,7 +556,11 @@ _RRF_QID = 0
            CAST(sem_rank AS BIGINT) AS sem_rank,
            ROUND(rrf, 6) AS rrf
     FROM fused
-    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    -- ORDER BY must be the QUALIFIED (unrounded) column: a bare `rrf`
+    -- binds to the ROUND(rrf,6) select alias in DuckDB, and two distinct
+    -- rank combos ~1e-8 apart can round to the same 6-dp value — the
+    -- pipeline sorts on the unrounded score, so the oracle must too
+    ORDER BY fused.rrf DESC, doc_id LIMIT {_RRF_TOPK}
     """,
 )
 def rrf_fused_topk(sf_dir: str):
@@ -715,22 +757,31 @@ def event_value_ks_drift(sf_dir: str):
             c_e = g["n_e"].cumsum().to_numpy(np.int64)
             c_l = g["n_l"].cumsum().to_numpy(np.int64)
             t_e, t_l = int(c_e[-1]), int(c_l[-1])
-            ks = float(
-                np.max(
-                    np.abs(
-                        c_e.astype(np.float64) / t_e
-                        - c_l.astype(np.float64) / t_l
+            if t_e == 0 or t_l == 0:
+                # a type whose events all fall in one time half has no
+                # two-sample comparison; DuckDB's x/0 is NULL, so ks_stat
+                # is NULL here too (not nan/inf)
+                ks = None
+            else:
+                ks = float(
+                    np.max(
+                        np.abs(
+                            c_e.astype(np.float64) / t_e
+                            - c_l.astype(np.float64) / t_l
+                        )
                     )
                 )
-            )
             rows.append((et, ks, t_e, t_l))
         return pa.table(
             {
                 "event_type": pa.array([r[0] for r in rows]),
                 "ks_stat": pa.array(
-                    round_half_away(
-                        np.array([r[1] for r in rows], dtype=np.float64), 6
-                    )
+                    [
+                        None if r[1] is None
+                        else float(round_half_away(np.float64(r[1]), 6))
+                        for r in rows
+                    ],
+                    pa.float64(),
                 ),
                 "n_early": pa.array([r[2] for r in rows], pa.int64()),
                 "n_late": pa.array([r[3] for r in rows], pa.int64()),
@@ -864,11 +915,13 @@ def funnel_time_to_convert(sf_dir: str):
         )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = {}
-        for stage in ("view", "click", "purchase"):
-            m = g[g["event_type"] == stage]
-            out[stage] = m.groupby("user_id")["ts"].min()
-        v = out["view"].dropna()
+        # only the 'view' stage needs a min-ts series up front; click and
+        # purchase mins are conditional on the PRIOR stage's time, so they
+        # come out of the filtered merges below
+        v = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id")["ts"].min().dropna()
+        )
         c_all = g[g["event_type"] == "click"].merge(
             v.rename("t0"), left_on="user_id", right_index=True
         )

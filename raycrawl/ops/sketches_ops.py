@@ -474,6 +474,16 @@ def kll_value_quantiles(sf_dir: str):
         return sk.rows()
 
     def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty events table: no quantiles to report (quantile() would
+            # index into empty cumsum otherwise)
+            return pa.table(
+                {
+                    "quantile": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         sk = _KLL.from_rows(
             t["level"].to_numpy(zero_copy_only=False).astype(np.int64),
             t["value"].to_numpy(zero_copy_only=False).astype(np.float64),

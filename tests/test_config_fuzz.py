@@ -29,6 +29,10 @@ _cfg_st = st.fixed_dictionaries(
         "rich_robots": st.booleans(),
         "global_phash_dedup": st.booleans(),
         "num_shards": st.sampled_from([2, 4]),
+        # truncation is where the round-4 falsifier lived (offers pending
+        # at the max_epochs cut) — draw the cut point itself, including
+        # values small enough that the frontier is never exhausted
+        "max_epochs": st.sampled_from([3, 6, 30]),
     }
 )
 
@@ -43,7 +47,7 @@ def _sort_log(log):
 
 import os
 
-_EXAMPLES = 60 if os.environ.get("RAYCRAWL_SLOW") else 12
+_EXAMPLES = 60 if os.environ.get("RAYCRAWL_SLOW") else 30
 
 
 @given(_cfg_st)
@@ -65,7 +69,7 @@ def test_random_config_parity(ray_session, tmp_path_factory, draw):
     )
     seeds = seed_urls(web)
     kw = dict(
-        max_epochs=30,
+        max_epochs=draw["max_epochs"],
         num_shards=draw["num_shards"],
         phash_radius=draw["phash_radius"],
         burst=draw["burst"],
@@ -96,3 +100,34 @@ def test_random_config_parity(ray_session, tmp_path_factory, draw):
         p["image_id"]: (p["caption"], p["phash"]) for p in want.payload
     }
     assert got_payload == want_payload
+
+
+def test_final_epoch_pending_seen_parity(ray_session, tmp_path):
+    """Round-4 judge falsifier, pinned: a calendar-trap web (unbounded
+    frontier, trap_filter OFF) cut by max_epochs with offers still
+    pending. The oracle marks seen at enqueue time, so the outlink
+    discovered in the FINAL epoch must appear in the engine's seen set
+    even though no pop ever gates it — the driver's exit-path
+    ``flush_pending`` (crawler.py) is what makes this hold."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=2, pages_per_host=6, seed=0, neardup_every=1,
+                    redirect_every=0, trap_links=True)
+    seeds = seed_urls(web)
+    kw = dict(max_epochs=30, num_shards=2, phash_radius=-1, burst=4.0,
+              trap_filter=False, max_depth=None, max_pages_per_host=None,
+              error_backoff=False, rich_robots=False,
+              global_phash_dedup=False)
+    want = oracle_crawl(web, seeds, **kw)
+    out = str(tmp_path / "out")
+    stats = run_crawl(
+        CrawlConfig(web=web, out_dir=out, collect_parity_outputs=True, **kw),
+        seeds,
+    )
+    assert _sort_log(want.fetch_log) == _sort_log(stats.fetch_log)
+    assert {s: sorted(v) for s, v in want.seen.items()} == {
+        s: sorted(v) for s, v in stats.seen.items()
+    }
+    # the digest round 4 lost was the deepest trap URL discovered in the
+    # last executed epoch — assert the trap tail is actually in play
+    assert any("/cal/" in r["url"] for r in want.fetch_log)

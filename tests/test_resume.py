@@ -99,6 +99,44 @@ def test_graceful_stop_then_resume(ray_session, tmp_path):
     )
 
 
+def test_resume_after_max_epochs_cut_carries_flushed_seen(ray_session, tmp_path):
+    """A crawl cut by max_epochs on an unbounded trap web flushes its
+    pending offers into seen before the closing checkpoint (round-4
+    falsifier). Resuming FROM that final checkpoint must (a) restore the
+    flushed seen exactly — oracle parity at the cut point — and (b)
+    continue to the same final state as an uninterrupted longer run."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+    from raycrawl.oracle import oracle_crawl
+
+    web = WebConfig(n_hosts=2, pages_per_host=6, seed=0, neardup_every=1,
+                    trap_links=True)
+    seeds = seed_urls(web)
+
+    def cfg_for(out, max_epochs):
+        return CrawlConfig(
+            web=web, out_dir=out, num_shards=2, max_epochs=max_epochs,
+            saving_period=3, collect_parity_outputs=True,
+        )
+
+    cut = run_crawl(cfg_for(str(tmp_path / "c"), 5), seeds)
+    want_cut = oracle_crawl(web, seeds, max_epochs=5, num_shards=2)
+    assert {s: sorted(v) for s, v in want_cut.seen.items()} == {
+        s: sorted(v) for s, v in cut.seen.items()
+    }
+
+    resumed = run_crawl(cfg_for(str(tmp_path / "c"), 12), seeds, resume=True)
+    full = run_crawl(cfg_for(str(tmp_path / "f"), 12), seeds)
+    want_full = oracle_crawl(web, seeds, max_epochs=12, num_shards=2)
+    assert {s: sorted(v) for s, v in want_full.seen.items()} == {
+        s: sorted(v) for s, v in resumed.seen.items()
+    }
+    a, b = _payload_df(str(tmp_path / "f")), _payload_df(str(tmp_path / "c"))
+    pd.testing.assert_frame_equal(
+        a[["image_id", "caption", "phash"]], b[["image_id", "caption", "phash"]]
+    )
+    assert full.epochs == resumed.epochs
+
+
 def test_resume_with_global_phash_tier(ray_session, tmp_path):
     """Kill/resume with the global dedup tier: the dedup shards' committed
     indexes restore from their checkpoints and the final output matches an
