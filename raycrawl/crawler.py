@@ -213,6 +213,18 @@ def _seed_tables(cfg: CrawlConfig, seeds: list[str]):
     return per_shard
 
 
+def control_plane_remote(cls, num_cpus: float):
+    """Decorate a control-plane actor class (frontier shard, phash dedup
+    shard). ``num_cpus=0`` keeps them off the CPU ledger so fetch/decode
+    tasks get every slot — but with no placement hint Ray packs zero-CPU
+    actors onto the head node, serializing ALL offer/pop traffic through
+    one machine on a real cluster. ``scheduling_strategy="SPREAD"``
+    distributes them across nodes (best-effort), so frontier RPC load and
+    seen-set memory scale with the cluster instead of the head node. See
+    DESIGN.md "head-node isolation"."""
+    return ray.remote(num_cpus=num_cpus, scheduling_strategy="SPREAD")(cls)
+
+
 def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
     ckpt = os.path.join(cfg.out_dir, "checkpoints")
     def spill_dir(s):
@@ -221,7 +233,7 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
         return os.path.join(cfg.out_dir, "spill", f"shard={s}")
 
     if restore_epoch is None:
-        Actor = ray.remote(num_cpus=cfg.shard_num_cpus)(FrontierShard)
+        Actor = control_plane_remote(FrontierShard, cfg.shard_num_cpus)
         return [
             Actor.remote(s, cfg.epoch_seconds, cfg.expected_urls, cfg.phash_radius,
                          cfg.burst, cfg.keep_fetch_log,
@@ -233,7 +245,7 @@ def make_shard_actors(cfg: CrawlConfig, restore_epoch: int | None = None):
             for s in range(cfg.num_shards)
         ]
     # restore runs inside each actor process so state is read once, in place
-    RestActor = ray.remote(num_cpus=cfg.shard_num_cpus)(_RestoredShard)
+    RestActor = control_plane_remote(_RestoredShard, cfg.shard_num_cpus)
     return [
         RestActor.remote(ckpt, restore_epoch, s, cfg.expected_urls,
                          cfg.phash_radius, cfg.frontier_spill_threshold,
@@ -347,9 +359,9 @@ def run_crawl(
         _load_etag_manifest(cfg.etag_manifest_dir, actors, cfg.num_shards)
     dedup_actors = None
     if cfg.global_phash_dedup:
-        DedupActor = ray.remote(num_cpus=cfg.shard_num_cpus)(PhashDedupShard)
+        DedupActor = control_plane_remote(PhashDedupShard, cfg.shard_num_cpus)
         if resume:
-            RestDedup = ray.remote(num_cpus=cfg.shard_num_cpus)(_RestoredPhashShard)
+            RestDedup = control_plane_remote(_RestoredPhashShard, cfg.shard_num_cpus)
             dedup_actors = [
                 RestDedup.remote(ckpt_dir, start_epoch - 1, d,
                                  cfg.num_phash_shards, cfg.phash_radius)

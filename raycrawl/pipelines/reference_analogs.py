@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count
 
-from ..ops.common import join_partitions, table
+from ..ops.common import bucketed_group_agg, join_partitions, table
 from ..ops.queries import register
 
 
@@ -246,12 +246,14 @@ def propagate_labels(
 ) -> pd.DataFrame:
     """Label-propagation rounds, Ray-scalable shape: the edge set stays a
     distributed Dataset for the whole loop. Each round attaches the
-    neighbours' labels — via a BROADCAST map while the label table fits
-    (≤ ``broadcast_threshold`` entries), via a hash-partitioned
-    ``Dataset.join`` beyond that — then counts votes with a grouped
-    aggregate; only the tiny (src, label, votes) table reaches the driver
-    where the argmax-with-margin rule (A4) is applied. Both paths produce
-    identical votes (tested)."""
+    neighbours' labels — via a BROADCAST vectorized ``Series.map`` while
+    the label table fits (≤ ``broadcast_threshold`` entries), via a
+    hash-partitioned ``Dataset.join`` beyond that — then pre-aggregates
+    per-block vote counts map-side and applies the argmax-with-margin
+    rule (A4) inside a ``bucketed_group_agg`` (vectorized across all
+    srcs of a hash bucket): only the ≤1-row-per-user WINNER table
+    reaches the driver, never the (src, label, votes) matrix. Both
+    attach paths produce identical votes (tested)."""
     labels: dict[int, str] = dict(seed_labels)
     edges = edges.materialize()  # reused every round — pin once
     for _ in range(iterations):
@@ -259,27 +261,21 @@ def propagate_labels(
             ref = ray.put(dict(labels))
             seed_ref = ray.put(set(seed_labels))
 
-            def attach_vote(t: pa.Table, *, lref, sref) -> pa.Table:
+            def attach_vote(df: pd.DataFrame, *, lref, sref) -> pd.DataFrame:
                 lab_map = ray.get(lref)  # plasma-local per batch
                 seeds = ray.get(sref)
-                srcs, labs = [], []
-                for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
-                    if s in seeds:  # J7 guard: seeds never move
-                        continue
-                    lab = lab_map.get(d)
-                    if lab is not None:
-                        srcs.append(s)
-                        labs.append(lab)
-                return pa.table(
+                lab = df["dst"].map(lab_map)  # vectorized dict lookup
+                keep = lab.notna() & ~df["src"].isin(seeds)  # J7 guard
+                return pd.DataFrame(
                     {
-                        "src": pa.array(srcs, pa.int64()),
-                        "dst_label": pa.array(labs, pa.string()),
+                        "src": df["src"][keep].astype("int64"),
+                        "dst_label": lab[keep].astype(str),
                     }
                 )
 
             voted = edges.map_batches(
                 attach_vote, fn_kwargs={"lref": ref, "sref": seed_ref},
-                batch_format="pyarrow",
+                batch_format="pandas",
             )
         else:  # label table too big to broadcast → distributed hash join
             label_ds = ray.data.from_pandas(
@@ -287,29 +283,67 @@ def propagate_labels(
                     {"dst": list(labels), "dst_label": list(labels.values())}
                 )
             )
-            seeds_set = set(seed_labels)
+            seed_ref = ray.put(set(seed_labels))
+
+            def drop_seed_edges(df: pd.DataFrame, *, sref) -> pd.DataFrame:
+                # J7 guard, vectorized (Dataset.filter(fn) is per-row python)
+                return df[~df["src"].isin(ray.get(sref))]
+
             voted = (
-                edges.filter(
-                    lambda r, _s=seeds_set: r["src"] not in _s
-                )  # J7 guard
+                edges.map_batches(
+                    drop_seed_edges, fn_kwargs={"sref": seed_ref},
+                    batch_format="pandas",
+                )
                 .join(label_ds, join_type="inner", num_partitions=join_partitions(),
                       on=("dst",))
                 .select_columns(["src", "dst_label"])
             )
 
-        counts = (
-            voted.groupby(["src", "dst_label"])
-            .aggregate(Count(alias_name="v"))
-            .to_pandas()  # bounded: #users × #labels rows
-        )
-        changed = 0
-        for src, g in counts.groupby("src"):
-            g = g.sort_values(["v", "dst_label"], ascending=[False, True])
-            if len(g) == 1 or g.iloc[0]["v"] - g.iloc[1]["v"] >= margin:
-                new = g.iloc[0]["dst_label"]
-                if labels.get(src) != new:
-                    labels[src] = new
-                    changed += 1
+        # map-side combiner: per-block (src, label) partial counts shrink
+        # the exchange from one row per EDGE to ≤ users × labels rows
+        def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby(["src", "dst_label"], as_index=False)
+                .size().rename(columns={"size": "v"})
+            )
+
+        # A4 argmax-with-margin runs WHERE the votes live: each hash
+        # bucket holds EVERY partial of its srcs, so one vectorized
+        # cumcount/merge picks all its winners at C speed (per-src python
+        # — map_groups or a driver loop — would scale with user count).
+        # The driver sees ≤1 row per user, never the vote matrix.
+        def bucket_winners(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.groupby(["src", "dst_label"], as_index=False)["v"].sum()
+            c = c.sort_values(
+                ["src", "v", "dst_label"], ascending=[True, False, True],
+                kind="stable",
+            )
+            c["rank"] = c.groupby("src", sort=False).cumcount()
+            top = c[c["rank"] == 0][["src", "dst_label", "v"]]
+            sec = c[c["rank"] == 1][["src", "v"]].rename(
+                columns={"v": "v2"}
+            )
+            m = top.merge(sec, on="src", how="left")
+            ok = m["v2"].isna() | (m["v"] - m["v2"] >= margin)
+            return (
+                m[ok][["src", "dst_label"]]
+                .rename(columns={"dst_label": "label"})
+            )
+
+        winners = bucketed_group_agg(
+            voted.map_batches(partial_counts, batch_format="pandas"),
+            ["src"],
+            bucket_winners,
+        ).to_pandas()  # ≤ one row per non-seed user
+        if len(winners):
+            old = winners["src"].map(labels)
+            moved = winners[winners["label"] != old]
+            changed = len(moved)
+            labels.update(
+                dict(zip(moved["src"].astype(int), moved["label"]))
+            )
+        else:
+            changed = 0
         if changed == 0:
             break
     return pd.DataFrame(
