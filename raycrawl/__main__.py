@@ -98,6 +98,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-depth", type=int, default=None,
                    help="crawl-depth cap: offers deeper than this many "
                    "hops from a seed are denied (depth_denied)")
+    c.add_argument("--follow", action="store_true",
+                   help="continuous crawl: keep running on an empty "
+                   "frontier (until --max-epochs or SIGTERM), waiting "
+                   "for re-seeds; pair with --follow-seeds-file")
+    c.add_argument("--follow-seeds-file", default=None,
+                   help="watch this file between epochs; new complete "
+                   "lines are injected as depth-0 seeds at the next "
+                   "epoch (implies --follow)")
+    c.add_argument("--inject", default=None,
+                   help="JSON file {epoch: [seed_url, ...]} of a "
+                   "deterministic injection schedule (parity-testable "
+                   "continuous-crawl form)")
 
     m = sub.add_parser(
         "merge-checkpoints",
@@ -282,6 +294,13 @@ def main(argv: list[str] | None = None) -> int:
                   if k.strip())
             if args.focus_keywords else None
         ),
+        seed_injections=(
+            {int(e): list(urls)
+             for e, urls in json.load(open(args.inject)).items()}
+            if args.inject else None
+        ),
+        follow=args.follow or args.follow_seeds_file is not None,
+        follow_seeds_file=args.follow_seeds_file,
     )
     import signal
 

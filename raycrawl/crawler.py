@@ -175,6 +175,23 @@ class CrawlConfig:
     # substring). The page itself is still fetched/stored — the gate
     # shapes frontier EXPANSION, not collection. None = unfocused.
     focus_keywords: tuple[str, ...] | None = None
+    # CONTINUOUS-CRAWL seed injection (the reference's unbounded
+    # `while True` crawl loop re-seeded while running,
+    # pages/Crawler.py:54): epoch -> seed URLs offered at the TOP of
+    # that epoch, before its pop, into the same pending buffers as
+    # discovered links (min-depth merge, depth 0, discovered_at=epoch).
+    # Epoch-0 entries behave like extra seeds. Entries at
+    # e >= max_epochs are never delivered (the loop exits first); the
+    # loop idles on an empty frontier while a deliverable injection is
+    # still scheduled. The sequential oracle accepts the same schedule,
+    # so ordering/seen parity holds under injection.
+    seed_injections: dict[int, list[str]] | None = None
+    # follow mode: keep the loop alive on an empty frontier until
+    # max_epochs / graceful stop, polling `follow_seeds_file` (if set)
+    # for NEW appended lines each epoch and injecting them that epoch —
+    # the production re-seed surface (`raycrawl crawl --follow ...`).
+    follow: bool = False
+    follow_seeds_file: str | None = None
 
 
 @dataclass
@@ -413,9 +430,40 @@ def run_crawl(
         return t1
 
     epoch = start_epoch
+    follow_off = 0  # bytes of follow_seeds_file consumed so far
     while epoch < cfg.max_epochs:
         if should_stop is not None and should_stop():
             break  # graceful stop: fall through to the final checkpoint
+        # continuous-crawl injection: scheduled seeds for THIS epoch (and,
+        # in follow mode, new complete lines appended to the watch file)
+        # are offered into the shards' pending buffers before the pop, so
+        # they merge with last epoch's discovered links (min-depth,
+        # sorted-URL — the same data-property merge; oracle parity holds
+        # under an identical schedule). Re-offered URLs dedup via seen.
+        inj_list = list((cfg.seed_injections or {}).get(epoch, []))
+        if cfg.follow_seeds_file and os.path.exists(cfg.follow_seeds_file):
+            with open(cfg.follow_seeds_file) as f:
+                f.seek(follow_off)
+                chunk = f.read()
+            nl = chunk.rfind("\n")  # consume complete lines only
+            if nl >= 0:
+                follow_off += nl + 1
+                inj_list += [
+                    ln.strip() for ln in chunk[:nl].split("\n") if ln.strip()
+                ]
+        if inj_list:
+            # memo key leads with the epoch (eviction compares k[0] to the
+            # replay-horizon floor); "inject" disambiguates from the
+            # (epoch, src_shard) keys of peer offers
+            ray.get([
+                actors[sh].offer.remote(
+                    (epoch, "inject"),
+                    [r[0] for r in rows], [r[1] for r in rows],
+                    [r[2] for r in rows], [r[3] for r in rows],
+                    [r[4] for r in rows], epoch,
+                )
+                for sh, rows in _seed_tables(cfg, inj_list).items()
+            ])
         t = _time.perf_counter()
         counts = ray.get([a.pop.remote(epoch) for a in actors])
         t = _mark("pop", t)
@@ -423,8 +471,14 @@ def run_crawl(
             phases["_epoch_log"].append((epoch, "rows", sum(counts)))
         if sum(counts) == 0:
             if sum(ray.get([a.frontier_size.remote() for a in actors])) == 0:
-                break
-            epoch += 1  # all hosts throttled this epoch; refill and retry
+                # stay alive for a future deliverable injection (follow
+                # mode waits for the watch file until max_epochs / stop)
+                if not (cfg.follow or any(
+                    epoch < e < cfg.max_epochs
+                    for e in (cfg.seed_injections or {})
+                )):
+                    break
+            epoch += 1  # throttled / idle epoch; refill and retry
             continue
 
         # ONE linear, shuffle-free pipeline per epoch. Each shard's pop

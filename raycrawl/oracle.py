@@ -84,6 +84,7 @@ def oracle_crawl(
     max_depth: int | None = None,
     etag_manifest: dict[bytes, bytes] | None = None,
     rich_robots: bool = False,
+    seed_injections: dict[int, list[str]] | None = None,
 ) -> OracleResult:
     res = OracleResult()
 
@@ -164,7 +165,11 @@ def oracle_crawl(
         metrics[shard]["accepted"] += 1
         frontier.append(item)
 
+    injections = seed_injections or {}
     for s in seeds:
+        enqueue(canonicalize_url(s), 0, 0)
+    for s in injections.get(0, []):
+        # epoch-0 injections behave like extra seeds
         enqueue(canonicalize_url(s), 0, 0)
 
     def eff_rate(h: str) -> float:
@@ -176,7 +181,12 @@ def oracle_crawl(
         return r
 
     epoch = 0
-    while epoch < max_epochs and frontier:
+    # continuous-crawl: the loop stays alive on an empty frontier while
+    # a future injection (< max_epochs, the only ones the engine ever
+    # delivers) is still scheduled — idle epochs tick politeness refills
+    while epoch < max_epochs and (
+        frontier or any(epoch < e < max_epochs for e in injections)
+    ):
         for h in tokens:
             tokens[h] = min(burst, tokens[h] + eff_rate(h) * epoch_seconds)
         frontier.sort(key=order_key)
@@ -363,6 +373,16 @@ def oracle_crawl(
         for url, depth in new_links:
             if url not in best or depth < best[url]:
                 best[url] = depth
+        # injections for epoch+1 merge into the SAME dedup space as the
+        # outlinks (engine: both land in the shards' pending buffers and
+        # merge at the next pop, min depth wins). Injections at
+        # e == max_epochs are excluded: the engine's loop exits before
+        # the top of that epoch, so they are never offered there either.
+        if epoch + 1 < max_epochs:
+            for s in injections.get(epoch + 1, []):
+                u = canonicalize_url(s)
+                if u not in best or 0 < best[u]:
+                    best[u] = 0
         for url in sorted(best):
             enqueue(url, best[url], epoch + 1)
         epoch += 1
