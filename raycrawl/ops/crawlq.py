@@ -21,10 +21,30 @@ from .queries import register
 _CRAWL_CACHE: dict[str, str] = {}
 
 
+def _publish_current(out: str, base: str) -> None:
+    """Point ``<base>/current`` at the crawl artifacts the LAST registry
+    query in this process produced. This is what lets a crawl-artifact
+    query carry a STATIC SQL oracle: the correctness harness runs the Ray
+    pipeline and its SQL side-by-side per query, so when the SQL executes
+    the symlink names exactly the tree the pipeline just read. (Atomic
+    replace; per-query serial flow assumed — the harness's contract.)"""
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, f"current.tmp-{os.getpid()}")
+    link = os.path.join(base, "current")
+    try:
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(out, tmp)
+        os.replace(tmp, link)
+    except OSError:
+        pass  # oracle convenience only — the pipeline never reads it
+
+
 def _crawl_out_dir(sf_dir: str) -> str:
     """Run (once per sf_dir per process) a crawl whose universe scales with
     the sf, returning the payload/checkpoint directory."""
     if sf_dir in _CRAWL_CACHE:
+        _publish_current(_CRAWL_CACHE[sf_dir], "/tmp/raycrawl_q")
         return _CRAWL_CACHE[sf_dir]
     from ..crawler import CrawlConfig, run_crawl
 
@@ -45,10 +65,34 @@ def _crawl_out_dir(sf_dir: str) -> str:
     )
     run_crawl(cfg, seed_urls(web))
     _CRAWL_CACHE[sf_dir] = out
+    _publish_current(out, "/tmp/raycrawl_q")
     return out
 
 
-@register("crawl_payload", sql=None)
+# SQL oracles for crawl-artifact queries read the `current` symlink the
+# query itself publishes (see _publish_current): the harness executes the
+# SQL right after the Ray pipeline, so the link names the exact artifact
+# tree the pipeline read — an independent DuckDB replay of the same
+# parquet, not a re-derivation of the crawl.
+_Q_CUR = "/tmp/raycrawl_q/current"
+_SIDE_FILTER = f"""
+      url_hash NOT IN (
+        SELECT url_hash
+        FROM read_parquet('{_Q_CUR}/suppressed/epoch=*.parquet')
+        UNION ALL
+        SELECT url_hash
+        FROM read_parquet('{_Q_CUR}/not_modified/epoch=*.parquet'))
+"""
+
+
+@register(
+    "crawl_payload",
+    sql=f"""
+    SELECT image_id, w, h, fmt, caption, phash, url, shard, epoch
+    FROM read_parquet('{_Q_CUR}/payload/epoch=*/*.parquet')
+    WHERE {_SIDE_FILTER}
+    """,
+)
 def crawl_payload(sf_dir: str):
     """The flagship output: fetched image+caption payload rows
     (input_hint schema minus raw bytes, plus lineage columns).
@@ -245,13 +289,30 @@ def _trap_crawl_out_dir(sf_dir: str) -> str:
     return out
 
 
-@register("crawl_host_fairness", sql=None)
+@register(
+    "crawl_host_fairness",
+    sql=f"""
+    WITH p AS (
+      SELECT url FROM read_parquet('{_Q_CUR}/payload/epoch=*/*.parquet')
+      WHERE {_SIDE_FILTER}),
+    h AS (
+      SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+             count(*) AS n
+      FROM p GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(max(n) AS BIGINT) AS max_host_rows,
+           ROUND(max(n) / (sum(n) / count(*)), 6) AS max_over_mean,
+           ROUND(max(n) / sum(n), 6) AS top_host_share
+    FROM h
+    """,
+)
 def crawl_host_fairness(sf_dir: str):
     """Per-host skew audit of the cached crawl's payload: politeness
     should keep any one host from dominating the fetch budget. Per-block
     (host, n) Arrow partials (fixed cardinality = hosts) + one local
-    combine; rows-only (a crawl is not SQL-expressible; a pandas recompute
-    pytest pins the arithmetic)."""
+    combine; the SQL oracle replays the payload artifact tree (suppressed
+    / not_modified anti-filter included) via the `current` symlink."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -2056,7 +2117,16 @@ def depth_histogram_from_out(out_dir: str):
                          final)
 
 
-@register("crawl_depth_histogram", sql=None)
+@register(
+    "crawl_depth_histogram",
+    sql=f"""
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_fetched
+    FROM read_parquet(
+      '{_Q_CUR}/checkpoints/epoch=*/shard=*/fetch_log_increment.parquet')
+    WHERE status = 'fetched'
+    GROUP BY depth ORDER BY depth
+    """,
+)
 def crawl_depth_histogram(sf_dir: str):
     return depth_histogram_from_out(_crawl_out_dir(sf_dir))
 
@@ -2387,6 +2457,7 @@ _LINKLOG_CRAWL_CACHE: dict[str, str] = {}
 
 def _linklog_crawl_out_dir(sf_dir: str) -> str:
     if sf_dir in _LINKLOG_CRAWL_CACHE:
+        _publish_current(_LINKLOG_CRAWL_CACHE[sf_dir], "/tmp/raycrawl_links")
         return _LINKLOG_CRAWL_CACHE[sf_dir]
     from ..crawler import CrawlConfig, run_crawl
 
@@ -2401,6 +2472,7 @@ def _linklog_crawl_out_dir(sf_dir: str) -> str:
     )
     run_crawl(cfg, seed_urls(web))
     _LINKLOG_CRAWL_CACHE[sf_dir] = out
+    _publish_current(out, "/tmp/raycrawl_links")
     return out
 
 
@@ -2455,7 +2527,19 @@ def inlink_top_pages(out_dir: str, k: int = 20):
     return combine_small(counts, final)
 
 
-@register("crawl_inlink_top_pages", sql=None)
+@register(
+    "crawl_inlink_top_pages",
+    sql="""
+    WITH e AS (
+      SELECT DISTINCT src_hash, dst_url
+      FROM read_parquet('/tmp/raycrawl_links/current/links/epoch=*.parquet')),
+    c AS (
+      SELECT dst_url, CAST(count(*) AS BIGINT) AS inlinks
+      FROM e GROUP BY dst_url)
+    SELECT dst_url, inlinks FROM c
+    ORDER BY inlinks DESC, dst_url LIMIT 20
+    """,
+)
 def crawl_inlink_top_pages(sf_dir: str):
     return inlink_top_pages(_linklog_crawl_out_dir(sf_dir))
 

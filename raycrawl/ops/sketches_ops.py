@@ -504,3 +504,69 @@ def kll_value_quantiles(sf_dir: str):
 
     return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
                          finish)
+
+
+@register("kll_quantiles_by_type")  # rows-only: sketch state isn't SQL
+def kll_quantiles_by_type(sf_dir: str):
+    """PER-GROUP KLL quantiles over unrounded event values: one sketch
+    per (event_type, block), serialized as (event_type, level, value)
+    rows, merged per type in one local combine. The per-group quantile
+    path for heavy-tailed groups where the rounded-histogram op's
+    distinct-value cardinality blows up (round-4 verdict item #6): state
+    is O(types · k·log(n/k)) at ANY input size, and the partials are
+    fixed-cardinality map-side folds — never a row-level shuffle.
+    tests/test_round5.py bounds per-group rank error vs the exact answer
+    and asserts merge-order independence."""
+    ds = table(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(et, kind="stable")
+        et, vals = et[order], vals[order]
+        bnd = np.flatnonzero(et[1:] != et[:-1]) + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [len(et)]])
+        parts = []
+        for s, e in zip(starts, ends):
+            sk = _KLL()
+            sk.insert(vals[s:e])
+            r = sk.rows()
+            parts.append(r.append_column(
+                "event_type", pa.array([et[s]] * r.num_rows, pa.string())
+            ))
+        if not parts:
+            return pa.table(
+                {"level": pa.array([], pa.int64()),
+                 "value": pa.array([], pa.float64()),
+                 "event_type": pa.array([], pa.string())}
+            )
+        return pa.concat_tables(parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out_rows: list[tuple] = []
+        if t.num_rows:
+            df = t.to_pandas()
+            for et, g in df.groupby("event_type", sort=True):
+                sk = _KLL.from_rows(
+                    g["level"].to_numpy(np.int64),
+                    g["value"].to_numpy(np.float64),
+                )
+                for q in _KLL_QS:
+                    out_rows.append(
+                        (et, f"p{q * 100:g}", sk.quantile(q), sk.n)
+                    )
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in out_rows],
+                                       pa.string()),
+                "quantile": pa.array([r[1] for r in out_rows], pa.string()),
+                "value": pa.array([r[2] for r in out_rows], pa.float64()),
+                "n": pa.array([r[3] for r in out_rows], pa.int64()),
+            }
+        )
+
+    from .common import combine_small
+
+    return combine_small(ds.map_batches(partial, batch_format="pyarrow"),
+                         finish)

@@ -185,3 +185,71 @@ def test_label_prop_winner_path_matches_margin_rule(ray_session):
     assert 102 not in lab  # tie, margin 0
     assert lab[103] == "C"  # single label short-circuit
     assert lab[0] == "A"  # seed never revotes
+
+
+def test_kll_by_type_rank_error_per_group(ray_session, tmp_path):
+    """Per-group KLL: each event type's quantiles must hit the ≤1.5%
+    rank-error bound against that group's exact order statistics, on a
+    mix of uniform, heavy-tail and constant groups, via the full
+    registry pipeline (per-block sketches, merged per group)."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.queries import REGISTRY
+
+    rng = np.random.default_rng(17)
+    groups = {
+        "uniform": rng.uniform(0, 1000, 80_000),
+        "gamma": rng.gamma(2.0, 10.0, 120_000),
+        "lognorm": rng.lognormal(3.0, 2.0, 60_000),  # heavy tail
+        "constant": np.full(5_000, 42.0),
+    }
+    et = np.concatenate([np.full(len(v), k) for k, v in groups.items()])
+    vals = np.concatenate(list(groups.values()))
+    perm = rng.permutation(len(vals))  # interleave groups across blocks
+    pq.write_table(
+        pa.table({"event_type": pa.array(et[perm]),
+                  "value": pa.array(vals[perm], pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    got = REGISTRY["kll_quantiles_by_type"]["fn"](str(tmp_path)).to_pandas()
+    assert sorted(got["event_type"].unique()) == sorted(groups)
+    for k, data in groups.items():
+        g = got[got["event_type"] == k]
+        assert int(g["n"].iloc[0]) == len(data)  # exact-mass per group
+        data_sorted = np.sort(data)
+        n = len(data)
+        for _, row in g.iterrows():
+            phi = float(row["quantile"][1:]) / 100.0
+            # tied values occupy a rank INTERVAL; error is the distance
+            # from the target rank to that interval (0 for the constant
+            # group, where every quantile is the single value)
+            lo = np.searchsorted(data_sorted, row["value"], side="left")
+            hi = np.searchsorted(data_sorted, row["value"], side="right")
+            tgt = phi * n
+            err = 0.0 if lo <= tgt <= hi else min(
+                abs(lo - tgt), abs(hi - tgt)
+            ) / n
+            assert err <= 0.015, (k, row["quantile"], err)
+
+
+def test_kll_by_type_merge_order_independence():
+    """Per-type merge must not depend on block arrival order: reversing
+    the serialized partials yields the identical merged sketch state
+    (deterministic compaction), hence identical quantiles."""
+    from raycrawl.ops.sketches_ops import _KLL
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(0, 5, 90_000)
+    parts = np.array_split(data, 19)
+    tabs = []
+    for p in parts:
+        s = _KLL()
+        s.insert(p)
+        tabs.append(s.rows().to_pandas())
+    qs = []
+    for frames in (tabs, tabs[::-1]):
+        cat = pd.concat(frames, ignore_index=True)
+        m = _KLL.from_rows(cat["level"].to_numpy(np.int64),
+                           cat["value"].to_numpy(np.float64))
+        qs.append([m.quantile(q) for q in (0.1, 0.5, 0.9)])
+    assert qs[0] == qs[1]
