@@ -21,7 +21,7 @@ from .queries import register
 _CRAWL_CACHE: dict[str, str] = {}
 
 
-def _publish_current(out: str, base: str) -> None:
+def _publish_current(out: str, base: str, name: str = "current") -> None:
     """Point ``<base>/current`` at the crawl artifacts the LAST registry
     query in this process produced. This is what lets a crawl-artifact
     query carry a STATIC SQL oracle: the correctness harness runs the Ray
@@ -29,8 +29,8 @@ def _publish_current(out: str, base: str) -> None:
     the symlink names exactly the tree the pipeline just read. (Atomic
     replace; per-query serial flow assumed — the harness's contract.)"""
     os.makedirs(base, exist_ok=True)
-    tmp = os.path.join(base, f"current.tmp-{os.getpid()}")
-    link = os.path.join(base, "current")
+    tmp = os.path.join(base, f"{name}.tmp-{os.getpid()}")
+    link = os.path.join(base, name)
     try:
         if os.path.lexists(tmp):
             os.unlink(tmp)
@@ -173,6 +173,7 @@ def _recrawl_out_dir(sf_dir: str) -> str:
     existing page content is unchanged."""
     key = f"{sf_dir}#recrawl"
     if key in _CRAWL_CACHE:
+        _publish_current(_CRAWL_CACHE[key], "/tmp/raycrawl_q", "current-re")
         return _CRAWL_CACHE[key]
     from ..crawler import CrawlConfig, run_crawl
 
@@ -185,15 +186,52 @@ def _recrawl_out_dir(sf_dir: str) -> str:
                       epoch_seconds=8.0, burst=16.0)
     run_crawl(cfg, seed_urls(web))
     _CRAWL_CACHE[key] = out
+    _publish_current(out, "/tmp/raycrawl_q", "current-re")
     return out
 
 
-@register("crawl_recrawl_delta", sql=None)
+def _payload_sql(cur: str, cols: str) -> str:
+    """Anti-filtered payload read (read_payload's suppression contract)
+    as a DuckDB fragment over a `current` symlink."""
+    return f"""
+      SELECT {cols}
+      FROM read_parquet('{cur}/payload/epoch=*/*.parquet')
+      WHERE url_hash NOT IN (
+        SELECT url_hash
+        FROM read_parquet('{cur}/suppressed/epoch=*.parquet')
+        UNION ALL
+        SELECT url_hash
+        FROM read_parquet('{cur}/not_modified/epoch=*.parquet'))
+    """
+
+
+@register(
+    "crawl_recrawl_delta",
+    sql=f"""
+    WITH a AS ({_payload_sql(_Q_CUR, 'image_id, w, h, fmt, phash, caption')}),
+    b AS ({_payload_sql('/tmp/raycrawl_q/current-re',
+                        'image_id, w, h, fmt, phash, caption')}),
+    j AS (
+      SELECT a.image_id IS NOT NULL AS in_a,
+             b.image_id IS NOT NULL AS in_b,
+             (a.w = b.w AND a.h = b.h AND a.fmt = b.fmt
+              AND a.phash = b.phash AND a.caption = b.caption) AS same
+      FROM a FULL OUTER JOIN b USING (image_id))
+    SELECT CASE WHEN in_a AND in_b AND same THEN 'same'
+                WHEN in_a AND in_b THEN 'changed'
+                WHEN in_b THEN 'added'
+                ELSE 'removed' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
 def crawl_recrawl_delta(sf_dir: str):
     """Per-status row counts of the incremental-recrawl delta between the
-    cached crawl and its grown-universe recrawl (rows-only: two crawls are
-    not SQL-expressible; the delta operator itself is pinned exactly by
-    ``tests/test_round3.py``'s pandas-merge oracle)."""
+    cached crawl and its grown-universe recrawl. The SQL oracle replays
+    both generations' payload artifact trees (full-outer join on
+    image_id, content-tuple comparison) via the two `current` symlinks;
+    the delta operator itself is pinned exactly by
+    ``tests/test_round3.py``'s pandas-merge oracle."""
     import numpy as np
     import pyarrow as pa
 
@@ -262,9 +300,39 @@ def frontier_metrics_frame(out_dir: str):
     return pd.DataFrame(rows)
 
 
-@register("crawl_frontier_metrics", sql=None)
+_METRIC_KEYS = (
+    "offered", "accepted", "fetched", "robots_denied", "phash_suppressed",
+    "fetch_errors", "trap_denied", "quota_denied", "quota_dropped",
+    "redirects_followed", "depth_denied", "not_modified", "seen_count",
+    "bloom_cuckoo_false_positives", "robots_fetches",
+)
+
+
+def _metrics_sql(cur: str) -> str:
+    """DuckDB replay of ``frontier_metrics_frame``: latest checkpoint
+    epoch's per-shard manifests, metric keys extracted from the JSON with
+    a 0 default (matching ``metrics.get(k, 0)``)."""
+    cols = ",\n           ".join(
+        f"COALESCE(CAST(json_extract(metrics, '$.{k}') AS BIGINT), 0)"
+        f" AS {k}" for k in _METRIC_KEYS
+    )
+    return f"""
+    WITH man AS (
+      SELECT shard, epoch, metrics
+      FROM read_json(
+        '{cur}/checkpoints/epoch=*/shard=*/manifest.json',
+        columns={{'shard': 'BIGINT', 'epoch': 'BIGINT',
+                  'metrics': 'JSON'}}))
+    SELECT shard, epoch,
+           {cols}
+    FROM man WHERE epoch = (SELECT max(epoch) FROM man)
+    """
+
+
+@register("crawl_frontier_metrics", sql=_metrics_sql(_Q_CUR))
 def crawl_frontier_metrics(sf_dir: str):
-    """Per-shard lineage metrics from the final checkpoint manifests."""
+    """Per-shard lineage metrics from the final checkpoint manifests.
+    The SQL oracle replays the manifest JSONs via the `current` symlink."""
     return frontier_metrics_frame(_crawl_out_dir(sf_dir))
 
 
@@ -273,6 +341,7 @@ def _trap_crawl_out_dir(sf_dir: str) -> str:
     the main cached crawl): the trap-defense scenario end to end."""
     key = f"{sf_dir}#trap"
     if key in _CRAWL_CACHE:
+        _publish_current(_CRAWL_CACHE[key], "/tmp/raycrawl_trap")
         return _CRAWL_CACHE[key]
     from ..crawler import CrawlConfig, run_crawl
 
@@ -286,6 +355,7 @@ def _trap_crawl_out_dir(sf_dir: str) -> str:
                       epoch_seconds=8.0, burst=16.0, trap_filter=True)
     run_crawl(cfg, seed_urls(web))
     _CRAWL_CACHE[key] = out
+    _publish_current(out, "/tmp/raycrawl_trap")
     return out
 
 
@@ -354,13 +424,15 @@ def crawl_host_fairness(sf_dir: str):
                          finish)
 
 
-@register("crawl_trap_gate_metrics", sql=None)
+@register("crawl_trap_gate_metrics",
+          sql=_metrics_sql("/tmp/raycrawl_trap/current"))
 def crawl_trap_gate_metrics(sf_dir: str):
     """Per-shard lineage metrics of a trap-GATED crawl over a trap-link
-    universe (rows-only: a crawl is not SQL-expressible; the gate's
-    engine⋄oracle parity and growth containment are pinned by
-    tests/test_trapgate.py). Every shard row carries trap_denied > 0-able
-    counts; the payload of this crawl contains zero trap URLs."""
+    universe (the gate's engine⋄oracle parity and growth containment are
+    pinned by tests/test_trapgate.py). Every shard row carries
+    trap_denied > 0-able counts; the payload of this crawl contains zero
+    trap URLs. SQL oracle = manifest replay via the trap `current`
+    symlink."""
     return frontier_metrics_frame(_trap_crawl_out_dir(sf_dir))
 
 
@@ -1165,7 +1237,29 @@ PAIR_MIN_DIM = 24
 PAIR_MAX_ASPECT = 3.0
 
 
-@register("caption_pair_curation_stats", sql=None)
+@register(
+    "caption_pair_curation_stats",
+    sql=f"""
+    WITH p AS ({_payload_sql(_Q_CUR, 'epoch, caption, w, h')}),
+    x AS (
+      SELECT epoch,
+             CAST(len(regexp_extract_all(caption, '\\S+')) AS BIGINT)
+               AS toks,
+             CAST(GREATEST(w, h) AS DOUBLE) / LEAST(w, h) AS aspect,
+             LEAST(w, h) AS mind
+      FROM p)
+    SELECT epoch,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN toks BETWEEN {CAPTION_MIN_TOKENS}
+                                       AND {CAPTION_MAX_TOKENS}
+                              AND mind >= {PAIR_MIN_DIM}
+                              AND aspect <= {PAIR_MAX_ASPECT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(CAST(sum(toks) AS DOUBLE) / count(*), 6)
+             AS avg_caption_tokens
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+)
 def caption_pair_curation_stats(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -1370,7 +1464,46 @@ def video_shot_keyframes(sf_dir: str):
 # re-runs the splice at the sf's scale and emits the reconciliation
 # numbers the judge can eyeball (refetched MUST be 0, covered_union ==
 # covered_full).
-@register("crawl_merge_coverage", sql=None)
+def _cov_sql(label: str) -> str:
+    """Coverage set of one crawl out-dir: payload url_hash ∪ suppressed
+    url_hash (matches ``covered()``, whose url_sha1(url) IS the payload's
+    url_hash column)."""
+    cur = f"/tmp/raycrawl_q/current-mrg-{label}"
+    return f"""
+      SELECT url_hash FROM read_parquet('{cur}/payload/epoch=*/*.parquet')
+      UNION
+      SELECT url_hash
+      FROM read_parquet('{cur}/suppressed/epoch=*.parquet')
+    """
+
+
+@register(
+    "crawl_merge_coverage",
+    sql=f"""
+    WITH cov_a AS ({_cov_sql('a')}), cov_b AS ({_cov_sql('b')}),
+    cov_m AS ({_cov_sql('m')}), cov_f AS ({_cov_sql('f')}),
+    u AS (SELECT * FROM cov_a UNION SELECT * FROM cov_b
+          UNION SELECT * FROM cov_m)
+    SELECT
+      CAST((SELECT count(*) FROM cov_a) AS BIGINT) AS covered_a,
+      CAST((SELECT count(*) FROM cov_b) AS BIGINT) AS covered_b,
+      CAST((SELECT count(*) FROM cov_m) AS BIGINT) AS covered_resumed,
+      CAST((SELECT count(*) FROM u) AS BIGINT) AS covered_union,
+      CAST((SELECT count(*) FROM cov_f) AS BIGINT) AS covered_full,
+      CAST((SELECT count(*) FROM
+            (SELECT * FROM cov_m INTERSECT
+             (SELECT * FROM cov_a UNION SELECT * FROM cov_b))) AS BIGINT)
+        AS refetched,
+      ((SELECT count(*) FROM (SELECT * FROM u EXCEPT SELECT * FROM cov_f))
+         = 0
+       AND (SELECT count(*) FROM
+            (SELECT * FROM cov_f EXCEPT SELECT * FROM u)) = 0)
+        AS union_matches_full,
+      CAST((SELECT count(DISTINCT shard) FROM read_json(
+        '/tmp/raycrawl_q/current-mrg-m/checkpoints/epoch=*/shard=*/manifest.json',
+        columns={{'shard': 'BIGINT'}})) AS BIGINT) AS merged_shards
+    """,
+)
 def crawl_merge_coverage(sf_dir: str):
     import glob
 
@@ -1430,6 +1563,9 @@ def crawl_merge_coverage(sf_dir: str):
     crawl(f"{base}-m", [], max_epochs=200, resume=True)
     crawl(f"{base}-f", seeds, max_epochs=200)
 
+    for label in ("a", "b", "m", "f"):
+        _publish_current(f"{base}-{label}", "/tmp/raycrawl_q",
+                         f"current-mrg-{label}")
     cov_a, cov_b = covered(f"{base}-a"), covered(f"{base}-b")
     cov_m, cov_f = covered(f"{base}-m"), covered(f"{base}-f")
     union = cov_a | cov_b | cov_m
@@ -1614,7 +1750,30 @@ def phash_pair_psnr_verify(sf_dir: str):
     )
 
 
-@register("crawl_tier_feedback", sql=None)
+@register(
+    "crawl_tier_feedback",
+    sql=f"""
+    WITH p AS ({_payload_sql(_Q_CUR, 'url, w, h')}),
+    h AS (
+      SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+             count(*) AS n,
+             SUM(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS area_sum
+      FROM p GROUP BY 1),
+    r AS (
+      SELECT host, n, CAST(area_sum AS DOUBLE) / n AS mean_area,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(area_sum AS DOUBLE) / n DESC, host) AS rn,
+             (SELECT CAST(CEIL(count(*) / 4.0) AS BIGINT) FROM h) AS q
+      FROM h)
+    SELECT host,
+           CAST(n AS BIGINT) AS n_pages,
+           ROUND(mean_area, 2) AS mean_area,
+           CAST(LEAST((rn - 1) // GREATEST(q, 1), 3) AS BIGINT) AS tier,
+           CAST(3 - LEAST((rn - 1) // GREATEST(q, 1), 3) AS BIGINT)
+             AS boost
+    FROM r
+    """,
+)
 def crawl_tier_feedback(sf_dir: str):
     """Adaptive TIER-CRAWL feedback: score every crawled host by payload
     quality (mean decoded image area over its fetched pages) and assign
@@ -1623,10 +1782,10 @@ def crawl_tier_feedback(sf_dir: str):
     boundaries: crawl → this op → resume/re-crawl with boosts, so the
     frontier heap order (priority, depth, discovery-time) now prefers
     hosts that served high-quality images. Per-block (host, n, area-sum)
-    Arrow partials (fixed cardinality = hosts) + one local combine;
-    rows-only (a crawl is not SQL-expressible; pytest recomputes the
-    tiers locally and drives a boosted re-crawl end-to-end against
-    oracle_crawl with the same boost map). CLI:
+    Arrow partials (fixed cardinality = hosts) + one local combine; the
+    SQL oracle replays the payload tree + quartile ranking via the
+    `current` symlink; pytest additionally drives a boosted re-crawl
+    end-to-end against oracle_crawl with the same boost map. CLI:
     ``python -m raycrawl tier-feedback <out_dir> --boosts-out b.json``
     then ``crawl --host-boosts b.json --pop-budget N``."""
     return tier_feedback_table(_crawl_out_dir(sf_dir))
@@ -1692,6 +1851,7 @@ def _quota_crawl_dir(sf_dir: str) -> str:
     """Run (once per sf_dir per process) a QUOTA-CAPPED crawl — the
     crawl-budget feature under audit (CrawlConfig.max_pages_per_host)."""
     if sf_dir in _QUOTA_CRAWL_CACHE:
+        _publish_current(_QUOTA_CRAWL_CACHE[sf_dir], "/tmp/raycrawl_quota")
         return _QUOTA_CRAWL_CACHE[sf_dir]
     from ..crawler import CrawlConfig, run_crawl
 
@@ -1707,17 +1867,59 @@ def _quota_crawl_dir(sf_dir: str) -> str:
     )
     run_crawl(cfg, seed_urls(web))
     _QUOTA_CRAWL_CACHE[sf_dir] = out
+    _publish_current(out, "/tmp/raycrawl_quota")
     return out
 
 
-@register("crawl_quota_audit", sql=None)
+_QUOTA_CUR = "/tmp/raycrawl_quota/current"
+
+
+@register(
+    "crawl_quota_audit",
+    sql=f"""
+    WITH p AS (
+      SELECT url
+      FROM read_parquet('{_QUOTA_CUR}/payload/epoch=*/*.parquet')
+      WHERE url_hash NOT IN (
+        SELECT url_hash
+        FROM read_parquet('{_QUOTA_CUR}/suppressed/epoch=*.parquet')
+        UNION ALL
+        SELECT url_hash
+        FROM read_parquet('{_QUOTA_CUR}/not_modified/epoch=*.parquet'))),
+    h AS (
+      SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+             count(*) AS n
+      FROM p GROUP BY 1),
+    man AS (
+      SELECT epoch, metrics
+      FROM read_json(
+        '{_QUOTA_CUR}/checkpoints/epoch=*/shard=*/manifest.json',
+        columns={{'epoch': 'BIGINT', 'metrics': 'JSON'}})),
+    m AS (
+      SELECT
+        SUM(COALESCE(CAST(json_extract(metrics, '$.quota_denied')
+                          AS BIGINT), 0)) AS qd,
+        SUM(COALESCE(CAST(json_extract(metrics, '$.quota_dropped')
+                          AS BIGINT), 0)) AS qr
+      FROM man WHERE epoch = (SELECT max(epoch) FROM man))
+    SELECT CAST({_QUOTA_PER_HOST} AS BIGINT) AS quota,
+           CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(n) AS BIGINT) AS fetched_rows,
+           CAST(max(n) AS BIGINT) AS max_host_rows,
+           CAST(sum(CASE WHEN n >= {_QUOTA_PER_HOST} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hosts_at_cap,
+           CAST((SELECT qd FROM m) AS BIGINT) AS quota_denied,
+           CAST((SELECT qr FROM m) AS BIGINT) AS quota_dropped
+    FROM h
+    """,
+)
 def crawl_quota_audit(sf_dir: str):
     """Crawl-budget audit: run a crawl capped at 6 pages/host and verify
     the cap from its own outputs — per-host fetched counts from the
     payload (fixed-cardinality partials) + the shards' quota_denied /
-    quota_dropped accounting from the checkpoint manifests. Rows-only (a
-    crawl is not SQL-expressible); pytest pins the no-host-over-quota
-    invariant and the metric identities."""
+    quota_dropped accounting from the checkpoint manifests. SQL oracle =
+    independent DuckDB replay of the same artifact tree via the quota
+    `current` symlink; pytest pins the no-host-over-quota invariant."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -1783,6 +1985,9 @@ _FOCUS_CRAWL_CACHE: dict[str, tuple[str, str]] = {}
 
 def _focus_crawl_dirs(sf_dir: str) -> tuple[str, str]:
     if sf_dir in _FOCUS_CRAWL_CACHE:
+        op, of = _FOCUS_CRAWL_CACHE[sf_dir]
+        _publish_current(op, "/tmp/raycrawl_focus", "current-plain")
+        _publish_current(of, "/tmp/raycrawl_focus", "current-focus")
         return _FOCUS_CRAWL_CACHE[sf_dir]
     from ..crawler import CrawlConfig, run_crawl
 
@@ -1800,10 +2005,47 @@ def _focus_crawl_dirs(sf_dir: str) -> tuple[str, str]:
         run_crawl(cfg, seed_urls(web))
         outs.append(out)
     _FOCUS_CRAWL_CACHE[sf_dir] = (outs[0], outs[1])
+    _publish_current(outs[0], "/tmp/raycrawl_focus", "current-plain")
+    _publish_current(outs[1], "/tmp/raycrawl_focus", "current-focus")
     return _FOCUS_CRAWL_CACHE[sf_dir]
 
 
-@register("crawl_focus_yield", sql=None)
+def _focus_payload_sql(cur: str) -> str:
+    kw = " OR ".join(
+        f"lower(caption) LIKE '%{k}%'" for k in _FOCUS_KEYWORDS
+    )
+    return f"""
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN {kw} THEN 1 ELSE 0 END) AS BIGINT)
+               AS on_topic
+      FROM read_parquet('{cur}/payload/epoch=*/*.parquet')
+      WHERE url_hash NOT IN (
+        SELECT url_hash
+        FROM read_parquet('{cur}/suppressed/epoch=*.parquet')
+        UNION ALL
+        SELECT url_hash
+        FROM read_parquet('{cur}/not_modified/epoch=*.parquet'))
+    """
+
+
+@register(
+    "crawl_focus_yield",
+    sql=f"""
+    WITH p AS ({_focus_payload_sql('/tmp/raycrawl_focus/current-plain')}),
+    f AS ({_focus_payload_sql('/tmp/raycrawl_focus/current-focus')})
+    SELECT CAST(p.n AS BIGINT) AS fetched_plain,
+           CAST(f.n AS BIGINT) AS fetched_focus,
+           p.on_topic AS on_topic_plain,
+           f.on_topic AS on_topic_focus,
+           ROUND(CAST(p.on_topic AS DOUBLE) / GREATEST(p.n, 1), 6)
+             AS on_topic_frac_plain,
+           ROUND(CAST(f.on_topic AS DOUBLE) / GREATEST(f.n, 1), 6)
+             AS on_topic_frac_focus,
+           ROUND(1.0 - CAST(f.n AS DOUBLE) / GREATEST(p.n, 1), 6)
+             AS fetch_savings_frac
+    FROM p, f
+    """,
+)
 def crawl_focus_yield(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1886,10 +2128,46 @@ def _backoff_crawl_dir(sf_dir: str) -> str:
     )
     run_crawl(cfg, seed_urls(web))
     _BACKOFF_CRAWL_CACHE[sf_dir] = out
+    _publish_current(out, "/tmp/raycrawl_backoff")
     return out
 
 
-@register("crawl_backoff_audit", sql=None)
+_BACKOFF_CUR = "/tmp/raycrawl_backoff/current"
+
+
+@register(
+    "crawl_backoff_audit",
+    sql=f"""
+    WITH man AS (
+      SELECT epoch, metrics, host_consec_errors AS hce
+      FROM read_json(
+        '{_BACKOFF_CUR}/checkpoints/epoch=*/shard=*/manifest.json',
+        columns={{'epoch': 'BIGINT', 'metrics': 'JSON',
+                  'host_consec_errors': 'JSON'}})),
+    latest AS (SELECT max(epoch) AS ep FROM man),
+    lm AS (SELECT * FROM man, latest WHERE epoch = ep),
+    fe AS (
+      SELECT CAST(SUM(COALESCE(CAST(json_extract(metrics,
+                 '$.fetch_errors') AS BIGINT), 0)) AS BIGINT) AS v
+      FROM lm),
+    streaks AS (
+      -- hosts are unique per shard (host-hash partitioning), so the
+      -- union across shard manifests IS the merged streak dict
+      SELECT k AS host,
+             CAST(json_extract(hce, '$."' || k || '"') AS BIGINT) AS n
+      FROM lm, unnest(json_keys(hce)) AS t(k)),
+    side AS (
+      SELECT count(*) AS nrows
+      FROM read_parquet('{_BACKOFF_CUR}/errors/epoch=*.parquet'))
+    SELECT (SELECT v FROM fe) AS fetch_errors,
+           CAST((SELECT nrows FROM side) AS BIGINT) AS error_sidecar_rows,
+           CAST((SELECT count(*) FROM streaks) AS BIGINT)
+             AS n_hosts_final_streak,
+           CAST(COALESCE((SELECT max(n) FROM streaks), 0) AS BIGINT)
+             AS max_final_streak,
+           (SELECT ep FROM latest) AS epochs
+    """,
+)
 def crawl_backoff_audit(sf_dir: str):
     import glob as _glob
     import json
@@ -1956,10 +2234,42 @@ def _redirect_crawl_dir(sf_dir: str) -> str:
     )
     run_crawl(cfg, seed_urls(web))
     _REDIRECT_CRAWL_CACHE[sf_dir] = out
+    _publish_current(out, "/tmp/raycrawl_redirect")
     return out
 
 
-@register("crawl_redirect_audit", sql=None)
+_REDIR_CUR = "/tmp/raycrawl_redirect/current"
+
+
+@register(
+    "crawl_redirect_audit",
+    sql=f"""
+    WITH man AS (
+      SELECT epoch, metrics
+      FROM read_json(
+        '{_REDIR_CUR}/checkpoints/epoch=*/shard=*/manifest.json',
+        columns={{'epoch': 'BIGINT', 'metrics': 'JSON'}})),
+    latest AS (SELECT max(epoch) AS ep FROM man),
+    rf AS (
+      SELECT CAST(SUM(COALESCE(CAST(json_extract(metrics,
+                 '$.redirects_followed') AS BIGINT), 0)) AS BIGINT) AS v
+      FROM man, latest WHERE epoch = ep),
+    side AS (
+      SELECT count(*) AS nrows, count(DISTINCT host) AS nhosts
+      FROM read_parquet('{_REDIR_CUR}/redirects/epoch=*.parquet')),
+    pay AS (
+      SELECT count(*) AS n
+      FROM read_parquet('{_REDIR_CUR}/payload/epoch=*/*.parquet')
+      WHERE url LIKE '%/r/%')
+    SELECT (SELECT v FROM rf) AS redirects_followed,
+           CAST((SELECT nrows FROM side) AS BIGINT)
+             AS redirect_sidecar_rows,
+           CAST((SELECT nhosts FROM side) AS BIGINT)
+             AS hosts_with_redirects,
+           CAST((SELECT n FROM pay) AS BIGINT) AS alias_payload_rows,
+           (SELECT ep FROM latest) AS epochs
+    """,
+)
 def crawl_redirect_audit(sf_dir: str):
     import glob as _glob
     import json
@@ -2011,14 +2321,38 @@ def crawl_redirect_audit(sf_dir: str):
 # epoch. No epoch-ordered driver loop, no growing driver-side seen set.
 # Rows-only: the crawl corpus is not SQL-expressible; the oracle is a
 # sequential python recompute in tests/test_round3q.py.
-@register("crawl_caption_novelty_by_epoch", sql=None)
+@register(
+    "crawl_caption_novelty_by_epoch",
+    sql=f"""
+    WITH p AS ({_payload_sql(_Q_CUR, 'caption, epoch')}),
+    tok AS (
+      SELECT epoch,
+             list_filter(string_split_regex(caption, '\\s+'),
+                         x -> x <> '') AS w
+      FROM p),
+    tri AS (
+      SELECT epoch, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM tok, unnest(range(1, len(w) - 1)) AS t(i)),
+    ge AS (SELECT DISTINCT gram, epoch FROM tri),
+    f AS (SELECT gram, min(epoch) AS first_ep FROM ge GROUP BY 1)
+    SELECT ge.epoch,
+           CAST(sum(CASE WHEN ge.epoch = f.first_ep THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           CAST(count(*) AS BIGINT) AS present_grams,
+           ROUND(CAST(sum(CASE WHEN ge.epoch = f.first_ep
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM ge JOIN f USING (gram)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
 def crawl_caption_novelty_by_epoch(sf_dir: str):
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
     from ..crawler import read_payload
-    from .common import bucketed_group_agg, combine_small
+    from .common import bucketed_group_agg, combine_small, round_half_away
 
     out = _crawl_out_dir(sf_dir)
     ds = read_payload(out, columns=["caption", "epoch"])
@@ -2062,7 +2396,9 @@ def crawl_caption_novelty_by_epoch(sf_dir: str):
                 "novel_grams": pa.array(nv),
                 "present_grams": pa.array(pr),
                 "novelty": pa.array(
-                    np.round(nv.astype(np.float64) / pr, 6)
+                    # half-away rounding (DuckDB ROUND's tie rule), like
+                    # every ROUND()-compared float in the repo
+                    round_half_away(nv.astype(np.float64) / pr, 6)
                 ),
             }
         )
@@ -2277,6 +2613,8 @@ def _volatile_recrawl_out_dir(sf_dir: str) -> str:
     """Generation-1 crawl of the SAME universe as _crawl_out_dir but with
     content_epoch=1: volatile pages' content differs, stable pages match."""
     if sf_dir in _VOLATILE_CRAWL_CACHE:
+        _publish_current(_VOLATILE_CRAWL_CACHE[sf_dir],
+                         "/tmp/raycrawl_volatile")
         return _VOLATILE_CRAWL_CACHE[sf_dir]
     from ..crawler import CrawlConfig, run_crawl
 
@@ -2292,15 +2630,56 @@ def _volatile_recrawl_out_dir(sf_dir: str) -> str:
     )
     run_crawl(cfg, seed_urls(web))
     _VOLATILE_CRAWL_CACHE[sf_dir] = out
+    _publish_current(out, "/tmp/raycrawl_volatile")
     return out
 
 
-@register("crawl_change_rate_by_host", sql=None)
+_VOL_CUR = "/tmp/raycrawl_volatile/current"
+
+
+@register(
+    "crawl_change_rate_by_host",
+    sql=f"""
+    WITH a AS ({_payload_sql(_Q_CUR,
+                'image_id, url, url_hash, w, h, fmt, phash, caption')}),
+    b AS ({_payload_sql(_VOL_CUR, 'image_id, w, h, fmt, phash, caption')}),
+    common AS (
+      SELECT split_part(split_part(a.url, '://', 2), '/', 1) AS host,
+             CASE WHEN a.w = b.w AND a.h = b.h AND a.fmt = b.fmt
+                       AND a.phash = b.phash AND a.caption = b.caption
+                  THEN 0 ELSE 1 END AS changed
+      FROM a JOIN b USING (image_id)),
+    nm AS (
+      -- generation B's 304-not_modified pages count as unchanged-common
+      -- (their authoritative row lives in generation A)
+      SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+             count(*) AS n_unchanged
+      FROM a WHERE url_hash IN (
+        SELECT url_hash
+        FROM read_parquet('{_VOL_CUR}/not_modified/epoch=*.parquet'))
+      GROUP BY 1),
+    agg AS (
+      SELECT host, count(*) AS n_common,
+             CAST(sum(changed) AS BIGINT) AS n_changed
+      FROM common GROUP BY 1)
+    SELECT host,
+           CAST(COALESCE(agg.n_common, 0)
+                + COALESCE(nm.n_unchanged, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(agg.n_changed, 0) AS BIGINT) AS n_changed,
+           ROUND(CAST(COALESCE(agg.n_changed, 0) AS DOUBLE)
+                 / (COALESCE(agg.n_common, 0)
+                    + COALESCE(nm.n_unchanged, 0)), 6) AS change_rate
+    FROM agg FULL OUTER JOIN nm USING (host)
+    ORDER BY host
+    """,
+)
 def crawl_change_rate_by_host(sf_dir: str):
     """Per-host content-churn between generation 0 (the shared cached
     crawl) and generation 1 (content_epoch=1 over the same universe).
-    Rows-only; oracle = page_is_volatile ground truth in
-    tests/test_recrawl.py."""
+    SQL oracle replays both payload trees (inner join on image_id,
+    content-tuple comparison, 304 sidecar as unchanged-common) via the
+    two `current` symlinks; tests/test_recrawl.py pins the
+    page_is_volatile ground truth."""
     return host_change_rates(_crawl_out_dir(sf_dir),
                              _volatile_recrawl_out_dir(sf_dir))
 
@@ -2318,6 +2697,7 @@ _INCR_CRAWL_CACHE: dict[str, str] = {}
 
 def _incremental_recrawl_out_dir(sf_dir: str) -> str:
     if sf_dir in _INCR_CRAWL_CACHE:
+        _publish_current(_INCR_CRAWL_CACHE[sf_dir], "/tmp/raycrawl_incr")
         return _INCR_CRAWL_CACHE[sf_dir]
     from ..crawler import CrawlConfig, run_crawl
 
@@ -2334,10 +2714,50 @@ def _incremental_recrawl_out_dir(sf_dir: str) -> str:
     )
     run_crawl(cfg, seed_urls(web))
     _INCR_CRAWL_CACHE[sf_dir] = out
+    _publish_current(out, "/tmp/raycrawl_incr")
     return out
 
 
-@register("crawl_incremental_audit", sql=None)
+_INCR_CUR = "/tmp/raycrawl_incr/current"
+
+
+@register(
+    "crawl_incremental_audit",
+    sql=f"""
+    WITH g0 AS ({_payload_sql(_Q_CUR,
+                 'image_id, w, h, fmt, phash, caption')}),
+    g1 AS ({_payload_sql(_INCR_CUR,
+                 'image_id, w, h, fmt, phash, caption')}),
+    common AS (
+      -- etag equality is content-tuple equality (content_etag is a
+      -- deterministic hash of exactly these five fields)
+      SELECT CASE WHEN g0.w = g1.w AND g0.h = g1.h AND g0.fmt = g1.fmt
+                       AND g0.phash = g1.phash
+                       AND g0.caption = g1.caption
+                  THEN 1 ELSE 0 END AS unchanged
+      FROM g0 JOIN g1 USING (image_id)),
+    man AS (
+      SELECT epoch, metrics
+      FROM read_json(
+        '{_INCR_CUR}/checkpoints/epoch=*/shard=*/manifest.json',
+        columns={{'epoch': 'BIGINT', 'metrics': 'JSON'}})),
+    nm AS (
+      SELECT CAST(SUM(COALESCE(CAST(json_extract(metrics,
+                 '$.not_modified') AS BIGINT), 0)) AS BIGINT) AS v
+      FROM man WHERE epoch = (SELECT max(epoch) FROM man)),
+    side AS (
+      SELECT count(*) AS n
+      FROM read_parquet('{_INCR_CUR}/not_modified/epoch=*.parquet'))
+    SELECT (SELECT v FROM nm) AS not_modified,
+           CAST((SELECT n FROM side) AS BIGINT) AS nm_sidecar_rows,
+           CAST((SELECT count(*) FROM g0) AS BIGINT) AS gen0_stored,
+           CAST((SELECT count(*) FROM g1) AS BIGINT) AS gen1_stored,
+           CAST((SELECT count(*) - COALESCE(sum(unchanged), 0)
+                 FROM common) AS BIGINT) AS restored_changed,
+           CAST((SELECT COALESCE(sum(unchanged), 0) FROM common) AS BIGINT)
+             AS restored_unchanged
+    """,
+)
 def crawl_incremental_audit(sf_dir: str):
     import json
 
