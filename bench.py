@@ -160,6 +160,10 @@ BENCH_QUERIES = [
     "funnel_time_to_convert",
     "equi_depth_value_histogram",
     "pq_code_dedup_groups",
+    # round-5 additions (per-group KLL rank sketch, distributed
+    # label propagation with bucketed winner selection)
+    "kll_quantiles_by_type",
+    "label_propagation",
 ]
 
 
