@@ -614,6 +614,9 @@ def main() -> None:
     print(f"# label_prop_1m_users: {results['label_prop_1m_users']}s, "
           f"{len(lp)} rows", file=sys.stderr)
     checks["label_prop_1m_rows"] = len(lp) == _LP_USERS + len(_lp_seeds)
+    checks["label_prop_distributed_winners"] = (
+        PATH_LOG.get("label_propagation") == "join+bucketed_winners"
+    )
     _lp_map = dict(zip(lp["user_id"], lp["label"]))
     _expect = {0: "A", 1: "B", 2: "C"}
     checks["label_prop_1m_values"] = all(
