@@ -78,3 +78,34 @@ def test_cli_seeds_file(ray_session, tmp_path):
     assert j["payload_rows"] == sum(
         m["fetched"] for m in o.metrics.values()
     )
+
+
+def test_cli_inject_and_follow_file(tmp_path):
+    """Continuous-crawl CLI surfaces: --inject delivers a deterministic
+    schedule; --follow-seeds-file injects pre-written complete lines and
+    keeps the loop alive. Each is a separate process, as a user would
+    run `ray job submit`."""
+    # --inject: seed host 0 only, schedule host 1's root at epoch 2
+    inj = tmp_path / "inj.json"
+    inj.write_text(json.dumps({"2": ["http://h1.web.test/p/1"]}))
+    c = _run("crawl", "--out", str(tmp_path / "ci"), "--hosts", "2",
+             "--pages-per-host", "6", "--shards", "2", "--max-epochs",
+             "15", "--epoch-seconds", "4", "--num-cpus", "4",
+             "--seeds", "1", "--max-depth", "0",
+             "--inject", str(inj))
+    # seed fetch (maybe) + the injected page: depth cap kills expansion,
+    # so any row beyond the seed's must come from the injection
+    assert c["payload_rows"] >= 1
+    assert sum(m["offered"] for m in c["metrics"]) >= 2
+
+    # --follow-seeds-file: complete line injected, partial line ignored
+    wf = tmp_path / "more.txt"
+    wf.write_text("http://h1.web.test/p/2\nhttp://partial")
+    f = _run("crawl", "--out", str(tmp_path / "cf"), "--hosts", "2",
+             "--pages-per-host", "6", "--shards", "2", "--max-epochs",
+             "8", "--epoch-seconds", "4", "--num-cpus", "4",
+             "--seeds", "1", "--max-depth", "0",
+             "--follow-seeds-file", str(wf))
+    # follow mode idles to max_epochs instead of exiting on exhaustion
+    assert f["epochs"] == 8
+    assert f["payload_rows"] >= 1
