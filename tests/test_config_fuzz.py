@@ -33,6 +33,10 @@ _cfg_st = st.fixed_dictionaries(
         # at the max_epochs cut) — draw the cut point itself, including
         # values small enough that the frontier is never exhausted
         "max_epochs": st.sampled_from([3, 6, 30]),
+        # continuous-crawl injection schedules cross the new round-5
+        # surface into the feature cross-product: None, an early single
+        # injection, or two rounds (incl. a likely-duplicate URL)
+        "inject": st.sampled_from([None, "early", "two_rounds"]),
     }
 )
 
@@ -68,9 +72,23 @@ def test_random_config_parity(ray_session, tmp_path_factory, draw):
         trap_links=draw["trap_links"],
     )
     seeds = seed_urls(web)
+    from raycrawl.core.webgraph import page_url
+
+    inject = {
+        None: None,
+        # page 1 of the last host (page 0 can deterministically
+        # fetch-fail; any page works for parity — both sides get the
+        # same schedule)
+        "early": {2: [page_url(draw["n_hosts"] - 1, 1)]},
+        "two_rounds": {
+            2: [page_url(draw["n_hosts"] - 1, 1)],
+            4: [page_url(0, 0), page_url(0, 2)],  # dup re-seed + fresh
+        },
+    }[draw["inject"]]
     kw = dict(
         max_epochs=draw["max_epochs"],
         num_shards=draw["num_shards"],
+        seed_injections=inject,
         phash_radius=draw["phash_radius"],
         burst=draw["burst"],
         trap_filter=draw["trap_filter"],

@@ -144,3 +144,32 @@ def test_follow_seeds_file_cli_surface(ray_session, tmp_path):
     want = oracle_crawl(web, seeds, max_epochs=20, num_shards=2,
                         seed_injections={0: [page_url(1, 0)]})
     _assert_parity(want, stats, out)
+
+
+def test_injection_schedule_survives_resume(ray_session, tmp_path):
+    """Injections are keyed by ABSOLUTE epoch, so a crawl cut mid-
+    schedule and resumed delivers the remaining injections at their
+    scheduled epochs — the combined run matches one oracle run given
+    the full schedule."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=4, pages_per_host=8)
+    seeds = seed_urls(web, 2)
+    schedule = {3: [page_url(2, 1)], 8: [page_url(3, 1)]}
+
+    def cfg_for(max_epochs):
+        return CrawlConfig(
+            web=web, out_dir=str(tmp_path / "c"), num_shards=2,
+            max_epochs=max_epochs, saving_period=3,
+            seed_injections=schedule, collect_parity_outputs=True,
+        )
+
+    run_crawl(cfg_for(5), seeds)  # cut between the two injections
+    resumed = run_crawl(cfg_for(20), seeds, resume=True)
+    want = oracle_crawl(web, seeds, max_epochs=20, num_shards=2,
+                        seed_injections=schedule)
+    assert {s: sorted(v) for s, v in want.seen.items()} == {
+        s: sorted(v) for s, v in resumed.seen.items()
+    }
+    hosts = {r["host"] for r in want.fetch_log if r["status"] == "fetched"}
+    assert "h3.web.test" in hosts  # the post-resume injection fired

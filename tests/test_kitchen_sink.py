@@ -1,13 +1,13 @@
 """Kitchen-sink parity: EVERY crawl feature on at once — trap links +
 trap filter, 301 redirects, depth cap, lifetime host quota, error
 backoff, pop budget, host priority boosts, cross-host near-dups, link
-log — and the engine still matches the sequential oracle exactly
-(ordering, seen sets, metrics). Features are individually parity-tested
-elsewhere; this guards their composition."""
+log, mid-crawl seed injection — and the engine still matches the
+sequential oracle exactly (ordering, seen sets, metrics). Features are
+individually parity-tested elsewhere; this guards their composition."""
 
 import pytest
 
-from raycrawl.core.webgraph import WebConfig, seed_urls
+from raycrawl.core.webgraph import WebConfig, page_url, seed_urls
 from raycrawl.oracle import oracle_crawl
 
 WEB = WebConfig(n_hosts=8, pages_per_host=18, trap_links=True,
@@ -17,7 +17,11 @@ EPOCHS = 40
 BOOSTS = {"h1.web.test": 2, "h5.web.test": 1}
 KW = dict(trap_filter=True, max_depth=5, max_pages_per_host=10,
           error_backoff=True, epoch_pop_budget=6,
-          host_priority_boost=BOOSTS)
+          host_priority_boost=BOOSTS,
+          # round-5: injection composes with every other gate (the
+          # injected URLs run the same trap/depth/quota/robots merge)
+          seed_injections={3: [page_url(7, 1)],
+                           6: [page_url(0, 0), page_url(2, 4)]})
 
 
 def _key(r):
