@@ -3015,14 +3015,60 @@ def host_pagerank(out_dir: str, damping: float = 0.85, iters: int = 20):
         dangling = r[out_w == 0].sum() / n
         r = (1 - damping) / n + damping * (contrib + dangling)
     order = np.lexsort((hosts, -r))
+    from .common import round_half_away
+
     return pa.table(
         {
             "host": pa.array([hosts[i] for i in order], pa.string()),
-            "pagerank": pa.array(np.round(r[order], 8)),
+            # half-away (DuckDB ROUND's tie rule) like every other
+            # ROUND()-compared column
+            "pagerank": pa.array(round_half_away(r[order], 8)),
         }
     )
 
 
-@register("crawl_host_pagerank", sql=None)
+@register(
+    "crawl_host_pagerank",
+    sql="""
+    WITH RECURSIVE
+    e AS (
+      SELECT split_part(split_part(src_url, '://', 2), '/', 1) AS src,
+             split_part(split_part(dst_url, '://', 2), '/', 1) AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM read_parquet('/tmp/raycrawl_links/current/links/epoch=*.parquet')
+      GROUP BY 1, 2),
+    -- NOT `src UNION dst`: under WITH RECURSIVE, DuckDB treats a
+    -- base-UNION-recursive shaped CTE as an iteration and skips the
+    -- dedup — unnest keeps it a single select
+    hosts AS (SELECT DISTINCT unnest([src, dst]) AS h FROM e),
+    nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
+    outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+    -- 20 synchronous power iterations: the working table is exactly
+    -- the previous iteration's 16-ish host rows, so contrib is one
+    -- grouped join per step and dangling mass redistributes uniformly
+    pr AS (
+      SELECT 0 AS iter, h AS host, 1.0 / (SELECT n FROM nh) AS r
+      FROM hosts
+      UNION ALL
+      SELECT p.iter + 1, hh.h,
+             (1 - 0.85) / max(nh.n)
+             + 0.85 * (COALESCE(sum(p.r * e.w / ow.ow), 0)
+                       + sum(CASE WHEN ow.src IS NULL
+                                  THEN p.r ELSE 0 END) / max(nh.n))
+      FROM pr p
+      CROSS JOIN hosts hh
+      LEFT JOIN outw ow ON ow.src = p.host
+      LEFT JOIN e ON e.src = p.host AND e.dst = hh.h
+      CROSS JOIN nh
+      WHERE p.iter < 20
+      GROUP BY p.iter, hh.h)
+    SELECT host, ROUND(r, 8) AS pagerank FROM pr WHERE iter = 20
+    ORDER BY pagerank DESC, host
+    """,
+)
 def crawl_host_pagerank(sf_dir: str):
+    """Host-graph PageRank over the crawled web's edge log. The SQL
+    oracle replays the SAME power iteration as a recursive CTE over the
+    links artifact tree (via the links `current` symlink) — an
+    independent fixed-point computation, not a copy of the numpy one."""
     return host_pagerank(_linklog_crawl_out_dir(sf_dir))
