@@ -238,6 +238,13 @@ def location_normalize_counts(sf_dir: str):
 # (src = user_id, dst = props.k % 150 — the M7 JSON parse), seeds are users
 # 0..8 labeled by id % 3. Each round every non-seed user takes the argmax
 # label of its out-neighbors, applied only when max - runner_up >= margin.
+
+# driver-pick winner gate: the partial-count pull is ≤ one row per edge,
+# so this bounds the driver frame to a few hundred MB worst-case;
+# bigger edge sets route winners through the bucketed exchange
+_LP_DRIVER_PICK_MAX_EDGES = 5_000_000
+
+
 def propagate_labels(
     edges: "ray.data.Dataset",
     seed_labels: dict[int, str],
@@ -251,13 +258,21 @@ def propagate_labels(
     the label table fits (≤ ``broadcast_threshold`` entries), via a
     hash-partitioned ``Dataset.join`` beyond that — then pre-aggregates
     per-block vote counts map-side and applies the argmax-with-margin
-    rule (A4) with one vectorized cumcount/merge: driver-local under the
-    broadcast gate (counts bounded by the small label universe), inside
-    a ``bucketed_group_agg`` above it so only the ≤1-row-per-user WINNER
-    table reaches the driver, never the (src, label, votes) matrix.
-    Both paths produce identical winners (tested; 1M-user smoke)."""
+    rule (A4) with one vectorized cumcount/merge: driver-local while the
+    EDGE count bounds the pulled partial stream
+    (``_LP_DRIVER_PICK_MAX_EDGES``), inside a ``bucketed_group_agg``
+    above it so only the ≤1-row-per-user WINNER table reaches the
+    driver, never the vote matrix. Both winner paths are one shared
+    function (identical by construction; 2M-user smoke drives the
+    bucketed branch on real over-gate data)."""
     labels: dict[int, str] = dict(seed_labels)
     edges = edges.materialize()  # reused every round — pin once
+    # the driver-pick fast path must be gated on EDGE volume, not label
+    # count: the pulled per-block partials have up to one row per
+    # (src, label) per block, and src cardinality is NOT bounded by the
+    # label table (a billion unlabeled voters over a thousand labels
+    # keeps len(labels) tiny while the partial stream is huge)
+    n_edges = edges.count()
     for _ in range(iterations):
         if len(labels) <= broadcast_threshold:
             ref = ray.put(dict(labels))
@@ -331,19 +346,20 @@ def propagate_labels(
             )
 
         counts = voted.map_batches(partial_counts, batch_format="pandas")
-        if len(labels) <= broadcast_threshold:
-            # under the gate the partial-count table is bounded by the
-            # (small) label universe's vote fan-in — ONE driver-local
-            # vectorized pick beats a per-round Sort exchange (~0.3 s of
-            # fixed all-to-all latency per iteration at bench scale)
-            note_path("label_propagation", "broadcast+driver_pick")
+        if n_edges <= _LP_DRIVER_PICK_MAX_EDGES:
+            # the pulled partial stream is ≤ one row per edge, so the
+            # edge gate bounds driver memory by construction — ONE
+            # driver-local vectorized pick beats a per-round Sort
+            # exchange (~0.3 s of fixed all-to-all latency per
+            # iteration at bench scale)
+            note_path("label_propagation", "driver_pick")
             winners = pick_winners(counts.to_pandas())
         else:
             # at scale the winner rule runs WHERE the votes live: each
             # hash bucket holds every partial of its srcs, and the driver
             # sees ≤1 row per user, never the vote matrix (smoke-proven
             # at a 1M-user edge set)
-            note_path("label_propagation", "join+bucketed_winners")
+            note_path("label_propagation", "bucketed_winners")
             winners = bucketed_group_agg(
                 counts, ["src"], pick_winners
             ).to_pandas()

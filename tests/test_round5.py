@@ -253,3 +253,28 @@ def test_kll_by_type_merge_order_independence():
                            cat["value"].to_numpy(np.float64))
         qs.append([m.quantile(q) for q in (0.1, 0.5, 0.9)])
     assert qs[0] == qs[1]
+
+
+def test_label_prop_winner_gate_path_equivalence(ray_session, monkeypatch):
+    """Winner selection must be identical on both sides of the
+    driver-pick edge gate (it is one shared function; this pins the
+    plumbing around it), and the gate must key on EDGE volume — a tiny
+    label table over many edges still routes through the bucketed
+    exchange."""
+    import ray
+
+    from raycrawl.pipelines import reference_analogs as ra
+    from raycrawl.ops.common import PATH_LOG
+
+    seeds = {0: "A", 1: "B"}
+    edges = pd.DataFrame(
+        {"src": [10, 10, 10, 11, 11, 12], "dst": [0, 0, 1, 1, 1, 0]}
+    )
+    a = ra.propagate_labels(ray.data.from_pandas(edges), seeds,
+                            iterations=2, margin=1)
+    assert PATH_LOG.get("label_propagation") == "driver_pick"
+    monkeypatch.setattr(ra, "_LP_DRIVER_PICK_MAX_EDGES", 0)
+    b = ra.propagate_labels(ray.data.from_pandas(edges), seeds,
+                            iterations=2, margin=1)
+    assert PATH_LOG.get("label_propagation") == "bucketed_winners"
+    pd.testing.assert_frame_equal(a, b)
