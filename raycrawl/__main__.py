@@ -106,6 +106,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="watch this file between epochs; new complete "
                    "lines are injected as depth-0 seeds at the next "
                    "epoch (implies --follow)")
+    c.add_argument("--follow-idle-seconds", type=float, default=None,
+                   help="wall-clock sleep per idle follow epoch "
+                   "(default: --epoch-seconds) — pacing between "
+                   "watch-file polls so max-epochs bounds real time, "
+                   "not a spin")
     c.add_argument("--inject", default=None,
                    help="JSON file {epoch: [seed_url, ...]} of a "
                    "deterministic injection schedule (parity-testable "
@@ -301,6 +306,12 @@ def main(argv: list[str] | None = None) -> int:
         ),
         follow=args.follow or args.follow_seeds_file is not None,
         follow_seeds_file=args.follow_seeds_file,
+        follow_idle_seconds=(
+            args.follow_idle_seconds
+            if args.follow_idle_seconds is not None
+            else (args.epoch_seconds
+                  if (args.follow or args.follow_seeds_file) else 0.0)
+        ),
     )
     import signal
 

@@ -192,6 +192,15 @@ class CrawlConfig:
     # the production re-seed surface (`raycrawl crawl --follow ...`).
     follow: bool = False
     follow_seeds_file: str | None = None
+    # wall-clock sleep per IDLE follow epoch (frontier empty, nothing
+    # popped): without it the virtual-clock loop burns through
+    # max_epochs in well under a second, exiting before any external
+    # writer can append a seed — and with a large max_epochs it
+    # busy-polls the watch file. Engine default 0.0 keeps the
+    # deterministic tests on the virtual clock; the CLI wires it to
+    # --epoch-seconds for real deployments (--follow-idle-seconds to
+    # override).
+    follow_idle_seconds: float = 0.0
 
 
 @dataclass
@@ -430,7 +439,17 @@ def run_crawl(
         return t1
 
     epoch = start_epoch
-    follow_off = 0  # bytes of follow_seeds_file consumed so far
+    # bytes of follow_seeds_file consumed so far — persisted driver-side
+    # so a resumed follow crawl doesn't re-inject every previously
+    # consumed line (re-injects would be seen-denied but would inflate
+    # the offered metric vs an uninterrupted run). Written AFTER the
+    # lines are offered: a crash in between re-delivers at-least-once,
+    # which the seen set absorbs.
+    follow_off = 0
+    follow_off_path = os.path.join(cfg.out_dir, "follow_offset.json")
+    if resume and cfg.follow_seeds_file and os.path.exists(follow_off_path):
+        with open(follow_off_path) as f:
+            follow_off = int(json.load(f)["offset"])
     while epoch < cfg.max_epochs:
         if should_stop is not None and should_stop():
             break  # graceful stop: fall through to the final checkpoint
@@ -464,6 +483,11 @@ def run_crawl(
                 )
                 for sh, rows in _seed_tables(cfg, inj_list).items()
             ])
+            if cfg.follow_seeds_file:
+                tmpf = follow_off_path + ".tmp"
+                with open(tmpf, "w") as f:
+                    json.dump({"offset": follow_off}, f)
+                os.replace(tmpf, follow_off_path)
         t = _time.perf_counter()
         counts = ray.get([a.pop.remote(epoch) for a in actors])
         t = _mark("pop", t)
@@ -478,6 +502,9 @@ def run_crawl(
                     for e in (cfg.seed_injections or {})
                 )):
                     break
+                if cfg.follow and cfg.follow_idle_seconds > 0:
+                    # real-clock pacing between watch-file polls
+                    _time.sleep(cfg.follow_idle_seconds)
             epoch += 1  # throttled / idle epoch; refill and retry
             continue
 

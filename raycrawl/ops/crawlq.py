@@ -75,23 +75,31 @@ def _crawl_out_dir(sf_dir: str) -> str:
 # tree the pipeline read — an independent DuckDB replay of the same
 # parquet, not a re-derivation of the crawl.
 _Q_CUR = "/tmp/raycrawl_q/current"
-_SIDE_FILTER = f"""
-      url_hash NOT IN (
+
+
+def _payload_sql(cur: str, cols: str) -> str:
+    """Anti-filtered payload read (read_payload's suppression contract:
+    suppressed AND not_modified sidecar digests drop out) as a DuckDB
+    fragment over a `current` symlink — the ONE definition every
+    crawl-artifact oracle composes, so a change to the suppression
+    contract lands everywhere at once."""
+    return f"""
+      SELECT {cols}
+      FROM read_parquet('{cur}/payload/epoch=*/*.parquet')
+      WHERE url_hash NOT IN (
         SELECT url_hash
-        FROM read_parquet('{_Q_CUR}/suppressed/epoch=*.parquet')
+        FROM read_parquet('{cur}/suppressed/epoch=*.parquet')
         UNION ALL
         SELECT url_hash
-        FROM read_parquet('{_Q_CUR}/not_modified/epoch=*.parquet'))
-"""
+        FROM read_parquet('{cur}/not_modified/epoch=*.parquet'))
+    """
 
 
 @register(
     "crawl_payload",
-    sql=f"""
-    SELECT image_id, w, h, fmt, caption, phash, url, shard, epoch
-    FROM read_parquet('{_Q_CUR}/payload/epoch=*/*.parquet')
-    WHERE {_SIDE_FILTER}
-    """,
+    sql=_payload_sql(
+        _Q_CUR, "image_id, w, h, fmt, caption, phash, url, shard, epoch"
+    ),
 )
 def crawl_payload(sf_dir: str):
     """The flagship output: fetched image+caption payload rows
@@ -188,21 +196,6 @@ def _recrawl_out_dir(sf_dir: str) -> str:
     _CRAWL_CACHE[key] = out
     _publish_current(out, "/tmp/raycrawl_q", "current-re")
     return out
-
-
-def _payload_sql(cur: str, cols: str) -> str:
-    """Anti-filtered payload read (read_payload's suppression contract)
-    as a DuckDB fragment over a `current` symlink."""
-    return f"""
-      SELECT {cols}
-      FROM read_parquet('{cur}/payload/epoch=*/*.parquet')
-      WHERE url_hash NOT IN (
-        SELECT url_hash
-        FROM read_parquet('{cur}/suppressed/epoch=*.parquet')
-        UNION ALL
-        SELECT url_hash
-        FROM read_parquet('{cur}/not_modified/epoch=*.parquet'))
-    """
 
 
 @register(
@@ -362,9 +355,7 @@ def _trap_crawl_out_dir(sf_dir: str) -> str:
 @register(
     "crawl_host_fairness",
     sql=f"""
-    WITH p AS (
-      SELECT url FROM read_parquet('{_Q_CUR}/payload/epoch=*/*.parquet')
-      WHERE {_SIDE_FILTER}),
+    WITH p AS ({_payload_sql(_Q_CUR, 'url')}),
     h AS (
       SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
              count(*) AS n
@@ -1877,15 +1868,7 @@ _QUOTA_CUR = "/tmp/raycrawl_quota/current"
 @register(
     "crawl_quota_audit",
     sql=f"""
-    WITH p AS (
-      SELECT url
-      FROM read_parquet('{_QUOTA_CUR}/payload/epoch=*/*.parquet')
-      WHERE url_hash NOT IN (
-        SELECT url_hash
-        FROM read_parquet('{_QUOTA_CUR}/suppressed/epoch=*.parquet')
-        UNION ALL
-        SELECT url_hash
-        FROM read_parquet('{_QUOTA_CUR}/not_modified/epoch=*.parquet'))),
+    WITH p AS ({_payload_sql(_QUOTA_CUR, 'url')}),
     h AS (
       SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
              count(*) AS n
@@ -2018,13 +2001,7 @@ def _focus_payload_sql(cur: str) -> str:
       SELECT count(*) AS n,
              CAST(sum(CASE WHEN {kw} THEN 1 ELSE 0 END) AS BIGINT)
                AS on_topic
-      FROM read_parquet('{cur}/payload/epoch=*/*.parquet')
-      WHERE url_hash NOT IN (
-        SELECT url_hash
-        FROM read_parquet('{cur}/suppressed/epoch=*.parquet')
-        UNION ALL
-        SELECT url_hash
-        FROM read_parquet('{cur}/not_modified/epoch=*.parquet'))
+      FROM ({_payload_sql(cur, 'caption')})
     """
 
 

@@ -520,6 +520,14 @@ def kll_quantiles_by_type(sf_dir: str):
     ds = table(sf_dir, "events", ["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # an empty block would still enter the segment loop with
+            # (s=0, e=0) and index et[0] — guard first
+            return pa.table(
+                {"level": pa.array([], pa.int64()),
+                 "value": pa.array([], pa.float64()),
+                 "event_type": pa.array([], pa.string())}
+            )
         et = t["event_type"].to_numpy(zero_copy_only=False)
         vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.argsort(et, kind="stable")

@@ -166,11 +166,14 @@ def oracle_crawl(
         frontier.append(item)
 
     injections = seed_injections or {}
-    for s in seeds:
-        enqueue(canonicalize_url(s), 0, 0)
-    for s in injections.get(0, []):
-        # epoch-0 injections behave like extra seeds
-        enqueue(canonicalize_url(s), 0, 0)
+    # seeds + epoch-0 injections dedup by canonical URL BEFORE enqueue
+    # (first occurrence wins), mirroring the engine's pending dict — a
+    # duplicated entry would otherwise double-count `offered` here while
+    # the engine's dict collapses it pre-merge
+    for url in dict.fromkeys(
+        canonicalize_url(s) for s in [*seeds, *injections.get(0, [])]
+    ):
+        enqueue(url, 0, 0)
 
     def eff_rate(h: str) -> float:
         delay = robots.crawl_delay(h)

@@ -105,7 +105,8 @@ def test_cli_inject_and_follow_file(tmp_path):
              "--pages-per-host", "6", "--shards", "2", "--max-epochs",
              "8", "--epoch-seconds", "4", "--num-cpus", "4",
              "--seeds", "1", "--max-depth", "0",
-             "--follow-seeds-file", str(wf))
+             "--follow-seeds-file", str(wf),
+             "--follow-idle-seconds", "0")  # virtual clock for the test
     # follow mode idles to max_epochs instead of exiting on exhaustion
     assert f["epochs"] == 8
     assert f["payload_rows"] >= 1

@@ -173,3 +173,57 @@ def test_injection_schedule_survives_resume(ray_session, tmp_path):
     }
     hosts = {r["host"] for r in want.fetch_log if r["status"] == "fetched"}
     assert "h3.web.test" in hosts  # the post-resume injection fired
+
+
+def test_epoch0_duplicate_injection_metrics_parity(ray_session, tmp_path):
+    """An epoch-0 injection that duplicates a seed must leave ALL
+    metrics identical on both sides: the engine's pending dict collapses
+    the dup pre-merge, and the oracle now dedups seeds + epoch-0
+    injections the same way (review finding — `offered` previously
+    double-counted oracle-side)."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=3, pages_per_host=8)
+    seeds = seed_urls(web)
+    schedule = {0: [page_url(0, 0), page_url(2, 1)]}  # dup seed + fresh
+    kw = dict(max_epochs=20, num_shards=2, seed_injections=schedule)
+    want = oracle_crawl(web, seeds, **kw)
+    out = str(tmp_path / "out")
+    stats = run_crawl(
+        CrawlConfig(web=web, out_dir=out, collect_parity_outputs=True, **kw),
+        seeds,
+    )
+    _assert_parity(want, stats, out)
+    for sh in range(2):
+        eng = {k: stats.metrics[sh][k] for k in want.metrics[sh]}
+        assert eng == want.metrics[sh], f"shard {sh}"
+
+
+def test_follow_offset_persists_across_resume(ray_session, tmp_path):
+    """A resumed follow crawl must NOT re-inject already-consumed watch
+    file lines: the consumed byte offset persists in
+    out_dir/follow_offset.json, so the resumed run's offered metric
+    matches an uninterrupted run's (review finding)."""
+    from raycrawl.crawler import CrawlConfig, run_crawl
+
+    web = WebConfig(n_hosts=2, pages_per_host=6)
+    seeds = seed_urls(web, 1)
+    wf = tmp_path / "more.txt"
+    wf.write_text(page_url(1, 1) + "\n")
+
+    def cfg_for(out, max_epochs):
+        return CrawlConfig(
+            web=web, out_dir=str(out), num_shards=2, max_epochs=max_epochs,
+            saving_period=3, follow=True, follow_seeds_file=str(wf),
+            collect_parity_outputs=True,
+        )
+
+    full = run_crawl(cfg_for(tmp_path / "f", 10), seeds)
+    run_crawl(cfg_for(tmp_path / "c", 5), seeds)
+    assert (tmp_path / "c" / "follow_offset.json").exists()
+    resumed = run_crawl(cfg_for(tmp_path / "c", 10), seeds, resume=True)
+    for sh in range(2):
+        assert resumed.metrics[sh]["offered"] == full.metrics[sh]["offered"]
+    assert {s: sorted(v) for s, v in full.seen.items()} == {
+        s: sorted(v) for s, v in resumed.seen.items()
+    }

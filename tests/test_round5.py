@@ -278,3 +278,21 @@ def test_label_prop_winner_gate_path_equivalence(ray_session, monkeypatch):
                             iterations=2, margin=1)
     assert PATH_LOG.get("label_propagation") == "bucketed_winners"
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kll_by_type_empty_events(ray_session, tmp_path):
+    """Per-group KLL over an empty events table returns an empty frame
+    (the partial's segment loop would otherwise index et[0] on an empty
+    block — review finding)."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.queries import REGISTRY
+
+    pq.write_table(
+        pa.table({"event_type": pa.array([], pa.string()),
+                  "value": pa.array([], pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    got = REGISTRY["kll_quantiles_by_type"]["fn"](str(tmp_path)).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["event_type", "quantile", "value", "n"]
